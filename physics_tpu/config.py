@@ -1,0 +1,88 @@
+"""Simulation configuration.
+
+The reference hard-codes all tuning as compile-time constants (SURVEY.md §5:
+MAX_CONSTRAINT_* in src/physics/constraints.rs:14-15, CG iteration/tolerance
+constants in src/physics/sle_solver.rs:5-7, per-constraint Baumgarte gains in
+src/physics/constraints/fixed_position_constraint.rs:5-6) and uses raw
+wall-clock dt (src/lib.rs:56-58). Here everything is an explicit, hashable
+frozen dataclass passed as a *static* argument to `jax.jit` — changing a
+config value recompiles the step, exactly like the reference's compile-time
+constants, but user-controllable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation parameters (hashable; safe as a jit static arg).
+
+    compat=True reproduces the reference's exact numerical semantics,
+    including its quirks Q1–Q10 (SURVEY.md §2b). compat=False is the
+    physically-correct mode (world-frame inertia, per-body constraint force
+    scatter, mass-scaled gravity, renormalized quaternions).
+    """
+
+    # --- time stepping ---
+    dt: float = 1.0 / 60.0
+
+    # --- gravity (reference: src/physics.rs:87-94 applies force
+    #     (0,-9.81,0) at body-local offset (0,0,1.5) each update; the force
+    #     is NOT scaled by mass — quirk Q5) ---
+    gravity: tuple = (0.0, -9.81, 0.0)
+    gravity_offset: tuple = (0.0, 0.0, 0.0)
+    gravity_scale_by_mass: bool = True
+
+    # --- behavior flags ---
+    compat: bool = False
+
+    # --- equality-constraint (joint) solver: matrix-free CG
+    #     (reference: src/physics/sle_solver.rs:5-7) ---
+    cg_max_iters: int = 1000
+    cg_rel_tol: float = 1e-2   # MAX_ERROR
+    cg_abs_tol: float = 1e-3   # MIN_ERROR
+
+    # --- contact pipeline (new capability; reference has none,
+    #     SURVEY.md §0) ---
+    ground_plane: bool = False          # y = ground_height, normal +y
+    ground_height: float = 0.0
+    pair_collisions: bool = False       # body-body contacts via broad phase
+    contact_iters: int = 24             # projected-Jacobi sweeps
+    contact_relaxation: float = 1.0     # SOR factor (auto-scaled by degree)
+    baumgarte: float = 0.2              # position-error feedback (β/dt bias)
+    penetration_slop: float = 0.005
+    restitution: float = 0.0
+    friction: float = 0.5
+    max_contacts_per_pair: int = 8      # corner contacts for box-box
+    # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window)
+    broadphase: str = "allpairs"
+    sweep_window: int = 32              # neighbor window for 'sweep'
+    max_pair_candidates: int = 0        # 0 → derived from N
+
+    # --- integrator extras (non-compat mode) ---
+    renormalize_quat: bool = True
+    gyroscopic: bool = False            # add -ω×(Iω) term (explicit)
+    max_velocity: float = 0.0           # 0 → no clamp
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def compat_config(**overrides) -> SimConfig:
+    """Config reproducing the reference demo semantics exactly.
+
+    Gravity as unscaled force at offset (0,0,1.5)
+    (reference: src/physics.rs:89-92), no ground plane, no renormalization.
+    """
+    base = dict(
+        compat=True,
+        gravity=(0.0, -9.81, 0.0),
+        gravity_offset=(0.0, 0.0, 1.5),
+        gravity_scale_by_mass=False,
+        renormalize_quat=False,
+        ground_plane=False,
+    )
+    base.update(overrides)
+    return SimConfig(**base)

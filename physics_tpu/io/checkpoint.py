@@ -1,0 +1,40 @@
+"""Checkpoint / resume.
+
+The reference has none — state lives only in RAM (SURVEY.md §5,
+reference: src/physics.rs:25-31). Because SimState is a pytree of arrays the
+TPU framework gets this nearly for free: flatten → savez / load → unflatten.
+The CG warm start (`lam_joint`, the analogue of `previous_solution`,
+reference physics.rs:29) and contact warm start round-trip with it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physics_tpu.state import SimState
+
+
+def save(path: str, state: SimState) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    np.savez(
+        path,
+        __treedef__=np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+    )
+
+
+def load(path: str, like: SimState) -> SimState:
+    """Load a checkpoint into the structure of `like` (same scene shapes)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != scene {np.shape(leaf)}"
+            )
+        new_leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

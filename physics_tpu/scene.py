@@ -1,0 +1,253 @@
+"""Host-side scene construction.
+
+The reference hard-codes its scene inside `run()` (reference: src/lib.rs:20-42:
+one cube at (1,0,0) with euler(1,0,0), a FixToPointConstraint to the origin
+and a FixedOrientationConstraint to euler (0,0,0)). SceneBuilder replaces
+that with a small imperative API that assembles padded, fixed-capacity device
+arrays — the host-side equivalent of PhysicsState construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from physics_tpu.state import (
+    JOINT_BALL,
+    JOINT_DISTANCE,
+    JOINT_FIX_ORIENTATION,
+    JOINT_FIX_POINT,
+    SHAPE_BOX,
+    SHAPE_HULL,
+    SHAPE_NONE,
+    SHAPE_SPHERE,
+    HullSet,
+    Joints,
+    Shapes,
+    SimState,
+    make_state,
+)
+
+import jax.numpy as jnp
+
+
+class SceneBuilder:
+    """Accumulates bodies/joints/shapes on host, then `build()`s a SimState."""
+
+    def __init__(self):
+        self._pos = []
+        self._quat = []
+        self._vel = []
+        self._omega = []
+        self._mass = []
+        self._inertia = []
+        self._stype = []
+        self._sparams = []
+        self._hull_index = []
+        self._friction = []
+        self._restitution = []
+        self._joints = []  # (type, a, b, params[8], ks, kd)
+        self._hulls: list = []  # list of (verts [V,3], normals [F,3], offsets [F])
+
+    # ------------------------------------------------------------------ bodies
+    def add_body(
+        self,
+        pos=(0.0, 0.0, 0.0),
+        quat=None,
+        euler=None,
+        vel=(0.0, 0.0, 0.0),
+        omega=(0.0, 0.0, 0.0),
+        mass: float = 1.0,
+        inertia=None,
+        static: bool = False,
+    ) -> int:
+        """Add a rigid body; returns its index.
+
+        Defaults mirror RigidBody::new (reference: src/physics/rigid_body.rs:64-76):
+        mass 1, identity inertia, identity orientation.
+        """
+        if quat is not None and euler is not None:
+            raise ValueError("give either quat or euler, not both")
+        if euler is not None:
+            from physics_tpu.maths import quaternion as quatmod
+
+            q = np.asarray(
+                quatmod.from_euler(
+                    jnp.float32(euler[0]), jnp.float32(euler[1]), jnp.float32(euler[2])
+                )
+            )
+        elif quat is not None:
+            q = np.asarray(quat, np.float32)
+        else:
+            q = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+
+        if static:
+            mass = np.inf
+            inertia = np.full((3, 3), np.inf, np.float32)
+        if inertia is None:
+            inertia = np.eye(3, dtype=np.float32)
+
+        self._pos.append(np.asarray(pos, np.float32))
+        self._quat.append(q)
+        self._vel.append(np.asarray(vel, np.float32))
+        self._omega.append(np.asarray(omega, np.float32))
+        self._mass.append(np.float32(mass))
+        self._inertia.append(np.asarray(inertia, np.float32))
+        self._stype.append(SHAPE_NONE)
+        self._sparams.append(np.zeros(3, np.float32))
+        self._hull_index.append(-1)
+        self._friction.append(0.5)
+        self._restitution.append(0.0)
+        return len(self._pos) - 1
+
+    # ------------------------------------------------------------------ shapes
+    def set_sphere(self, body: int, radius: float, friction=0.5, restitution=0.0):
+        self._stype[body] = SHAPE_SPHERE
+        self._sparams[body] = np.array([radius, 0, 0], np.float32)
+        self._friction[body] = friction
+        self._restitution[body] = restitution
+
+    def set_box(self, body: int, half_extents, friction=0.5, restitution=0.0):
+        self._stype[body] = SHAPE_BOX
+        self._sparams[body] = np.asarray(half_extents, np.float32)
+        self._friction[body] = friction
+        self._restitution[body] = restitution
+
+    def add_hull(self, verts) -> int:
+        """Register a convex hull (body-frame vertices); returns hull id."""
+        from physics_tpu.io.meshes import convex_hull_faces
+
+        verts = np.asarray(verts, np.float32)
+        normals, offsets = convex_hull_faces(verts)
+        self._hulls.append((verts, normals, offsets))
+        return len(self._hulls) - 1
+
+    def set_hull(self, body: int, hull_id: int, friction=0.5, restitution=0.0):
+        verts = self._hulls[hull_id][0]
+        # bounding radius stored for the broad phase
+        r = float(np.max(np.linalg.norm(verts, axis=1)))
+        self._stype[body] = SHAPE_HULL
+        self._sparams[body] = np.array([r, 0, 0], np.float32)
+        self._hull_index[body] = hull_id
+        self._friction[body] = friction
+        self._restitution[body] = restitution
+
+    # ------------------------------------------------------------------ joints
+    def fix_to_point(self, body: int, target, ks=10.0, kd=1.0):
+        """FixToPointConstraint (reference: fixed_position_constraint.rs)."""
+        p = np.zeros(8, np.float32)
+        p[0:3] = target
+        self._joints.append((JOINT_FIX_POINT, body, -1, p, ks, kd))
+
+    def fix_orientation(self, body: int, euler_target, ks=10.0, kd=1.0):
+        """FixedOrientationConstraint (reference: fixed_orientation_constraint.rs)."""
+        p = np.zeros(8, np.float32)
+        p[0:3] = euler_target
+        self._joints.append((JOINT_FIX_ORIENTATION, body, -1, p, ks, kd))
+
+    def ball_joint(self, body_a: int, body_b: int, anchor_a, anchor_b, ks=10.0, kd=1.0):
+        p = np.zeros(8, np.float32)
+        p[0:3] = anchor_a
+        p[3:6] = anchor_b
+        self._joints.append((JOINT_BALL, body_a, body_b, p, ks, kd))
+
+    def distance_joint(
+        self, body_a: int, body_b: int, anchor_a, anchor_b, length: float,
+        ks=10.0, kd=1.0,
+    ):
+        p = np.zeros(8, np.float32)
+        p[0:3] = anchor_a
+        p[3:6] = anchor_b
+        p[6] = length
+        self._joints.append((JOINT_DISTANCE, body_a, body_b, p, ks, kd))
+
+    # ------------------------------------------------------------------ build
+    def build(self, joint_capacity: Optional[int] = None) -> SimState:
+        n = len(self._pos)
+        if n == 0:
+            raise ValueError("scene has no bodies")
+
+        jn = len(self._joints)
+        cap = joint_capacity if joint_capacity is not None else jn
+        if cap < jn:
+            raise ValueError(f"joint_capacity {cap} < {jn} joints")
+
+        joints = Joints.empty(cap)
+        if jn:
+            jt = np.zeros(cap, np.int32)
+            ja = np.zeros(cap, np.int32)
+            jb = np.full(cap, -1, np.int32)
+            jp = np.zeros((cap, 8), np.float32)
+            jks = np.zeros(cap, np.float32)
+            jkd = np.zeros(cap, np.float32)
+            for i, (t, a, b, p, ks, kd) in enumerate(self._joints):
+                jt[i], ja[i], jb[i] = t, a, b
+                jp[i] = p
+                jks[i], jkd[i] = ks, kd
+            joints = Joints(
+                jtype=jnp.asarray(jt), body_a=jnp.asarray(ja),
+                body_b=jnp.asarray(jb), params=jnp.asarray(jp),
+                ks=jnp.asarray(jks), kd=jnp.asarray(jkd),
+            )
+
+        shapes = Shapes(
+            stype=jnp.asarray(np.asarray(self._stype, np.int32)),
+            params=jnp.asarray(np.stack(self._sparams)),
+            hull_index=jnp.asarray(np.asarray(self._hull_index, np.int32)),
+            friction=jnp.asarray(np.asarray(self._friction, np.float32)),
+            restitution=jnp.asarray(np.asarray(self._restitution, np.float32)),
+        )
+
+        hulls = _pack_hulls(self._hulls) if self._hulls else HullSet.empty()
+
+        return make_state(
+            pos=np.stack(self._pos),
+            quat=np.stack(self._quat),
+            vel=np.stack(self._vel),
+            omega=np.stack(self._omega),
+            mass=np.asarray(self._mass),
+            inertia=np.stack(self._inertia),
+            joints=joints,
+            shapes=shapes,
+            hulls=hulls,
+        )
+
+
+def _pack_hulls(hulls: Sequence) -> HullSet:
+    vmax = max(h[0].shape[0] for h in hulls)
+    fmax = max(h[1].shape[0] for h in hulls)
+    hcount = len(hulls)
+    verts = np.zeros((hcount, vmax, 3), np.float32)
+    vcount = np.zeros(hcount, np.int32)
+    normals = np.zeros((hcount, fmax, 3), np.float32)
+    offsets = np.zeros((hcount, fmax), np.float32)
+    fcount = np.zeros(hcount, np.int32)
+    for i, (v, fn, fo) in enumerate(hulls):
+        verts[i, : v.shape[0]] = v
+        # pad with vertex 0 so padded support-point lookups stay in-hull
+        verts[i, v.shape[0]:] = v[0]
+        vcount[i] = v.shape[0]
+        normals[i, : fn.shape[0]] = fn
+        offsets[i, : fo.shape[0]] = fo
+        # pad faces with far-away planes so padded faces never bind
+        offsets[i, fo.shape[0]:] = 1e30
+        fcount[i] = fn.shape[0]
+    return HullSet(
+        verts=jnp.asarray(verts),
+        vert_count=jnp.asarray(vcount),
+        face_normals=jnp.asarray(normals),
+        face_offsets=jnp.asarray(offsets),
+        face_count=jnp.asarray(fcount),
+    )
+
+
+def demo_scene() -> SimState:
+    """The reference's built-in demo scene (reference: src/lib.rs:20-42):
+    one cube at (1,0,0), orientation euler(1,0,0), FixToPoint(origin) +
+    FixedOrientation(0,0,0), Baumgarte ks=10 kd=1."""
+    b = SceneBuilder()
+    i = b.add_body(pos=(1.0, 0.0, 0.0), euler=(1.0, 0.0, 0.0))
+    b.fix_to_point(i, (0.0, 0.0, 0.0))
+    b.fix_orientation(i, (0.0, 0.0, 0.0))
+    return b.build()
