@@ -56,6 +56,8 @@ class SimConfig:
     restitution: float = 0.0
     friction: float = 0.5
     max_contacts_per_pair: int = 8      # corner contacts for box-box
+    max_contacts: int = 0               # compact to this many deepest
+                                        # contacts before solving (0 = off)
     # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window)
     broadphase: str = "allpairs"
     sweep_window: int = 32              # neighbor window for 'sweep'

@@ -54,11 +54,19 @@ def _w_apply(state: SimState, cfg: SimConfig, x: Array) -> Array:
     return jnp.concatenate([lin, ang], axis=-1)
 
 
-def solve_joints(state: SimState, cfg: SimConfig) -> Tuple[SimState, Dict]:
+def solve_joints(
+    state: SimState,
+    cfg: SimConfig,
+    shard: Tuple[str, int] | None = None,
+) -> Tuple[SimState, Dict]:
     """Assemble joint rows, CG-solve J·W·Jᵀ·λ = rhs, apply Jᵀλ as forces.
 
     rhs formula, exact term order (reference constraints.rs:153-160):
         rhs = −J̇q̇ − J·(W∘F_ext) − ks∘C − kd∘(J q̇)
+
+    `shard=(axis_name, n_shards)` (inside shard_map, body state replicated)
+    row-shards the joint table across the mesh axis: each device assembles
+    and iterates its row block; Jᵀ products and CG scalars are psum'd.
     """
     jn = state.joints.capacity
     if jn == 0:
@@ -68,10 +76,32 @@ def solve_joints(state: SimState, cfg: SimConfig) -> Tuple[SimState, Dict]:
         }
 
     n = state.num_bodies
-    rows = joint_rows(state)
+    axis_name = shard[0] if shard else None
+
+    if shard:
+        from physics_tpu.solver.contacts import _chunk
+        from physics_tpu.state import MAX_JOINT_ROWS, Joints
+
+        joints_local = Joints(*[
+            _chunk(getattr(state.joints, f), *shard)
+            for f in ("jtype", "body_a", "body_b", "params", "ks", "kd")
+        ])
+        rows = joint_rows(state.replace(joints=joints_local))
+        # warm start chunked per joint SLOT so it aligns with the padded
+        # joint chunks ([J,3] row-major layout)
+        lam0 = _chunk(
+            state.lam_joint.reshape(jn, MAX_JOINT_ROWS), *shard
+        ).reshape(-1)
+    else:
+        rows = joint_rows(state)
+        lam0 = state.lam_joint
 
     q_dot = jnp.concatenate([state.vel, state.omega], axis=-1)        # [N,6]
     f_ext = jnp.concatenate([state.force, state.torque], axis=-1)     # [N,6]
+
+    def jt_full(lam: Array) -> Array:
+        out = jt_matvec(rows, lam, n)
+        return jax.lax.psum(out, axis_name) if axis_name else out
 
     jd_qd = -jd_matvec(rows, q_dot)
     c_dot = j_matvec(rows, q_dot)
@@ -80,23 +110,39 @@ def solve_joints(state: SimState, cfg: SimConfig) -> Tuple[SimState, Dict]:
     rhs = jd_qd - j_matvec(rows, _w_apply(state, cfg, f_ext)) - ks_c - kd_cdot
 
     def operator(lam: Array) -> Array:
-        return j_matvec(rows, _w_apply(state, cfg, jt_matvec(rows, lam, n)))
+        return j_matvec(rows, _w_apply(state, cfg, jt_full(lam)))
 
     lam, converged, iters = cg.solve(
         operator,
         rhs,
-        state.lam_joint,
+        lam0,
         max_iters=cfg.cg_max_iters,
         rel_tol=cfg.cg_rel_tol,
         abs_tol=cfg.cg_abs_tol,
+        axis_name=axis_name,
     )
 
     # Q7: on non-convergence apply no force and keep the stale warm start
     # (reference physics.rs:45-51, sle_solver.rs:45).
-    lam_warm = jnp.where(converged, lam, state.lam_joint)
+    if shard:
+        # reassemble the full warm start from the slot-aligned shards
+        n_sh = shard[1]
+        jn_pad = -(-jn // n_sh) * n_sh
+        size = lam.shape[0]
+        idx = jax.lax.axis_index(axis_name)
+        lam_full = jax.lax.psum(
+            jax.lax.dynamic_update_slice_in_dim(
+                jnp.zeros((jn_pad * MAX_JOINT_ROWS,), jnp.float32),
+                lam, idx * size, 0,
+            ),
+            axis_name,
+        )[: jn * MAX_JOINT_ROWS]
+        lam_warm = jnp.where(converged, lam_full, state.lam_joint)
+    else:
+        lam_warm = jnp.where(converged, lam, state.lam_joint)
     gain = jnp.where(converged, 1.0, 0.0).astype(jnp.float32)
 
-    jtl = jt_matvec(rows, lam, n)                                     # [N,6]
+    jtl = jt_full(lam)                                                # [N,6]
     if cfg.compat:
         # Quirk Q1 (reference physics.rs:47-50): the 6N-vector Jᵀλ is
         # iterated as a single column, so only entity 0 ever receives
@@ -112,18 +158,26 @@ def solve_joints(state: SimState, cfg: SimConfig) -> Tuple[SimState, Dict]:
     return state, {"cg_iters": iters, "cg_converged": converged}
 
 
-def step_with_metrics(state: SimState, cfg: SimConfig) -> Tuple[SimState, Dict]:
+def step_with_metrics(
+    state: SimState,
+    cfg: SimConfig,
+    shard: Tuple[str, int] | None = None,
+) -> Tuple[SimState, Dict]:
     """One simulation step; returns (new_state, metrics dict).
 
     Metrics are device values computed in-step (SURVEY.md §5 observability
     plan) — fetch them at your own sampling rate.
+
+    `shard=(axis_name, n_shards)`: run inside shard_map with body state
+    replicated; constraint rows and contact pairs are sharded across the
+    mesh axis (see solve_joints / resolve_contacts).
     """
     state = apply_gravity(state, cfg)
-    state, joint_metrics = solve_joints(state, cfg)
+    state, joint_metrics = solve_joints(state, cfg, shard=shard)
     state = integrate_velocities(state, cfg)
     contact_metrics: Dict = {}
     if cfg.ground_plane or cfg.pair_collisions:
-        state, contact_metrics = resolve_contacts(state, cfg)
+        state, contact_metrics = resolve_contacts(state, cfg, shard=shard)
     state = integrate_positions(state, cfg)
     return state, {**joint_metrics, **contact_metrics}
 

@@ -1,0 +1,238 @@
+"""Box-box narrow phase: SAT with reference-face clipping (ODE dBoxBox style).
+
+Vertex-face testing alone degenerates for the framework's headline configs
+(identical-footprint box stacks: every corner of the upper box lies exactly ON
+the lateral face planes of the lower box, so the max-plane signed distance
+reports zero depth on a sideways normal). The robust classic is:
+
+  1. SAT over 15 axes (6 face axes, 9 edge-cross axes, with ODE's fudge
+     factor biasing face axes to avoid edge-axis jitter),
+  2. face case → clip the incident face (4 corners) of the other box against
+     the reference face's side planes (Sutherland–Hodgman), keeping
+     penetration depth as an interpolated coordinate → up to 8 points,
+  3. edge case → closest points of the two witness edges → 1 point.
+
+Everything below is branchless fixed-shape jnp on ONE pair; the narrow phase
+vmaps it over all broad-phase candidates. Polygon capacity is 8 (a convex
+quad clipped by 4 half-planes has ≤ 8 vertices).
+
+Returned normal points from box B toward box A (the framework's contact
+convention, see physics_tpu.ops.narrowphase.Contacts).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_CAP = 8          # max manifold points
+_FUDGE = 1.05     # ODE face-over-edge preference factor
+_PARALLEL_EPS = 1e-6
+
+
+def _clip_polygon(pts: Array, m: Array, plane: Array) -> Tuple[Array, Array]:
+    """Clip an ordered convex polygon against one half-plane.
+
+    pts: [CAP, 3] rows (u, v, sep) — 2D face coords + interpolated separation.
+    m:   scalar int32 vertex count (first m rows valid).
+    plane: [3] (c_u, c_v, d) keeping points with c_u·u + c_v·v ≤ d.
+    Returns (new_pts, new_m).
+    """
+    idx = jnp.arange(_CAP, dtype=jnp.int32)
+    safe_m = jnp.maximum(m, 1)
+    cur = pts[idx % safe_m]
+    nxt = pts[(idx + 1) % safe_m]
+
+    g_cur = plane[0] * cur[:, 0] + plane[1] * cur[:, 1] - plane[2]
+    g_nxt = plane[0] * nxt[:, 0] + plane[1] * nxt[:, 1] - plane[2]
+    live = idx < m
+    inside_cur = (g_cur <= 0.0) & live
+    crossing = ((g_cur <= 0.0) != (g_nxt <= 0.0)) & live
+
+    denom = g_cur - g_nxt
+    t = jnp.where(jnp.abs(denom) > 1e-12, g_cur / denom, 0.0)
+    p_int = cur + t[:, None] * (nxt - cur)
+
+    emit = inside_cur.astype(jnp.int32) + crossing.astype(jnp.int32)
+    start = jnp.cumsum(emit) - emit               # exclusive prefix sum
+    pos_cur = jnp.where(inside_cur, start, _CAP)  # CAP = dropped
+    pos_int = jnp.where(
+        crossing, start + inside_cur.astype(jnp.int32), _CAP
+    )
+
+    out = jnp.zeros((_CAP + 1, 3), pts.dtype)
+    out = out.at[pos_cur].set(cur)
+    out = out.at[pos_int].set(p_int)
+    return out[:_CAP], jnp.minimum(jnp.sum(emit), _CAP)
+
+
+def box_box_manifold(
+    pos_a: Array, rot_a: Array, half_a: Array,
+    pos_b: Array, rot_b: Array, half_b: Array,
+) -> Tuple[Array, Array, Array, Array]:
+    """SAT + clipping contact manifold for one box pair.
+
+    rot_*: [3,3] world rotation matrices; half_*: [3] half extents.
+    Returns (points [8,3] world, normal [8,3] world B→A, depth [8],
+    valid [8] bool). All-invalid when separated.
+    """
+    t_w = pos_b - pos_a
+    u = rot_a.T   # u[k] = A's axis k in world
+    v = rot_b.T
+
+    # ---- 15 candidate axes (world, unnormalized for edges) ----
+    # face axes of A (0..2), of B (3..5)
+    axes_face = jnp.concatenate([u, v], axis=0)                      # [6,3]
+    # edge cross axes (6..14), order (i,j) row-major
+    cross_axes = jnp.reshape(
+        jnp.cross(u[:, None, :], v[None, :, :]), (9, 3)
+    )
+    cross_norm = jnp.linalg.norm(cross_axes, axis=-1)
+    cross_ok = cross_norm > _PARALLEL_EPS
+    cross_unit = cross_axes / jnp.maximum(cross_norm, _PARALLEL_EPS)[:, None]
+
+    axes = jnp.concatenate([axes_face, cross_unit], axis=0)          # [15,3]
+
+    proj_a = jnp.sum(half_a[None, :] * jnp.abs(axes @ u.T), axis=-1)  # [15]
+    proj_b = jnp.sum(half_b[None, :] * jnp.abs(axes @ v.T), axis=-1)
+    dist = axes @ t_w                                                # [15]
+    sep = jnp.abs(dist) - (proj_a + proj_b)
+    sep = jnp.where(
+        jnp.concatenate([jnp.ones(6, bool), cross_ok]), sep, -jnp.inf
+    )
+
+    separated = jnp.max(sep) > 0.0
+
+    face_sep = sep[:6]
+    edge_sep = sep[6:]
+    best_face = jnp.argmax(face_sep)
+    best_edge = jnp.argmax(edge_sep)
+    # ODE fudge: the EDGE separation (negative when overlapping) is scaled by
+    # 1.05, so an edge axis only wins when decisively better than every face
+    # axis — ties (e.g. axis-aligned stacks, where cross axes duplicate face
+    # axes) resolve to the face manifold.
+    use_edge = edge_sep[best_edge] * _FUDGE > face_sep[best_face]
+
+    # normal pointing A → B along the winning axis
+    def axis_normal(i):
+        return axes[i] * jnp.sign(dist[i] + 1e-30)
+
+    n_face = axis_normal(best_face)
+    n_edge = axis_normal(best_edge + 6)
+
+    # ---------------- face-contact manifold ----------------
+    ref_is_a = best_face < 3
+    ref_axis = jnp.where(ref_is_a, best_face, best_face - 3)
+    # reference geometry (select A or B wholesale)
+    ref_rot = jnp.where(ref_is_a, u, v)          # [3,3] rows = axes
+    inc_rot = jnp.where(ref_is_a, v, u)
+    ref_half = jnp.where(ref_is_a, half_a, half_b)
+    inc_half = jnp.where(ref_is_a, half_b, half_a)
+    ref_pos = jnp.where(ref_is_a, pos_a, pos_b)
+    inc_pos = jnp.where(ref_is_a, pos_b, pos_a)
+    # ref face normal: points from ref box toward the incident box
+    ref_n = jnp.where(ref_is_a, n_face, -n_face)
+
+    # ref face frame: axis indices (p, q) = the other two
+    e = jnp.eye(3, dtype=jnp.int32)
+    onehot = e[ref_axis]
+    pq = jnp.nonzero(1 - onehot, size=2)[0]     # static size 2
+    u_p = ref_rot[pq[0]]
+    u_q = ref_rot[pq[1]]
+    h_p = ref_half[pq[0]]
+    h_q = ref_half[pq[1]]
+    c_ref = ref_pos + ref_n * ref_half[ref_axis]
+
+    # incident face: the inc-box face most anti-parallel to ref_n
+    align = inc_rot @ ref_n                      # [3] = v_k · n
+    inc_axis = jnp.argmax(jnp.abs(align))
+    inc_sign = -jnp.sign(align[inc_axis] + 1e-30)
+    inc_n_axis = inc_rot[inc_axis]
+    c_inc = inc_pos + inc_sign * inc_half[inc_axis] * inc_n_axis
+    iq = jnp.nonzero(1 - e[inc_axis], size=2)[0]
+    w_p = inc_rot[iq[0]] * inc_half[iq[0]]
+    w_q = inc_rot[iq[1]] * inc_half[iq[1]]
+
+    signs = jnp.array(
+        [[1.0, 1.0], [1.0, -1.0], [-1.0, -1.0], [-1.0, 1.0]], jnp.float32
+    )
+    corners = (
+        c_inc[None, :]
+        + signs[:, 0:1] * w_p[None, :]
+        + signs[:, 1:2] * w_q[None, :]
+    )                                             # [4,3] ordered quad
+
+    rel = corners - c_ref[None, :]
+    poly = jnp.zeros((_CAP, 3), jnp.float32)
+    poly = poly.at[:4].set(
+        jnp.stack(
+            [rel @ u_p, rel @ u_q, rel @ ref_n], axis=-1
+        )  # (u, v, separation): separation ≤ 0 where penetrating
+    )
+    m = jnp.int32(4)
+
+    planes = jnp.array(
+        [[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, -1.0, 0.0]],
+        jnp.float32,
+    )
+    plane_d = jnp.stack([h_p, h_p, h_q, h_q])
+    for k in range(4):
+        plane = jnp.concatenate([planes[k, :2], plane_d[k][None]])
+        poly, m = _clip_polygon(poly, m, plane)
+
+    slot = jnp.arange(_CAP)
+    face_depth = -poly[:, 2]
+    face_valid = (slot < m) & (face_depth > 0.0)
+    face_points = (
+        c_ref[None, :]
+        + poly[:, 0:1] * u_p[None, :]
+        + poly[:, 1:2] * u_q[None, :]
+        + poly[:, 2:3] * ref_n[None, :]          # on the incident face
+    )
+
+    # ---------------- edge-contact point ----------------
+    ei = best_edge // 3
+    ej = best_edge % 3
+    ua = u[ei]
+    vb = v[ej]
+    # witness edge centers: walk to the corner-edge facing the other box
+    sign_a = jnp.sign(u @ n_edge + 1e-30)
+    sign_b = jnp.sign(v @ (-n_edge) + 1e-30)
+    mask_a = 1.0 - jnp.eye(3)[ei]
+    mask_b = 1.0 - jnp.eye(3)[ej]
+    p_a = pos_a + jnp.sum((sign_a * half_a * mask_a)[:, None] * u, axis=0)
+    p_b = pos_b + jnp.sum((sign_b * half_b * mask_b)[:, None] * v, axis=0)
+    # closest points of the two witness lines p_a + s·ua, p_b + r·vb
+    d_ab = p_b - p_a
+    c_uv = ua @ vb
+    denom = 1.0 - c_uv * c_uv
+    s_par = jnp.where(
+        jnp.abs(denom) > 1e-9,
+        ((d_ab @ ua) - c_uv * (d_ab @ vb)) / denom,
+        0.0,
+    )
+    r_par = s_par * c_uv - (d_ab @ vb)
+    q_a = p_a + s_par * ua
+    q_b = p_b + r_par * vb
+    edge_point = 0.5 * (q_a + q_b)
+    edge_depth = -edge_sep[best_edge]
+
+    # ---------------- combine ----------------
+    edge_points = jnp.zeros((_CAP, 3), jnp.float32).at[0].set(edge_point)
+    points = jnp.where(use_edge, edge_points, face_points)
+    depth = jnp.where(use_edge,
+                      jnp.zeros(_CAP).at[0].set(edge_depth), face_depth)
+    valid = jnp.where(
+        use_edge,
+        (slot == 0) & (edge_depth > 0.0),
+        face_valid,
+    )
+    valid = valid & jnp.logical_not(separated)
+
+    # contact normal B → A = −(A→B)
+    n_out = -jnp.where(use_edge, n_edge, n_face)
+    normals = jnp.broadcast_to(n_out, (_CAP, 3))
+    return points, normals, depth, valid

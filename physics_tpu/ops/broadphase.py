@@ -19,6 +19,7 @@ from functools import lru_cache
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from physics_tpu.config import SimConfig
@@ -63,13 +64,16 @@ def body_aabbs(state: SimState) -> Array:
 
 
 @lru_cache(maxsize=32)
-def _upper_tri_pairs(n: int):
-    """Static i<j pair list as host numpy (computed once per body count)."""
+def _upper_tri_pairs_np(n: int):
+    """Static i<j pair list, cached as HOST numpy (a jnp array here would
+    leak tracers across jit traces)."""
     iu = np.triu_indices(n, k=1)
-    return (
-        jnp.asarray(iu[0].astype(np.int32)),
-        jnp.asarray(iu[1].astype(np.int32)),
-    )
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+def _upper_tri_pairs(n: int):
+    a, b = _upper_tri_pairs_np(n)
+    return jnp.asarray(a), jnp.asarray(b)
 
 
 def _aabb_overlap(aabbs: Array, ia: Array, ib: Array) -> Array:
@@ -134,8 +138,34 @@ def sweep_candidates(
     return PairCandidates(ia_f, ib_f, mask, overflow)
 
 
+def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
+    """Keep at most `max_pairs` active candidates (top_k on the mask).
+
+    The sweep emits a fixed [N·K] candidate tensor in which only the
+    AABB-overlapping fraction is live; compacting before the (much more
+    expensive) narrow phase shrinks the per-pair working set. Active pairs
+    beyond capacity are counted into `overflow` — never silently dropped.
+    """
+    p = cand.body_a.shape[0]
+    if max_pairs <= 0 or p <= max_pairs:
+        return cand
+    score = cand.mask.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, max_pairs)
+    dropped = jnp.maximum(
+        jnp.sum(cand.mask.astype(jnp.int32)) - max_pairs, 0
+    )
+    return PairCandidates(
+        body_a=cand.body_a[idx],
+        body_b=cand.body_b[idx],
+        mask=cand.mask[idx],
+        overflow=cand.overflow + dropped,
+    )
+
+
 def pair_candidates(state: SimState, cfg: SimConfig) -> PairCandidates:
     aabbs = body_aabbs(state)
     if cfg.broadphase == "sweep":
-        return sweep_candidates(state, aabbs, cfg.sweep_window)
-    return allpairs_candidates(state, aabbs)
+        cand = sweep_candidates(state, aabbs, cfg.sweep_window)
+    else:
+        cand = allpairs_candidates(state, aabbs)
+    return compact_pairs(cand, cfg.max_pair_candidates)

@@ -65,7 +65,11 @@ def apply_gravity(state: SimState, cfg: SimConfig) -> SimState:
     """
     g = jnp.asarray(cfg.gravity, jnp.float32)
     if cfg.gravity_scale_by_mass:
-        f = state.mass[:, None] * g
+        # static bodies (mass = inf, inv_mass = 0) must not accumulate an
+        # inf force (inf · inv_mass = NaN downstream)
+        f = jnp.where(
+            (state.inv_mass > 0.0)[:, None], state.mass[:, None] * g, 0.0
+        )
     else:
         f = jnp.broadcast_to(g, state.force.shape)
     off = jnp.asarray(cfg.gravity_offset, jnp.float32)

@@ -1,0 +1,298 @@
+"""Narrow phase: fixed-capacity contact generation.
+
+New capability (the reference has no collision detection, SURVEY.md §0),
+designed in the engine's constraint spirit: contacts are rows with a point,
+a normal and a depth, consumed by the velocity-level impulse solver.
+
+TPU-native design: every collidable body is presented as a *convex* —
+a fixed-capacity vertex set plus a fixed-capacity face-plane set:
+
+  * box   → 8 corners, 6 axis faces (generated on the fly from half extents)
+  * hull  → preprocessed vertices/faces from the HullSet (OBJ pipeline)
+  * sphere→ 1 vertex (the center) with a vertex radius r, 0 faces
+
+Contact generation is then ONE vectorized kernel for every pair type:
+vertices of A tested against face planes of B and vice versa (vertex-face
+contacts, the dominant mode for resting/stacking), plus an analytic
+sphere-sphere special case. Per pair the deepest `max_contacts_per_pair`
+candidates are selected with top_k — fixed shapes, no dynamic allocation.
+
+Known approximation (documented): edge-edge contact between deeply crossed
+boxes and sphere-vs-corner contacts are not generated; face-region contacts
+dominate the BASELINE configs (stacks, piles, rain).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physics_tpu.config import SimConfig
+from physics_tpu.maths import quaternion as quat
+from physics_tpu.ops.boxbox import box_box_manifold
+from physics_tpu.ops.broadphase import PairCandidates
+from physics_tpu.state import SHAPE_BOX, SHAPE_HULL, SHAPE_SPHERE, SimState
+
+Array = jnp.ndarray
+
+_BOX_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    np.float32,
+)  # [8, 3]
+_BOX_FACE_NORMALS = np.array(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    np.float32,
+)  # [6, 3]
+
+
+class Contacts(NamedTuple):
+    """Flat contact buffer. `normal` points from body_b toward body_a;
+    a positive impulse pushes body_a along +normal. body_b == -1 ⇒ the
+    static world (ground plane)."""
+
+    body_a: Array   # [C] int32
+    body_b: Array   # [C] int32
+    point: Array    # [C, 3] world
+    normal: Array   # [C, 3] world, unit
+    depth: Array    # [C] penetration (> 0 where active)
+    active: Array   # [C] bool
+    friction: Array # [C]
+    restitution: Array  # [C]
+
+
+class ConvexData(NamedTuple):
+    """Per-body convex presentation (body frame), fixed capacity."""
+
+    verts: Array        # [N, Vc, 3]
+    vert_mask: Array    # [N, Vc] f32
+    vert_radius: Array  # [N] sphere radius (0 for box/hull)
+    face_n: Array       # [N, Fc, 3]
+    face_off: Array     # [N, Fc]  (n·x ≤ off inside; padded faces off=+inf)
+    is_sphere: Array    # [N] bool
+    is_box: Array       # [N] bool
+    has_faces: Array    # [N] bool (spheres and empty shapes have none)
+
+
+def convex_data(state: SimState) -> ConvexData:
+    """Build the unified convex presentation for all bodies (one per step)."""
+    n = state.num_bodies
+    hv = state.hulls.verts          # [H, Vh, 3]
+    vh = hv.shape[1]
+    fh = state.hulls.face_normals.shape[1]
+    vc = max(8, vh)
+    fc = max(6, fh)
+
+    stype = state.shapes.stype
+    params = state.shapes.params
+    is_box = stype == SHAPE_BOX
+    is_sphere = stype == SHAPE_SPHERE
+    is_hull = stype == SHAPE_HULL
+
+    # --- vertices ---
+    box_verts = params[:, None, :] * jnp.asarray(_BOX_SIGNS)      # [N, 8, 3]
+    box_verts = jnp.pad(box_verts, ((0, 0), (0, vc - 8), (0, 0)))
+    hull_idx = jnp.clip(state.shapes.hull_index, 0, hv.shape[0] - 1)
+    hull_verts = jnp.pad(hv[hull_idx], ((0, 0), (0, vc - vh), (0, 0)))
+    verts = jnp.where(
+        is_box[:, None, None], box_verts,
+        jnp.where(is_hull[:, None, None], hull_verts, 0.0))
+
+    arange_v = jnp.arange(vc, dtype=jnp.int32)[None, :]
+    nvert = jnp.where(
+        is_box, 8,
+        jnp.where(is_hull, state.hulls.vert_count[hull_idx],
+                  jnp.where(is_sphere, 1, 0)))
+    vert_mask = (arange_v < nvert[:, None]).astype(jnp.float32)
+
+    # --- faces ---
+    box_n = jnp.broadcast_to(jnp.asarray(_BOX_FACE_NORMALS), (n, 6, 3))
+    box_off = jnp.concatenate(
+        [params[:, 0:1], params[:, 0:1], params[:, 1:2],
+         params[:, 1:2], params[:, 2:3], params[:, 2:3]], axis=1)   # [N,6]
+    box_n = jnp.pad(box_n, ((0, 0), (0, fc - 6), (0, 0)))
+    box_off = jnp.pad(box_off, ((0, 0), (0, fc - 6)),
+                      constant_values=jnp.inf)
+    hull_n = jnp.pad(state.hulls.face_normals[hull_idx],
+                     ((0, 0), (0, fc - fh), (0, 0)))
+    hull_off = jnp.pad(state.hulls.face_offsets[hull_idx],
+                       ((0, 0), (0, fc - fh)), constant_values=jnp.inf)
+    face_n = jnp.where(is_box[:, None, None], box_n,
+                       jnp.where(is_hull[:, None, None], hull_n, 0.0))
+    face_off = jnp.where(is_box[:, None], box_off,
+                         jnp.where(is_hull[:, None], hull_off, jnp.inf))
+
+    radius = jnp.where(is_sphere, params[:, 0], 0.0)
+    has_faces = is_box | (is_hull & (state.hulls.face_count[hull_idx] > 0))
+    return ConvexData(
+        verts, vert_mask, radius, face_n, face_off, is_sphere, is_box,
+        has_faces,
+    )
+
+
+def ground_contacts(state: SimState, cvx: ConvexData, cfg: SimConfig
+                    ) -> Contacts:
+    """Contacts of every body's vertices against the plane y = ground_height.
+
+    Up to min(8, Vc) contacts per body, deepest-first (top_k)."""
+    n = state.num_bodies
+    rot = quat.to_matrix(state.quat)                                   # [N,3,3]
+    verts_w = state.pos[:, None, :] + jnp.einsum(
+        "nij,nvj->nvi", rot, cvx.verts)                                # [N,Vc,3]
+    rho = cvx.vert_radius[:, None]
+    depth = (jnp.float32(cfg.ground_height)
+             - (verts_w[..., 1] - rho)) * cvx.vert_mask                # [N,Vc]
+    movable = (state.inv_mass > 0.0)[:, None]
+    valid = (depth > 0.0) & movable & (cvx.vert_mask > 0)
+
+    k = min(cfg.max_contacts_per_pair, depth.shape[1])
+    score = jnp.where(valid, depth, -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, k)                       # [N,k]
+    sel = jnp.take_along_axis(verts_w, top_idx[..., None], axis=1)     # [N,k,3]
+    active = jnp.isfinite(top_score) & (top_score > 0.0)
+
+    normal = jnp.broadcast_to(
+        jnp.array([0.0, 1.0, 0.0], jnp.float32), (n, k, 3))
+    rho_sel = jnp.broadcast_to(rho, depth.shape)
+    rho_sel = jnp.take_along_axis(rho_sel, top_idx, axis=1)
+    point = sel - normal * rho_sel[..., None]
+
+    body_a = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    mu = jnp.broadcast_to(state.shapes.friction[:, None], (n, k))
+    rest = jnp.broadcast_to(state.shapes.restitution[:, None], (n, k))
+
+    return Contacts(
+        body_a=body_a.reshape(-1),
+        body_b=jnp.full((n * k,), -1, jnp.int32),
+        point=point.reshape(-1, 3),
+        normal=normal.reshape(-1, 3),
+        depth=jnp.where(active, top_score, 0.0).reshape(-1),
+        active=active.reshape(-1),
+        friction=mu.reshape(-1),
+        restitution=rest.reshape(-1),
+    )
+
+
+def _vertex_face_candidates(
+    pos_a, rot_a, verts_a, mask_a, rho_a,
+    pos_b, rot_b, face_n_b, face_off_b,
+):
+    """Vertices of A (world) against face planes of B (world).
+
+    Returns per-vertex (depth [P,Vc], normal B→A [P,Vc,3], point [P,Vc,3]).
+    """
+    va_w = pos_a[:, None, :] + jnp.einsum("pij,pvj->pvi", rot_a, verts_a)
+    nb_w = jnp.einsum("pij,pfj->pfi", rot_b, face_n_b)                 # [P,Fc,3]
+    off_w = face_off_b + jnp.einsum("pfi,pi->pf", nb_w, pos_b)         # [P,Fc]
+
+    # signed distance of each vertex to each face plane; sd = max over faces
+    sd_all = jnp.einsum("pfi,pvi->pvf", nb_w, va_w) - off_w[:, None, :]
+    sd = jnp.max(sd_all, axis=-1)                                      # [P,Vc]
+    face_idx = jnp.argmax(sd_all, axis=-1)                             # [P,Vc]
+    normal = jnp.take_along_axis(
+        nb_w, face_idx[..., None], axis=1)                             # [P,Vc,3]
+
+    # where(mask) rather than *mask: sd is -inf when B has no live faces,
+    # and inf·0 would poison the buffer with NaNs
+    depth = jnp.where(mask_a > 0, rho_a[:, None] - sd, 0.0)
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    point = va_w - normal * (rho_a[:, None] - 0.5 * depth)[..., None]
+    return depth, normal, point
+
+
+def pair_contacts(state: SimState, cvx: ConvexData,
+                  cand: PairCandidates, cfg: SimConfig) -> Contacts:
+    """Contacts for the broad-phase candidate pairs (fixed [P·K] output)."""
+    ia, ib = cand.body_a, cand.body_b
+    p = ia.shape[0]
+    k = cfg.max_contacts_per_pair
+
+    rot = quat.to_matrix(state.quat)
+    pos_a, pos_b = state.pos[ia], state.pos[ib]
+    rot_a, rot_b = rot[ia], rot[ib]
+
+    # direction 1: A's vertices vs B's faces (normal = outward from B = B→A)
+    d1, n1, p1 = _vertex_face_candidates(
+        pos_a, rot_a, cvx.verts[ia], cvx.vert_mask[ia], cvx.vert_radius[ia],
+        pos_b, rot_b, cvx.face_n[ib], cvx.face_off[ib])
+    d1 = jnp.where(cvx.has_faces[ib][:, None], d1, 0.0)
+    # direction 2: B's vertices vs A's faces (flip normal to keep B→A)
+    d2, n2, p2 = _vertex_face_candidates(
+        pos_b, rot_b, cvx.verts[ib], cvx.vert_mask[ib], cvx.vert_radius[ib],
+        pos_a, rot_a, cvx.face_n[ia], cvx.face_off[ia])
+    d2 = jnp.where(cvx.has_faces[ia][:, None], d2, 0.0)
+    n2 = -n2
+
+    # SAT + face-clipping manifold for box-box pairs (vertex-face testing
+    # degenerates for identical-footprint stacks; see ops/boxbox.py)
+    both_box = cvx.is_box[ia] & cvx.is_box[ib]
+    sat_p, sat_n, sat_d, sat_valid = jax.vmap(box_box_manifold)(
+        pos_a, rot_a, state.shapes.params[ia],
+        pos_b, rot_b, state.shapes.params[ib],
+    )
+    sat_d = jnp.where(sat_valid & both_box[:, None], sat_d, 0.0)
+    # vertex-face candidates only apply to non-box-box pairs
+    d1 = jnp.where(both_box[:, None], 0.0, d1)
+    d2 = jnp.where(both_box[:, None], 0.0, d2)
+
+    depth = jnp.concatenate([d1, d2, sat_d], axis=1)         # [P, 2Vc+8]
+    normal = jnp.concatenate([n1, n2, sat_n], axis=1)
+    point = jnp.concatenate([p1, p2, sat_p], axis=1)
+
+    # sphere-sphere analytic contact replaces slot 0 when both are spheres
+    both_sphere = cvx.is_sphere[ia] & cvx.is_sphere[ib]
+    delta = pos_a - pos_b
+    dist = jnp.linalg.norm(delta, axis=-1)
+    rsum = cvx.vert_radius[ia] + cvx.vert_radius[ib]
+    ss_n = delta / jnp.maximum(dist, 1e-9)[:, None]
+    ss_depth = rsum - dist
+    ss_point = pos_b + ss_n * (cvx.vert_radius[ib] - 0.5 * ss_depth)[:, None]
+    depth = depth.at[:, 0].set(
+        jnp.where(both_sphere, ss_depth, depth[:, 0]))
+    normal = normal.at[:, 0].set(
+        jnp.where(both_sphere[:, None], ss_n, normal[:, 0]))
+    point = point.at[:, 0].set(
+        jnp.where(both_sphere[:, None], ss_point, point[:, 0]))
+    if depth.shape[1] > 1:
+        # a sphere pair has exactly one candidate; kill the mirrored one
+        sphere_kill = both_sphere[:, None] & (
+            jnp.arange(depth.shape[1])[None, :] > 0)
+        depth = jnp.where(sphere_kill, 0.0, depth)
+
+    movable = (state.inv_mass[ia] > 0) | (state.inv_mass[ib] > 0)
+    valid = (depth > 0.0) & cand.mask[:, None] & movable[:, None]
+
+    kk = min(k, depth.shape[1])
+    score = jnp.where(valid, depth, -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, kk)                      # [P,kk]
+    sel_n = jnp.take_along_axis(normal, top_idx[..., None], axis=1)
+    sel_p = jnp.take_along_axis(point, top_idx[..., None], axis=1)
+    active = jnp.isfinite(top_score) & (top_score > 0.0)
+
+    mu = jnp.sqrt(state.shapes.friction[ia] * state.shapes.friction[ib])
+    rest = jnp.maximum(state.shapes.restitution[ia],
+                       state.shapes.restitution[ib])
+
+    rep = lambda x: jnp.broadcast_to(x[:, None], (p, kk)).reshape(-1)
+    return Contacts(
+        body_a=rep(ia),
+        body_b=rep(ib),
+        point=sel_p.reshape(-1, 3),
+        normal=sel_n.reshape(-1, 3),
+        depth=jnp.where(active, top_score, 0.0).reshape(-1),
+        active=active.reshape(-1),
+        friction=rep(mu),
+        restitution=rep(rest),
+    )
+
+
+def concat_contacts(*groups: Contacts) -> Contacts:
+    groups = [g for g in groups if g is not None and g.body_a.shape[0] > 0]
+    if len(groups) == 1:
+        return groups[0]
+    return Contacts(*[
+        jnp.concatenate([getattr(g, f) for g in groups], axis=0)
+        for f in Contacts._fields
+    ])

@@ -1,0 +1,110 @@
+"""Prebuilt benchmark/test scenes for the BASELINE.json configs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from physics_tpu.config import SimConfig
+from physics_tpu.io.meshes import box_inertia, sphere_inertia
+from physics_tpu.scene import SceneBuilder
+from physics_tpu.state import SimState
+
+
+def box_stack(n_boxes: int = 10, half: float = 0.5) -> SimState:
+    """BASELINE config: vertical box stack (resting-contact stability)."""
+    b = SceneBuilder()
+    for k in range(n_boxes):
+        i = b.add_body(
+            pos=(0.0, half + 2 * half * k + 0.001 * k, 0.0),
+            inertia=box_inertia((half,) * 3, 1.0),
+        )
+        b.set_box(i, (half,) * 3, friction=0.6)
+    return b.build()
+
+
+def box_pile(
+    n_bodies: int = 4096,
+    half: float = 0.5,
+    seed: int = 0,
+    layers: int = 4,
+    x_aspect: float = 16.0,
+) -> SimState:
+    """BASELINE config: N-body box pile dropped above the ground plane.
+
+    Laid out as a long trench (x-extent ≫ z-extent) so the sort-by-x sweep
+    broad phase keeps a low per-window density; this is the scene-design
+    analogue of choosing a good sharding layout.
+    """
+    rng = np.random.default_rng(seed)
+    per_layer = n_bodies // layers
+    nz = max(int(np.sqrt(per_layer / x_aspect)), 1)
+    nx = per_layer // nz
+    spacing = 2.6 * half
+
+    b = SceneBuilder()
+    count = 0
+    layer = 0
+    while count < n_bodies:
+        k = count - layer * nx * nz
+        if k >= nx * nz:
+            layer += 1
+            k = 0
+        ix, iz = k % nx, k // nx
+        jitter = rng.uniform(-0.3 * half, 0.3 * half, 3)
+        pos = (
+            ix * spacing + jitter[0],
+            half + layer * 2.2 * half + 0.01 * layer + abs(jitter[1]),
+            iz * spacing + jitter[2],
+        )
+        i = b.add_body(
+            pos=pos,
+            euler=rng.uniform(-0.2, 0.2, 3),
+            inertia=box_inertia((half,) * 3, 1.0),
+        )
+        b.set_box(i, (half,) * 3, friction=0.5)
+        count += 1
+    return b.build()
+
+
+def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
+    """Tuned solver/broad-phase capacities for the pile scenes."""
+    return SimConfig(
+        compat=False,
+        ground_plane=True,
+        pair_collisions=True,
+        broadphase="sweep",
+        sweep_window=64,
+        max_pair_candidates=8 * n_bodies,
+        max_contacts_per_pair=4,
+        max_contacts=6 * n_bodies,
+        contact_iters=16,
+        dt=dt,
+    )
+
+
+def sphere_rain(n_bodies: int = 256, seed: int = 0) -> SimState:
+    """Mixed-size spheres raining onto the ground."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    for k in range(n_bodies):
+        r = float(rng.uniform(0.2, 0.5))
+        i = b.add_body(
+            pos=(rng.uniform(-10, 10), 2 + 0.1 * k, rng.uniform(-10, 10)),
+            inertia=sphere_inertia(r, 1.0),
+        )
+        b.set_sphere(i, r, friction=0.4, restitution=0.2)
+    return b.build()
+
+
+def random_env(seed: int, n_bodies: int = 8) -> SimState:
+    """One randomized small scene (the 4096-batched-envs config unit)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    for _ in range(n_bodies):
+        i = b.add_body(
+            pos=rng.uniform([-3, 1, -3], [3, 6, 3]),
+            euler=rng.uniform(-1, 1, 3),
+            inertia=box_inertia((0.4,) * 3, 1.0),
+        )
+        b.set_box(i, (0.4,) * 3, friction=0.5)
+    return b.build()

@@ -35,14 +35,29 @@ def solve(
     max_iters: int = 1000,
     rel_tol: float = 1e-2,
     abs_tol: float = 1e-3,
+    axis_name: str | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Conjugate gradient: solve A x = rhs.
 
     Returns (x, converged: bool scalar, iters_used: int32 scalar).
+
+    When `axis_name` is given (inside shard_map), the solution vector is
+    row-sharded across that mesh axis: dot products become psum and the
+    ∞-norm convergence test becomes pmax, so every shard sees identical
+    scalars and takes identical iterations.
     """
+
+    def _sum(v: Array) -> Array:
+        s = jnp.sum(v)
+        return jax.lax.psum(s, axis_name) if axis_name else s
+
+    def _amax(v: Array) -> Array:
+        m = jnp.max(jnp.abs(v))
+        return jax.lax.pmax(m, axis_name) if axis_name else m
+
     rhs = rhs.astype(jnp.float32)
     threshold = jnp.maximum(
-        jnp.max(jnp.abs(rhs)) * jnp.float32(rel_tol), jnp.float32(abs_tol)
+        _amax(rhs) * jnp.float32(rel_tol), jnp.float32(abs_tol)
     )
 
     r0 = rhs - operator(x0)
@@ -55,13 +70,13 @@ def solve(
     def body(carry):
         i, x, r, p, _ = carry
         ap = operator(p)
-        rk = jnp.sum(r * r)
-        den = jnp.sum(p * ap)
+        rk = _sum(r * r)
+        den = _sum(p * ap)
         alpha = jnp.where(den != 0.0, rk / den, 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        converged = jnp.max(jnp.abs(r)) < threshold
-        rk_new = jnp.sum(r * r)
+        converged = _amax(r) < threshold
+        rk_new = _sum(r * r)
         beta = jnp.where(rk != 0.0, rk_new / rk, 0.0)
         p = r + beta * p
         return (i + 1, x, r, p, converged)

@@ -1,16 +1,294 @@
-"""Contact impulse solver (placeholder — filled in by the collision milestone).
+"""Velocity-level contact resolution: projected Jacobi impulse solver.
 
-The reference engine has no collision/contact code at all (SURVEY.md §0);
-this subsystem is a new capability required by BASELINE.json's configs.
+New capability (the reference has no contacts, SURVEY.md §0), architected
+for the TPU: Gauss-Seidel/PGS is inherently sequential, so instead every
+iteration computes impulse corrections for ALL contacts from the current
+velocities (one batched kernel) and scatter-adds them simultaneously
+(segment-sum). Convergence is kept by mass-splitting: each contact's
+correction is scaled by 1/deg, where deg is the number of active contacts
+touching its bodies — the classic averaged-projection trick that makes
+Jacobi contact iteration contractive.
+
+Per contact, normal impulse λₙ ≥ 0 with a Baumgarte bias velocity
+(β·max(depth − slop, 0)/dt) plus restitution, and a friction box-clamp
+|λₜ| ≤ μ·λₙ along two tangent directions. All state lives in the fori_loop
+carry; the whole solve fuses into the step program.
 """
 
 from __future__ import annotations
 
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
 from physics_tpu.config import SimConfig
+from physics_tpu.maths import quaternion as quat
+from physics_tpu.ops.broadphase import pair_candidates
+from physics_tpu.ops.narrowphase import (
+    Contacts,
+    concat_contacts,
+    convex_data,
+    ground_contacts,
+    pair_contacts,
+)
 from physics_tpu.state import SimState
 
+Array = jnp.ndarray
 
-def resolve_contacts(state: SimState, cfg: SimConfig):
-    """Velocity-level contact resolution. No-op until the collision pipeline
-    lands; returns (state, metrics)."""
-    return state, {}
+
+def _tangent_basis(n: Array) -> Tuple[Array, Array]:
+    """Orthonormal (t1, t2) ⊥ n, branchless (works for any unit n)."""
+    # pick the reference axis least aligned with n
+    ax = jnp.abs(n)
+    use_x = (ax[..., 0] <= ax[..., 1]) & (ax[..., 0] <= ax[..., 2])
+    use_y = (~use_x) & (ax[..., 1] <= ax[..., 2])
+    e = jnp.where(
+        use_x[..., None],
+        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+        jnp.where(
+            use_y[..., None],
+            jnp.array([0.0, 1.0, 0.0], jnp.float32),
+            jnp.array([0.0, 0.0, 1.0], jnp.float32),
+        ),
+    )
+    t1 = jnp.cross(n, e)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def solve_impulses(
+    state: SimState,
+    contacts: Contacts,
+    cfg: SimConfig,
+    axis_name: str | None = None,
+) -> Tuple[Array, Array, Dict]:
+    """Iteratively resolve contacts; returns (vel, omega, metrics).
+
+    With `axis_name` (inside shard_map) the contact buffer is sharded across
+    that mesh axis while body velocities stay replicated: every impulse
+    scatter becomes a local delta followed by a psum, which keeps the Jacobi
+    iteration mathematically identical to the single-device solve.
+    """
+    n = state.num_bodies
+    c = contacts.body_a.shape[0]
+    dt = jnp.float32(cfg.dt)
+
+    a = contacts.body_a
+    b_raw = contacts.body_b
+    has_b = b_raw >= 0
+    b = jnp.clip(b_raw, 0, n - 1)
+    act = contacts.active
+    actf = act.astype(jnp.float32)
+
+    inv_m_a = state.inv_mass[a] * actf
+    inv_m_b = jnp.where(has_b, state.inv_mass[b], 0.0) * actf
+
+    rot = quat.to_matrix(state.quat)
+    inv_i_w = jnp.einsum("nij,njk,nlk->nil", rot, state.inv_inertia, rot)
+    inv_i_a = inv_i_w[a] * actf[:, None, None]
+    inv_i_b = inv_i_w[b] * (has_b & act).astype(jnp.float32)[:, None, None]
+
+    r_a = contacts.point - state.pos[a]
+    r_b = contacts.point - state.pos[b]
+    nrm = contacts.normal
+    t1, t2 = _tangent_basis(nrm)
+
+    def eff_mass(d: Array) -> Array:
+        # k = Σ 1/m + d·((I⁻¹(r×d))×r) for each body
+        ra_x = jnp.cross(r_a, d)
+        rb_x = jnp.cross(r_b, d)
+        term_a = jnp.einsum(
+            "ci,ci->c", d, jnp.cross(jnp.einsum("cij,cj->ci", inv_i_a, ra_x), r_a)
+        )
+        term_b = jnp.einsum(
+            "ci,ci->c", d, jnp.cross(jnp.einsum("cij,cj->ci", inv_i_b, rb_x), r_b)
+        )
+        return inv_m_a + inv_m_b + term_a + term_b
+
+    k_n = jnp.maximum(eff_mass(nrm), 1e-9)
+    k_t1 = jnp.maximum(eff_mass(t1), 1e-9)
+    k_t2 = jnp.maximum(eff_mass(t2), 1e-9)
+
+    # contact degree per body → Jacobi relaxation 1/deg
+    ones = actf
+    deg = jnp.zeros((n,), jnp.float32).at[a].add(ones)
+    deg = deg.at[b].add(jnp.where(has_b, ones, 0.0))
+    if axis_name:
+        deg = jax.lax.psum(deg, axis_name)
+    deg_c = jnp.maximum(jnp.maximum(deg[a], jnp.where(has_b, deg[b], 0.0)), 1.0)
+    relax = jnp.float32(cfg.contact_relaxation) / deg_c
+
+    def rel_vel(vel: Array, omega: Array) -> Array:
+        va = vel[a] + jnp.cross(omega[a], r_a)
+        vb = jnp.where(
+            has_b[:, None], vel[b] + jnp.cross(omega[b], r_b), 0.0
+        )
+        return va - vb
+
+    # restitution uses the pre-solve approach velocity
+    v_n0 = jnp.einsum("ci,ci->c", nrm, rel_vel(state.vel, state.omega))
+    bias = (
+        jnp.float32(cfg.baumgarte)
+        / dt
+        * jnp.maximum(contacts.depth - jnp.float32(cfg.penetration_slop), 0.0)
+    )
+    bounce = contacts.restitution * jnp.maximum(-v_n0, 0.0)
+    v_target = jnp.maximum(bias, bounce)  # desired post-solve normal velocity
+
+    def apply(vel, omega, imp):
+        """Scatter impulse ±imp [C,3] onto the bodies (psum'd when sharded)."""
+        dv_a = imp * inv_m_a[:, None]
+        dw_a = jnp.einsum("cij,cj->ci", inv_i_a, jnp.cross(r_a, imp))
+        dv_b = -imp * inv_m_b[:, None]
+        dw_b = -jnp.einsum("cij,cj->ci", inv_i_b, jnp.cross(r_b, imp))
+        dvel = jnp.zeros_like(vel).at[a].add(dv_a)
+        domega = jnp.zeros_like(omega).at[a].add(dw_a)
+        dvel = dvel.at[b].add(jnp.where(has_b[:, None], dv_b, 0.0))
+        domega = domega.at[b].add(jnp.where(has_b[:, None], dw_b, 0.0))
+        if axis_name:
+            dvel, domega = jax.lax.psum((dvel, domega), axis_name)
+        return vel + dvel, omega + domega
+
+    def iteration(_, carry):
+        vel, omega, lam_n, lam_t1, lam_t2 = carry
+
+        v = rel_vel(vel, omega)
+        v_n = jnp.einsum("ci,ci->c", nrm, v)
+        d_lam = (v_target - v_n) / k_n * relax * actf
+        lam_n_new = jnp.maximum(lam_n + d_lam, 0.0)
+        d_applied = lam_n_new - lam_n
+        vel, omega = apply(vel, omega, d_applied[:, None] * nrm)
+
+        # friction, box-clamped to the current normal impulse
+        v = rel_vel(vel, omega)
+        lim = contacts.friction * lam_n_new
+        v_t1 = jnp.einsum("ci,ci->c", t1, v)
+        d1 = -v_t1 / k_t1 * relax * actf
+        lam_t1_new = jnp.clip(lam_t1 + d1, -lim, lim)
+        vel, omega = apply(vel, omega, (lam_t1_new - lam_t1)[:, None] * t1)
+
+        v = rel_vel(vel, omega)
+        v_t2 = jnp.einsum("ci,ci->c", t2, v)
+        d2 = -v_t2 / k_t2 * relax * actf
+        lam_t2_new = jnp.clip(lam_t2 + d2, -lim, lim)
+        vel, omega = apply(vel, omega, (lam_t2_new - lam_t2)[:, None] * t2)
+
+        return vel, omega, lam_n_new, lam_t1_new, lam_t2_new
+
+    zeros_c = jnp.zeros((c,), jnp.float32)
+    vel, omega, lam_n, _, _ = jax.lax.fori_loop(
+        0,
+        cfg.contact_iters,
+        iteration,
+        (state.vel, state.omega, zeros_c, zeros_c, zeros_c),
+    )
+
+    count = jnp.sum(act.astype(jnp.int32))
+    max_pen = jnp.max(jnp.where(act, contacts.depth, 0.0), initial=0.0)
+    imp_sum = jnp.sum(lam_n)
+    if axis_name:
+        count = jax.lax.psum(count, axis_name)
+        max_pen = jax.lax.pmax(max_pen, axis_name)
+        imp_sum = jax.lax.psum(imp_sum, axis_name)
+    metrics = {
+        "contact_count": count,
+        "max_penetration": max_pen,
+        "normal_impulse_sum": imp_sum,
+    }
+    return vel, omega, metrics
+
+
+def compact_contacts(
+    contacts: Contacts, max_contacts: int
+) -> Tuple[Contacts, Array]:
+    """Keep the `max_contacts` deepest active contacts (top_k gather).
+
+    Most contact slots are inactive padding (masked broad-phase candidates);
+    compacting before the iterative solve shrinks the hot loop's working set
+    from O(pair_capacity) to O(max_contacts). Returns (contacts, overflow):
+    overflow counts *active* contacts dropped — surfaced, never silent.
+    """
+    c = contacts.body_a.shape[0]
+    if max_contacts <= 0 or c <= max_contacts:
+        return contacts, jnp.int32(0)
+    score = jnp.where(contacts.active, contacts.depth, -jnp.inf)
+    _, idx = jax.lax.top_k(score, max_contacts)
+    overflow = jnp.maximum(
+        jnp.sum(contacts.active.astype(jnp.int32)) - max_contacts, 0
+    )
+    taken = Contacts(*[getattr(contacts, f)[idx] for f in Contacts._fields])
+    return taken, overflow
+
+
+def _pad_leading(arr: Array, multiple: int) -> Array:
+    """Zero-pad the leading axis up to a multiple (False/0 ⇒ inactive)."""
+    rem = arr.shape[0] % multiple
+    if rem == 0:
+        return arr
+    pad = [(0, multiple - rem)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad)
+
+
+def _chunk(arr: Array, axis_name: str, n_shards: int) -> Array:
+    """This device's contiguous slice of a leading-axis-sharded array
+    (padded with inactive slots if not evenly divisible)."""
+    arr = _pad_leading(arr, n_shards)
+    size = arr.shape[0] // n_shards
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(arr, idx * size, size, 0)
+
+
+def resolve_contacts(
+    state: SimState,
+    cfg: SimConfig,
+    shard: Tuple[str, int] | None = None,
+) -> Tuple[SimState, Dict]:
+    """Broad phase → narrow phase → impulse solve. Pure function of state.
+
+    `shard=(axis_name, n_shards)` (inside shard_map, body state replicated)
+    splits the broad-phase candidate list and the narrow-phase work across
+    the mesh axis; the Jacobi solve psums impulse deltas each sweep so the
+    result matches the single-device solve.
+    """
+    cvx = convex_data(state)
+    groups = []
+    metrics: Dict = {}
+    axis_name = shard[0] if shard else None
+
+    if cfg.ground_plane:
+        gc = ground_contacts(state, cvx, cfg)
+        if shard:
+            gc = Contacts(*[
+                _chunk(getattr(gc, f), *shard) for f in Contacts._fields
+            ])
+        groups.append(gc)
+    if cfg.pair_collisions and state.num_bodies > 1:
+        cand = pair_candidates(state, cfg)
+        if shard:
+            from physics_tpu.ops.broadphase import PairCandidates
+
+            cand = PairCandidates(
+                _chunk(cand.body_a, *shard),
+                _chunk(cand.body_b, *shard),
+                _chunk(cand.mask, *shard),
+                cand.overflow,
+            )
+        groups.append(pair_contacts(state, cvx, cand, cfg))
+        metrics["pair_overflow"] = cand.overflow
+
+    if not groups:
+        return state, metrics
+
+    contacts = concat_contacts(*groups)
+    max_c = cfg.max_contacts // (shard[1] if shard else 1)
+    contacts, dropped = compact_contacts(contacts, max_c)
+    if cfg.max_contacts > 0:
+        if axis_name:
+            dropped = jax.lax.psum(dropped, axis_name)
+        metrics["contact_overflow"] = dropped
+    vel, omega, solve_metrics = solve_impulses(
+        state, contacts, cfg, axis_name=axis_name
+    )
+    return state.replace(vel=vel, omega=omega), {**metrics, **solve_metrics}

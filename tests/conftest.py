@@ -1,7 +1,13 @@
 """Test harness config: run on CPU with 8 virtual devices.
 
 Tests never require a TPU — the multi-chip sharding tests use the fake CPU
-mesh (SURVEY.md §4 item 5). This must run before jax is imported anywhere.
+mesh (SURVEY.md §4 item 5).
+
+Note: this environment's sitecustomize imports jax at interpreter startup
+(pinning JAX_PLATFORMS from the shell env), so setting os.environ here is
+too late for the platform choice — but jax.config.update works until the
+first backend initialization, and XLA_FLAGS is read at backend-client
+creation, which also hasn't happened yet.
 """
 
 import os
@@ -13,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
