@@ -7,14 +7,20 @@ Primary metric (BASELINE.json): body-steps/sec/chip on the 4k-body box
 pile (ground plane + pair collisions + sweep broad phase + SAT narrow phase
 + projected-Jacobi impulse solver), target 100M body-steps/sec/chip on v5e.
 
-Secondary numbers (batched-env throughput, smaller piles) go to stderr.
+Compilation through this environment's remote-compile tunnel costs minutes
+per program, so the harness compiles exactly ONE program (a fixed-length
+scan chunk of the 4k-pile step), reuses it for settle + timing, and prints
+the JSON line immediately after the primary measurement. Secondary numbers
+(batched envs, 1k pile) run only with BENCH_FULL=1 and go to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from functools import partial
 
 import jax
 import numpy as np
@@ -23,59 +29,69 @@ from physics_tpu.engine import step
 from physics_tpu.scenes import box_pile, pile_config, random_env
 
 TARGET_BODY_STEPS = 100e6
+CHUNK = 120  # steps per compiled scan chunk
+
+# persistent compile cache: makes later rounds / reruns cheap if honored
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_rollout(state, cfg, steps: int, warmup_steps: int = 0):
-    """Settle (optional), then time `steps` on-device steps."""
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=1)
-    def run(s, k):
+def make_chunk_runner(cfg, batched: bool = False):
+    if batched:
+        def body(s2, _):
+            return jax.vmap(lambda e: step(e, cfg))(s2), None
+    else:
         def body(s2, _):
             return step(s2, cfg), None
 
-        out, _ = jax.lax.scan(body, s, None, length=k)
+    @partial(jax.jit, donate_argnums=0)
+    def run(s):
+        out, _ = jax.lax.scan(body, s, None, length=CHUNK)
         return out
 
-    if warmup_steps:
-        state = run(state, warmup_steps)
-        jax.block_until_ready(state.pos)
-
-    # compile the timed program shape, then measure
-    state = run(state, steps)
-    jax.block_until_ready(state.pos)
-    t0 = time.perf_counter()
-    state = run(state, steps)
-    jax.block_until_ready(state.pos)
-    dt = time.perf_counter() - t0
-    return state, steps / dt
+    return run
 
 
-def bench_pile(n_bodies: int, settle: int = 120, timed: int = 240):
+def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
     state = box_pile(n_bodies)
     cfg = pile_config(n_bodies)
+    run = make_chunk_runner(cfg)
+
     t0 = time.perf_counter()
-    state, sps = time_rollout(state, cfg, timed, warmup_steps=settle)
+    state = run(state)  # compile + first (settle) chunk
+    jax.block_until_ready(state.pos)
+    log(f"pile[{n_bodies}]: compile+first chunk {time.perf_counter()-t0:.1f}s")
+    for _ in range(settle_chunks):
+        state = run(state)
+    jax.block_until_ready(state.pos)
+
+    t0 = time.perf_counter()
+    for _ in range(timed_chunks):
+        state = run(state)
+    jax.block_until_ready(state.pos)
+    dt = time.perf_counter() - t0
+    sps = timed_chunks * CHUNK / dt
+
+    finite = bool(np.all(np.isfinite(np.asarray(state.pos))))
     log(
         f"pile[{n_bodies}]: {sps:.1f} steps/s, "
-        f"{n_bodies * sps / 1e6:.2f}M body-steps/s "
-        f"(total {time.perf_counter() - t0:.1f}s incl. compile)"
+        f"{n_bodies * sps / 1e6:.2f}M body-steps/s, finite={finite}"
     )
-    if not bool(np.all(np.isfinite(np.asarray(state.pos)))):
-        log(f"pile[{n_bodies}]: WARNING — non-finite positions!")
     return n_bodies * sps
 
 
-def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8, timed: int = 120):
+def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     from physics_tpu.config import SimConfig
 
     base = random_env(0, n_bodies)
-    seeds = np.arange(n_envs)
     rng = np.random.default_rng(1)
     offsets = rng.uniform(-1, 1, (n_envs, 1, 3)).astype(np.float32)
     batched = jax.vmap(lambda o: base.replace(pos=base.pos + o))(offsets)
@@ -83,24 +99,14 @@ def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8, timed: int = 120):
         compat=False, ground_plane=True, pair_collisions=True,
         contact_iters=16, dt=1.0 / 60.0,
     )
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=1)
-    def run(s, k):
-        def body(s2, _):
-            return jax.vmap(lambda e: step(e, cfg))(s2), None
-
-        out, _ = jax.lax.scan(body, s, None, length=k)
-        return out
-
-    out = run(batched, timed)
+    run = make_chunk_runner(cfg, batched=True)
+    out = run(batched)
     jax.block_until_ready(out.pos)
     t0 = time.perf_counter()
-    out = run(out, timed)
+    out = run(out)
     jax.block_until_ready(out.pos)
     dt = time.perf_counter() - t0
-    sps = timed / dt
+    sps = CHUNK / dt
     log(
         f"batched[{n_envs}x{n_bodies}]: {sps:.1f} steps/s, "
         f"{n_envs * n_bodies * sps / 1e6:.2f}M body-steps/s"
@@ -110,16 +116,8 @@ def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8, timed: int = 120):
 
 def main() -> None:
     log(f"devices: {jax.devices()}")
-    try:
-        bench_batched_envs()
-    except Exception as e:  # secondary — never blocks the primary metric
-        log(f"batched env bench failed: {e}")
-    try:
-        bench_pile(1024, settle=120, timed=240)
-    except Exception as e:
-        log(f"1k pile bench failed: {e}")
 
-    value = bench_pile(4096, settle=120, timed=240)
+    value = bench_pile(4096)
     print(
         json.dumps(
             {
@@ -128,8 +126,19 @@ def main() -> None:
                 "unit": "body-steps/sec/chip",
                 "vs_baseline": round(float(value) / TARGET_BODY_STEPS, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    if os.environ.get("BENCH_FULL") == "1":
+        try:
+            bench_batched_envs()
+        except Exception as e:
+            log(f"batched env bench failed: {e}")
+        try:
+            bench_pile(1024)
+        except Exception as e:
+            log(f"1k pile bench failed: {e}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""The built-in demo app — headless equivalent of the reference's `run()`.
+
+Reference behavior (src/lib.rs:17-108): build the single-cube scene (cube
+at (1,0,0), euler(1,0,0), FixToPoint(origin) + FixedOrientation(0,0,0)),
+then a winit frame loop stepping physics at wall-clock dt and rendering with
+an imgui FPS overlay.
+
+Here: fixed-dt device-side rollout (SURVEY.md Q8 — the rebuild uses fixed
+dt), a steps/sec readout replacing the FPS overlay (rendering.rs:463), and
+optional offline-rasterized frames via the native renderer replacing the
+wgpu pass.
+
+Run:  python -m physics_tpu.demo [--steps N] [--render-every K]
+                                 [--out DIR] [--dt DT] [--correct]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=600)
+    parser.add_argument("--dt", type=float, default=1.0 / 60.0)
+    parser.add_argument("--render-every", type=int, default=0,
+                        help="rasterize a frame every K steps (0 = off)")
+    parser.add_argument("--out", default="demo_frames")
+    parser.add_argument("--width", type=int, default=800)
+    parser.add_argument("--height", type=int, default=600)
+    parser.add_argument("--correct", action="store_true",
+                        help="use the corrected physics instead of "
+                             "reference-compat semantics")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from physics_tpu.config import SimConfig, compat_config
+    from physics_tpu.engine import step
+    from physics_tpu.scene import demo_scene
+
+    if args.correct:
+        cfg = SimConfig(
+            compat=False, gravity_offset=(0.0, 0.0, 1.5),
+            gravity_scale_by_mass=False, dt=args.dt,
+        )
+    else:
+        cfg = compat_config(dt=args.dt)
+
+    state = demo_scene()
+    step_fn = jax.jit(step, static_argnums=1)
+
+    mesh = None
+    if args.render_every > 0:
+        from physics_tpu.io.primitives import beveled_cube_mesh
+        from physics_tpu.render.rasterizer import render_state, save_png
+
+        mesh = beveled_cube_mesh(1.0, 0.1)
+        os.makedirs(args.out, exist_ok=True)
+
+    t0 = time.perf_counter()
+    state = step_fn(state, cfg)  # compile
+    jax.block_until_ready(state.pos)
+    print(f"compiled in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for k in range(1, args.steps):
+        state = step_fn(state, cfg)
+        if args.render_every and k % args.render_every == 0:
+            img = render_state(state, mesh[0], mesh[1],
+                               width=args.width, height=args.height)
+            save_png(os.path.join(args.out, f"frame_{k:05d}.png"), img)
+    jax.block_until_ready(state.pos)
+    wall = time.perf_counter() - t0
+
+    pos = np.asarray(state.pos[0])
+    # steps/sec readout — the imgui FPS window analogue (rendering.rs:463)
+    print(f"{args.steps} steps in {wall:.2f}s -> {args.steps / wall:.1f} steps/s")
+    print(f"cube position: ({pos[0]:+.4f}, {pos[1]:+.4f}, {pos[2]:+.4f})")
+    if args.render_every:
+        print(f"frames written to {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

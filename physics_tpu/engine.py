@@ -172,13 +172,18 @@ def step_with_metrics(
     replicated; constraint rows and contact pairs are sharded across the
     mesh axis (see solve_joints / resolve_contacts).
     """
-    state = apply_gravity(state, cfg)
-    state, joint_metrics = solve_joints(state, cfg, shard=shard)
-    state = integrate_velocities(state, cfg)
+    with jax.named_scope("forces"):
+        state = apply_gravity(state, cfg)
+    with jax.named_scope("joints"):
+        state, joint_metrics = solve_joints(state, cfg, shard=shard)
+    with jax.named_scope("integrate_vel"):
+        state = integrate_velocities(state, cfg)
     contact_metrics: Dict = {}
     if cfg.ground_plane or cfg.pair_collisions:
-        state, contact_metrics = resolve_contacts(state, cfg, shard=shard)
-    state = integrate_positions(state, cfg)
+        with jax.named_scope("contacts"):
+            state, contact_metrics = resolve_contacts(state, cfg, shard=shard)
+    with jax.named_scope("integrate_pos"):
+        state = integrate_positions(state, cfg)
     return state, {**joint_metrics, **contact_metrics}
 
 

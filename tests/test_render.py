@@ -1,0 +1,89 @@
+"""Native rasterizer + camera tests (viewer path, host-only)."""
+
+import numpy as np
+import pytest
+
+from physics_tpu.io.primitives import beveled_cube_mesh, box_mesh
+from physics_tpu.render.camera import (
+    Camera,
+    Projection,
+    default_view_proj,
+    look_at_rh,
+    perspective_gl,
+)
+
+
+def test_look_at_places_eye_at_origin():
+    m = look_at_rh((0, 0, 20), (0, 0, 0))
+    eye_view = m @ np.array([0, 0, 20, 1], np.float32)
+    np.testing.assert_allclose(eye_view[:3], 0.0, atol=1e-5)
+    # looking down -z: the origin should be 20 in front (negative z in view)
+    origin_view = m @ np.array([0, 0, 0, 1], np.float32)
+    np.testing.assert_allclose(origin_view[:3], [0, 0, -20], atol=1e-5)
+
+
+def test_projection_depth_remap_wgpu():
+    """OPENGL_TO_WGPU maps NDC z from [-1,1] to [0,1] (camera.rs:7-13)."""
+    p = Projection(800, 600, np.pi / 8, 0.1, 100.0).matrix()
+    near = p @ np.array([0, 0, -0.1, 1], np.float32)
+    far = p @ np.array([0, 0, -100.0, 1], np.float32)
+    np.testing.assert_allclose(near[2] / near[3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(far[2] / far[3], 1.0, atol=1e-5)
+
+
+def test_default_camera_sees_origin():
+    vp = default_view_proj(800, 600)
+    clip = vp @ np.array([0, 0, 0, 1], np.float32)
+    ndc = clip[:3] / clip[3]
+    assert -1 < ndc[0] < 1 and -1 < ndc[1] < 1 and 0 < ndc[2] < 1
+
+
+@pytest.fixture(scope="module")
+def raster():
+    from physics_tpu.render import rasterizer
+
+    try:
+        rasterizer.ensure_built()
+    except Exception as e:  # g++ unavailable → skip, not fail
+        pytest.skip(f"native build unavailable: {e}")
+    return rasterizer
+
+
+def test_rasterizer_draws_cube(raster):
+    v, t = beveled_cube_mesh(1.0, 0.1)
+    mats = np.eye(4, dtype=np.float32)[None]
+    img = raster.rasterize(v, t, mats, default_view_proj(160, 120), 160, 120)
+    assert img.shape == (120, 160, 3)
+    lit = int(np.sum(img.sum(axis=2) > 0))
+    assert lit > 50  # the cube is visible
+    assert lit < 160 * 120 / 2  # and doesn't fill the frame
+
+
+def test_rasterizer_depth_ordering(raster):
+    """A nearer box must occlude a farther one."""
+    v, t = box_mesh((1, 1, 1))
+    mats = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    mats[0, :3, 3] = [0, 0, 0]    # far box at origin
+    mats[1, :3, 3] = [0, 0, 10]   # near box (camera at z=20)
+    colors = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+    img = raster.rasterize(
+        v, t, mats, default_view_proj(160, 120), 160, 120, colors=colors
+    )
+    reds = int(np.sum((img[..., 0] > 100) & (img[..., 1] < 60)))
+    greens = int(np.sum((img[..., 1] > 100) & (img[..., 0] < 60)))
+    assert greens > 0          # near green box visible
+    assert reds < greens / 4   # far red box mostly occluded
+
+
+def test_render_state_helper(raster, tmp_path):
+    from physics_tpu.render.rasterizer import render_state, save_ppm
+    from physics_tpu.scene import demo_scene
+
+    v, t = beveled_cube_mesh(1.0, 0.1)
+    img = render_state(demo_scene(), v, t, width=160, height=120)
+    assert img.shape == (120, 160, 3)
+    out = tmp_path / "frame.ppm"
+    save_ppm(str(out), img)
+    data = out.read_bytes()
+    assert data.startswith(b"P6\n160 120\n255\n")
+    assert len(data) == len(b"P6\n160 120\n255\n") + 160 * 120 * 3
