@@ -58,6 +58,10 @@ class SimConfig:
     max_contacts_per_pair: int = 8      # corner contacts for box-box
     max_contacts: int = 0               # compact to this many deepest
                                         # contacts before solving (0 = off)
+    # narrow phase: skip the generic convex vertex-face + sphere paths when
+    # the scene is known to contain only boxes (pile/stack workloads) —
+    # the SAT manifold covers everything
+    boxes_only: bool = False
     # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window)
     broadphase: str = "allpairs"
     sweep_window: int = 32              # neighbor window for 'sweep'

@@ -149,8 +149,10 @@ def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
     p = cand.body_a.shape[0]
     if max_pairs <= 0 or p <= max_pairs:
         return cand
+    # full argsort + slice: lax.top_k is O(n·k) on TPU and k here is
+    # thousands — a single XLA sort is orders of magnitude faster
     score = cand.mask.astype(jnp.float32)
-    _, idx = jax.lax.top_k(score, max_pairs)
+    idx = jnp.argsort(-score)[:max_pairs]
     dropped = jnp.maximum(
         jnp.sum(cand.mask.astype(jnp.int32)) - max_pairs, 0
     )

@@ -213,18 +213,6 @@ def pair_contacts(state: SimState, cvx: ConvexData,
     pos_a, pos_b = state.pos[ia], state.pos[ib]
     rot_a, rot_b = rot[ia], rot[ib]
 
-    # direction 1: A's vertices vs B's faces (normal = outward from B = B→A)
-    d1, n1, p1 = _vertex_face_candidates(
-        pos_a, rot_a, cvx.verts[ia], cvx.vert_mask[ia], cvx.vert_radius[ia],
-        pos_b, rot_b, cvx.face_n[ib], cvx.face_off[ib])
-    d1 = jnp.where(cvx.has_faces[ib][:, None], d1, 0.0)
-    # direction 2: B's vertices vs A's faces (flip normal to keep B→A)
-    d2, n2, p2 = _vertex_face_candidates(
-        pos_b, rot_b, cvx.verts[ib], cvx.vert_mask[ib], cvx.vert_radius[ib],
-        pos_a, rot_a, cvx.face_n[ia], cvx.face_off[ia])
-    d2 = jnp.where(cvx.has_faces[ia][:, None], d2, 0.0)
-    n2 = -n2
-
     # SAT + face-clipping manifold for box-box pairs (vertex-face testing
     # degenerates for identical-footprint stacks; see ops/boxbox.py)
     both_box = cvx.is_box[ia] & cvx.is_box[ib]
@@ -233,30 +221,47 @@ def pair_contacts(state: SimState, cvx: ConvexData,
         pos_b, rot_b, state.shapes.params[ib],
     )
     sat_d = jnp.where(sat_valid & both_box[:, None], sat_d, 0.0)
-    # vertex-face candidates only apply to non-box-box pairs
-    d1 = jnp.where(both_box[:, None], 0.0, d1)
-    d2 = jnp.where(both_box[:, None], 0.0, d2)
 
-    depth = jnp.concatenate([d1, d2, sat_d], axis=1)         # [P, 2Vc+8]
-    normal = jnp.concatenate([n1, n2, sat_n], axis=1)
-    point = jnp.concatenate([p1, p2, sat_p], axis=1)
+    if cfg.boxes_only:
+        depth, normal, point = sat_d, sat_n, sat_p
+    else:
+        # direction 1: A's vertices vs B's faces (normal outward from B=B→A)
+        d1, n1, p1 = _vertex_face_candidates(
+            pos_a, rot_a, cvx.verts[ia], cvx.vert_mask[ia],
+            cvx.vert_radius[ia], pos_b, rot_b,
+            cvx.face_n[ib], cvx.face_off[ib])
+        d1 = jnp.where(cvx.has_faces[ib][:, None], d1, 0.0)
+        # direction 2: B's vertices vs A's faces (flip normal to keep B→A)
+        d2, n2, p2 = _vertex_face_candidates(
+            pos_b, rot_b, cvx.verts[ib], cvx.vert_mask[ib],
+            cvx.vert_radius[ib], pos_a, rot_a,
+            cvx.face_n[ia], cvx.face_off[ia])
+        d2 = jnp.where(cvx.has_faces[ia][:, None], d2, 0.0)
+        n2 = -n2
+        # vertex-face candidates only apply to non-box-box pairs
+        d1 = jnp.where(both_box[:, None], 0.0, d1)
+        d2 = jnp.where(both_box[:, None], 0.0, d2)
 
-    # sphere-sphere analytic contact replaces slot 0 when both are spheres
-    both_sphere = cvx.is_sphere[ia] & cvx.is_sphere[ib]
-    delta = pos_a - pos_b
-    dist = jnp.linalg.norm(delta, axis=-1)
-    rsum = cvx.vert_radius[ia] + cvx.vert_radius[ib]
-    ss_n = delta / jnp.maximum(dist, 1e-9)[:, None]
-    ss_depth = rsum - dist
-    ss_point = pos_b + ss_n * (cvx.vert_radius[ib] - 0.5 * ss_depth)[:, None]
-    depth = depth.at[:, 0].set(
-        jnp.where(both_sphere, ss_depth, depth[:, 0]))
-    normal = normal.at[:, 0].set(
-        jnp.where(both_sphere[:, None], ss_n, normal[:, 0]))
-    point = point.at[:, 0].set(
-        jnp.where(both_sphere[:, None], ss_point, point[:, 0]))
-    if depth.shape[1] > 1:
-        # a sphere pair has exactly one candidate; kill the mirrored one
+        depth = jnp.concatenate([d1, d2, sat_d], axis=1)     # [P, 2Vc+8]
+        normal = jnp.concatenate([n1, n2, sat_n], axis=1)
+        point = jnp.concatenate([p1, p2, sat_p], axis=1)
+
+        # sphere-sphere analytic contact replaces slot 0 for sphere pairs
+        both_sphere = cvx.is_sphere[ia] & cvx.is_sphere[ib]
+        delta = pos_a - pos_b
+        dist = jnp.linalg.norm(delta, axis=-1)
+        rsum = cvx.vert_radius[ia] + cvx.vert_radius[ib]
+        ss_n = delta / jnp.maximum(dist, 1e-9)[:, None]
+        ss_depth = rsum - dist
+        ss_point = pos_b + ss_n * (
+            cvx.vert_radius[ib] - 0.5 * ss_depth)[:, None]
+        depth = depth.at[:, 0].set(
+            jnp.where(both_sphere, ss_depth, depth[:, 0]))
+        normal = normal.at[:, 0].set(
+            jnp.where(both_sphere[:, None], ss_n, normal[:, 0]))
+        point = point.at[:, 0].set(
+            jnp.where(both_sphere[:, None], ss_point, point[:, 0]))
+        # a sphere pair has exactly one candidate; kill the mirrored ones
         sphere_kill = both_sphere[:, None] & (
             jnp.arange(depth.shape[1])[None, :] > 0)
         depth = jnp.where(sphere_kill, 0.0, depth)

@@ -72,6 +72,7 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         compat=False,
         ground_plane=True,
         pair_collisions=True,
+        boxes_only=True,
         broadphase="sweep",
         sweep_window=64,
         max_pair_candidates=8 * n_bodies,

@@ -213,8 +213,10 @@ def compact_contacts(
     c = contacts.body_a.shape[0]
     if max_contacts <= 0 or c <= max_contacts:
         return contacts, jnp.int32(0)
+    # argsort+slice instead of lax.top_k: k is thousands here and TPU
+    # top_k degrades to O(n·k); one XLA sort is far cheaper
     score = jnp.where(contacts.active, contacts.depth, -jnp.inf)
-    _, idx = jax.lax.top_k(score, max_contacts)
+    idx = jnp.argsort(-score)[:max_contacts]
     overflow = jnp.maximum(
         jnp.sum(contacts.active.astype(jnp.int32)) - max_contacts, 0
     )
