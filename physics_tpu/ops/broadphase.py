@@ -95,8 +95,12 @@ def sweep_candidates(
 ) -> PairCandidates:
     """Sort-by-x sweep-and-prune with a fixed neighbor window.
 
-    The sort runs on device (jnp.argsort → XLA sort, TPU-friendly); the
-    candidate tensor is [N·window, 2] regardless of scene density.
+    TPU-shaped: bodies are sorted by AABB min-x once (one gather), then the
+    window-neighbor AABBs are obtained by STATIC shifted slices of the
+    sorted arrays — zero dynamic gathers in the [N·window] candidate
+    emission (dynamic gathers of the full candidate set were the broad
+    phase's dominant cost). The candidate tensor is [N·window, 2]
+    regardless of scene density.
     """
     n = state.num_bodies
     k = min(window, n - 1)
@@ -106,36 +110,49 @@ def sweep_candidates(
     sort_key = jnp.where(collidable, min_x, jnp.inf)
     order = jnp.argsort(sort_key).astype(jnp.int32)        # [N]
 
-    # neighbor offsets 1..k in sorted order
-    base = jnp.arange(n, dtype=jnp.int32)[:, None]         # [N,1]
-    offs = jnp.arange(1, k + 1, dtype=jnp.int32)[None, :]  # [1,k]
-    jpos = base + offs                                     # [N,k]
-    valid = jpos < n
-    jpos = jnp.minimum(jpos, n - 1)
+    aabb_s = aabbs[order]                                  # [N,2,3] (1 gather)
+    coll_s = collidable[order]
 
-    ia = jnp.broadcast_to(order[:, None], (n, k))          # [N,k]
-    ib = order[jpos]
+    # neighbor j = i+d in sorted order, d = 1..k, via shifted padded slices
+    pad_aabb = jnp.concatenate(
+        [aabb_s, jnp.full((k, 2, 3), jnp.inf, aabb_s.dtype)], axis=0
+    )
+    pad_coll = jnp.concatenate([coll_s, jnp.zeros((k,), bool)], axis=0)
+    pad_order = jnp.concatenate(
+        [order, jnp.zeros((k,), jnp.int32)], axis=0
+    )
+    nb_aabb = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(pad_aabb, d, n, 0)
+         for d in range(1, k + 1)], axis=1)                # [N,k,2,3]
+    nb_coll = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(pad_coll, d, n, 0)
+         for d in range(1, k + 1)], axis=1)                # [N,k]
+    nb_order = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(pad_order, d, n, 0)
+         for d in range(1, k + 1)], axis=1)                # [N,k]
 
     # x-overlap: neighbor's min-x must start before our max-x
-    max_x_a = aabbs[ia, 1, 0]
-    min_x_b = aabbs[ib, 0, 0]
-    x_overlap = min_x_b <= max_x_a
+    x_overlap = nb_aabb[:, :, 0, 0] <= aabb_s[:, None, 1, 0]
+    lo = jnp.maximum(aabb_s[:, None, 0, :], nb_aabb[:, :, 0, :])
+    hi = jnp.minimum(aabb_s[:, None, 1, :], nb_aabb[:, :, 1, :])
+    full_overlap = jnp.all(lo <= hi, axis=-1)              # [N,k]
 
-    ia_f = ia.reshape(-1)
-    ib_f = ib.reshape(-1)
+    valid = (
+        jnp.arange(n)[:, None] + jnp.arange(1, k + 1)[None, :]
+    ) < n
     mask = (
-        valid.reshape(-1)
-        & x_overlap.reshape(-1)
-        & _aabb_overlap(aabbs, ia_f, ib_f)
-        & collidable[ia_f]
-        & collidable[ib_f]
+        valid & x_overlap & full_overlap
+        & coll_s[:, None] & nb_coll
     )
+
+    ia_f = jnp.broadcast_to(order[:, None], (n, k)).reshape(-1)
+    ib_f = nb_order.reshape(-1)
 
     # overflow: window neighbor k (the furthest we look) still x-overlaps →
     # there may be pairs beyond the window.
-    last_overlap = x_overlap[:, -1] & valid[:, -1] & collidable[ia[:, -1]]
+    last_overlap = x_overlap[:, -1] & valid[:, -1] & coll_s
     overflow = jnp.sum(last_overlap.astype(jnp.int32))
-    return PairCandidates(ia_f, ib_f, mask, overflow)
+    return PairCandidates(ia_f, ib_f, mask.reshape(-1), overflow)
 
 
 def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:

@@ -137,16 +137,36 @@ def solve_impulses(
     bounce = contacts.restitution * jnp.maximum(-v_n0, 0.0)
     v_target = jnp.maximum(bias, bounce)  # desired post-solve normal velocity
 
+    # ---- impulse-application machinery ----
+    # The endpoint body indices are FIXED across the Jacobi sweeps, so the
+    # sort permutation for a sorted segment-sum is computed once and reused
+    # every iteration (sorted segment-sum ≈ 2× a duplicate-index scatter-add
+    # on TPU, and we fold the two endpoints and linear+angular parts into
+    # ONE [2C, 6] segment-sum per sweep).
+    b_seg = jnp.where(has_b & act, b, n)  # dead endpoints → segment n
+    a_seg = jnp.where(act, a, n)
+    seg_ids = jnp.concatenate([a_seg, b_seg])
+    seg_perm = jnp.argsort(seg_ids)
+    seg_sorted = seg_ids[seg_perm]
+
     def apply(vel, omega, imp):
-        """Scatter impulse ±imp [C,3] onto the bodies (psum'd when sharded)."""
+        """Apply impulse ±imp [C,3] to the bodies (psum'd when sharded)."""
         dv_a = imp * inv_m_a[:, None]
         dw_a = jnp.einsum("cij,cj->ci", inv_i_a, jnp.cross(r_a, imp))
         dv_b = -imp * inv_m_b[:, None]
         dw_b = -jnp.einsum("cij,cj->ci", inv_i_b, jnp.cross(r_b, imp))
-        dvel = jnp.zeros_like(vel).at[a].add(dv_a)
-        domega = jnp.zeros_like(omega).at[a].add(dw_a)
-        dvel = dvel.at[b].add(jnp.where(has_b[:, None], dv_b, 0.0))
-        domega = domega.at[b].add(jnp.where(has_b[:, None], dw_b, 0.0))
+        contrib = jnp.concatenate(
+            [
+                jnp.concatenate([dv_a, dw_a], axis=-1),
+                jnp.concatenate([dv_b, dw_b], axis=-1),
+            ],
+            axis=0,
+        )  # [2C, 6]
+        summed = jax.ops.segment_sum(
+            contrib[seg_perm], seg_sorted, num_segments=n + 1,
+            indices_are_sorted=True,
+        )[:n]
+        dvel, domega = summed[:, :3], summed[:, 3:]
         if axis_name:
             dvel, domega = jax.lax.psum((dvel, domega), axis_name)
         return vel + dvel, omega + domega
@@ -154,27 +174,26 @@ def solve_impulses(
     def iteration(_, carry):
         vel, omega, lam_n, lam_t1, lam_t2 = carry
 
+        # one velocity snapshot per sweep: normal and friction corrections
+        # are computed together and applied in a single segment-sum (pure
+        # Jacobi; the friction clamp uses this sweep's updated λₙ)
         v = rel_vel(vel, omega)
         v_n = jnp.einsum("ci,ci->c", nrm, v)
         d_lam = (v_target - v_n) / k_n * relax * actf
         lam_n_new = jnp.maximum(lam_n + d_lam, 0.0)
-        d_applied = lam_n_new - lam_n
-        vel, omega = apply(vel, omega, d_applied[:, None] * nrm)
 
-        # friction, box-clamped to the current normal impulse
-        v = rel_vel(vel, omega)
         lim = contacts.friction * lam_n_new
         v_t1 = jnp.einsum("ci,ci->c", t1, v)
-        d1 = -v_t1 / k_t1 * relax * actf
-        lam_t1_new = jnp.clip(lam_t1 + d1, -lim, lim)
-        vel, omega = apply(vel, omega, (lam_t1_new - lam_t1)[:, None] * t1)
-
-        v = rel_vel(vel, omega)
+        lam_t1_new = jnp.clip(lam_t1 - v_t1 / k_t1 * relax * actf, -lim, lim)
         v_t2 = jnp.einsum("ci,ci->c", t2, v)
-        d2 = -v_t2 / k_t2 * relax * actf
-        lam_t2_new = jnp.clip(lam_t2 + d2, -lim, lim)
-        vel, omega = apply(vel, omega, (lam_t2_new - lam_t2)[:, None] * t2)
+        lam_t2_new = jnp.clip(lam_t2 - v_t2 / k_t2 * relax * actf, -lim, lim)
 
+        imp = (
+            (lam_n_new - lam_n)[:, None] * nrm
+            + (lam_t1_new - lam_t1)[:, None] * t1
+            + (lam_t2_new - lam_t2)[:, None] * t2
+        )
+        vel, omega = apply(vel, omega, imp)
         return vel, omega, lam_n_new, lam_t1_new, lam_t2_new
 
     zeros_c = jnp.zeros((c,), jnp.float32)
