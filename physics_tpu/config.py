@@ -49,9 +49,11 @@ class SimConfig:
     ground_plane: bool = False          # y = ground_height, normal +y
     ground_height: float = 0.0
     pair_collisions: bool = False       # body-body contacts via broad phase
-    contact_iters: int = 24             # projected-Jacobi sweeps
+    contact_iters: int = 24             # projected-Jacobi velocity sweeps
+    position_iters: int = 8             # split-impulse position sweeps
     contact_relaxation: float = 1.0     # SOR factor (auto-scaled by degree)
-    baumgarte: float = 0.2              # position-error feedback (β/dt bias)
+    baumgarte: float = 0.2              # penetration fraction corrected by
+                                        # the position pass per step
     penetration_slop: float = 0.005
     restitution: float = 0.0
     friction: float = 0.5

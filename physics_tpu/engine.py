@@ -192,6 +192,23 @@ def step(state: SimState, cfg: SimConfig) -> SimState:
     return step_with_metrics(state, cfg)[0]
 
 
+def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
+    """Allocate the contact warm-start buffers for this config.
+
+    Warm starting (impulse caching across steps) activates only when the
+    state's `contact_key`/`contact_lam` buffers match the step's contact
+    capacity; this sizes them via eval_shape. Optional — without it the
+    solver starts each step from zero impulses.
+    """
+    from physics_tpu.solver.contacts import contact_capacity
+
+    c = contact_capacity(state, cfg)
+    return state.replace(
+        contact_key=jnp.zeros((c,), jnp.int32),
+        contact_lam=jnp.zeros((c, 3), jnp.float32),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "sample_every"))
 def rollout(
     state: SimState, cfg: SimConfig, num_steps: int, sample_every: int = 0

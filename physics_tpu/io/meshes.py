@@ -103,6 +103,45 @@ def convex_hull_faces(points: np.ndarray, merge_tol: float = 1e-5
     return normals, offsets
 
 
+def convex_hull_face_polygons(points: np.ndarray, tol: float = 1e-5):
+    """Unique hull face planes plus their ordered boundary polygons.
+
+    Returns (normals [F,3], offsets [F], polys: list of F index lists into
+    `points`, each ordered counter-clockwise seen from outside). Feeds the
+    hull-hull SAT/clipping narrow phase, which needs face polygons for
+    reference-face clipping (the HullSet face_verts arrays).
+    """
+    pts = np.asarray(points, np.float64)
+    normals, offsets = convex_hull_faces(pts, merge_tol=tol)
+    polys = []
+    for n, off in zip(normals.astype(np.float64), offsets.astype(np.float64)):
+        on_face = np.nonzero(np.abs(pts @ n - off) < 1e-4 * max(1.0, abs(off)))[0]
+        center = pts[on_face].mean(axis=0)
+        # 2D basis in the face plane
+        ref = np.array([1.0, 0.0, 0.0])
+        if abs(n[0]) > 0.9:
+            ref = np.array([0.0, 1.0, 0.0])
+        t1 = np.cross(n, ref)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        rel = pts[on_face] - center
+        ang = np.arctan2(rel @ t2, rel @ t1)
+        order = on_face[np.argsort(ang)]
+        # ensure CCW when viewed from outside (along -n): the signed area
+        # in the (t1, t2) basis must be positive with (t1, t2, n) RH
+        poly = order.tolist()
+        a2 = 0.0
+        p2d = np.stack([(pts[poly] - center) @ t1, (pts[poly] - center) @ t2],
+                       axis=1)
+        for i in range(len(poly)):
+            j = (i + 1) % len(poly)
+            a2 += p2d[i, 0] * p2d[j, 1] - p2d[j, 0] * p2d[i, 1]
+        if a2 < 0:
+            poly = poly[::-1]
+        polys.append(poly)
+    return normals, offsets, polys
+
+
 def mesh_inertia(verts: np.ndarray, faces: np.ndarray, density: float = 1.0):
     """Mass, center of mass, and inertia tensor (about the COM) of a closed
     triangle mesh, via the covariance/canonical-tetrahedron method.

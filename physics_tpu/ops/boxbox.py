@@ -47,11 +47,15 @@ def _clip_polygon(pts: Array, m: Array, plane: Array) -> Tuple[Array, Array]:
     dynamic scatters cost ~15× more than the equivalent tiny matmul on the
     MXU (measured on v5e), and this kernel is vmapped over every candidate
     pair in the scene.
+
+    Capacity is taken from pts.shape[0] (box-box uses 8; the hull-hull
+    narrow phase clips larger polygons).
     """
-    idx = jnp.arange(_CAP, dtype=jnp.int32)
+    cap = pts.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
     safe_m = jnp.maximum(m, 1)
-    cur_oh = jax.nn.one_hot(idx % safe_m, _CAP, dtype=pts.dtype)
-    nxt_oh = jax.nn.one_hot((idx + 1) % safe_m, _CAP, dtype=pts.dtype)
+    cur_oh = jax.nn.one_hot(idx % safe_m, cap, dtype=pts.dtype)
+    nxt_oh = jax.nn.one_hot((idx + 1) % safe_m, cap, dtype=pts.dtype)
     cur = cur_oh @ pts
     nxt = nxt_oh @ pts
 
@@ -67,19 +71,19 @@ def _clip_polygon(pts: Array, m: Array, plane: Array) -> Tuple[Array, Array]:
 
     emit = inside_cur.astype(jnp.int32) + crossing.astype(jnp.int32)
     start = jnp.cumsum(emit) - emit               # exclusive prefix sum
-    pos_cur = jnp.where(inside_cur, start, _CAP)  # _CAP → one_hot = zeros
+    pos_cur = jnp.where(inside_cur, start, cap)  # cap → one_hot = zeros
     pos_int = jnp.where(
-        crossing, start + inside_cur.astype(jnp.int32), _CAP
+        crossing, start + inside_cur.astype(jnp.int32), cap
     )
 
     # ordered emission as transposed one-hot matmuls (out-of-range rows
-    # vanish: one_hot(_CAP, _CAP) == 0)
+    # vanish: one_hot(cap, cap) == 0)
     out = jnp.einsum(
-        "io,ic->oc", jax.nn.one_hot(pos_cur, _CAP, dtype=pts.dtype), cur
+        "io,ic->oc", jax.nn.one_hot(pos_cur, cap, dtype=pts.dtype), cur
     ) + jnp.einsum(
-        "io,ic->oc", jax.nn.one_hot(pos_int, _CAP, dtype=pts.dtype), p_int
+        "io,ic->oc", jax.nn.one_hot(pos_int, cap, dtype=pts.dtype), p_int
     )
-    return out, jnp.minimum(jnp.sum(emit), _CAP)
+    return out, jnp.minimum(jnp.sum(emit), cap)
 
 
 def box_box_manifold(

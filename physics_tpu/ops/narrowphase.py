@@ -61,6 +61,8 @@ class Contacts(NamedTuple):
     active: Array   # [C] bool
     friction: Array # [C]
     restitution: Array  # [C]
+    key: Array      # [C] int32 stable feature id for warm-start matching
+                    # (pair keys ≥ 0, ground keys < 0; 0 on inactive slots)
 
 
 class ConvexData(NamedTuple):
@@ -73,7 +75,10 @@ class ConvexData(NamedTuple):
     face_off: Array     # [N, Fc]  (n·x ≤ off inside; padded faces off=+inf)
     is_sphere: Array    # [N] bool
     is_box: Array       # [N] bool
+    is_hull: Array      # [N] bool
     has_faces: Array    # [N] bool (spheres and empty shapes have none)
+    face_verts: Array   # [N, Fc, E] per-face polygon vertex ids (hulls)
+    face_vert_count: Array  # [N, Fc]
 
 
 def convex_data(state: SimState) -> ConvexData:
@@ -126,9 +131,26 @@ def convex_data(state: SimState) -> ConvexData:
 
     radius = jnp.where(is_sphere, params[:, 0], 0.0)
     has_faces = is_box | (is_hull & (state.hulls.face_count[hull_idx] > 0))
+
+    # per-face polygon vertex lists (hull-hull clipping); zeros for boxes
+    emax = state.hulls.face_verts.shape[2]
+    hull_fverts = jnp.pad(
+        state.hulls.face_verts[hull_idx],
+        ((0, 0), (0, fc - fh), (0, 0)),
+    )
+    hull_fvcnt = jnp.pad(
+        state.hulls.face_vert_count[hull_idx], ((0, 0), (0, fc - fh))
+    )
+    face_verts = jnp.where(
+        is_hull[:, None, None], hull_fverts, jnp.zeros_like(hull_fverts)
+    )
+    face_vert_count = jnp.where(
+        is_hull[:, None], hull_fvcnt, jnp.zeros_like(hull_fvcnt)
+    )
+
     return ConvexData(
         verts, vert_mask, radius, face_n, face_off, is_sphere, is_box,
-        has_faces,
+        is_hull, has_faces, face_verts, face_vert_count,
     )
 
 
@@ -163,6 +185,11 @@ def ground_contacts(state: SimState, cvx: ConvexData, cfg: SimConfig
     mu = jnp.broadcast_to(state.shapes.friction[:, None], (n, k))
     rest = jnp.broadcast_to(state.shapes.restitution[:, None], (n, k))
 
+    # ground feature key: negative range, (body, source-vertex) identity
+    vc = verts_w.shape[1]
+    key = -(body_a * vc + top_idx + 1)
+    key = jnp.where(active, key, 0)
+
     return Contacts(
         body_a=body_a.reshape(-1),
         body_b=jnp.full((n * k,), -1, jnp.int32),
@@ -172,6 +199,7 @@ def ground_contacts(state: SimState, cvx: ConvexData, cfg: SimConfig
         active=active.reshape(-1),
         friction=mu.reshape(-1),
         restitution=rest.reshape(-1),
+        key=key.reshape(-1),
     )
 
 
@@ -222,6 +250,32 @@ def pair_contacts(state: SimState, cvx: ConvexData,
     )
     sat_d = jnp.where(sat_valid & both_box[:, None], sat_d, 0.0)
 
+    # hull-hull manifolds: face-SAT + clipping (ops/hullhull.py); only
+    # traced when the scene actually registers hull geometry
+    hull_parts = None
+    if not cfg.boxes_only and state.hulls.verts.shape[1] > 1:
+        from physics_tpu.ops.hullhull import HullData, hull_hull_manifold
+
+        both_hull = cvx.is_hull[ia] & cvx.is_hull[ib]
+        face_mask = jnp.isfinite(cvx.face_off).astype(jnp.float32)
+
+        def hdata(idx):
+            return HullData(
+                verts=cvx.verts[idx],
+                vert_mask=cvx.vert_mask[idx],
+                face_n=cvx.face_n[idx],
+                face_off=cvx.face_off[idx],
+                face_mask=face_mask[idx],
+                face_verts=cvx.face_verts[idx],
+                face_vert_count=cvx.face_vert_count[idx],
+            )
+
+        hh_p, hh_n, hh_d, hh_v = jax.vmap(hull_hull_manifold)(
+            pos_a, rot_a, hdata(ia), pos_b, rot_b, hdata(ib)
+        )
+        hh_d = jnp.where(hh_v & both_hull[:, None], hh_d, 0.0)
+        hull_parts = (hh_d, hh_n, hh_p, both_hull)
+
     if cfg.boxes_only:
         depth, normal, point = sat_d, sat_n, sat_p
     else:
@@ -266,6 +320,15 @@ def pair_contacts(state: SimState, cvx: ConvexData,
             jnp.arange(depth.shape[1])[None, :] > 0)
         depth = jnp.where(sphere_kill, 0.0, depth)
 
+        if hull_parts is not None:
+            hh_d, hh_n, hh_p, both_hull = hull_parts
+            # the clipped manifold replaces the vertex-face candidates for
+            # hull-hull pairs (avoid double-counting the same contact)
+            depth = jnp.where(both_hull[:, None], 0.0, depth)
+            depth = jnp.concatenate([depth, hh_d], axis=1)
+            normal = jnp.concatenate([normal, hh_n], axis=1)
+            point = jnp.concatenate([point, hh_p], axis=1)
+
     movable = (state.inv_mass[ia] > 0) | (state.inv_mass[ib] > 0)
     valid = (depth > 0.0) & cand.mask[:, None] & movable[:, None]
 
@@ -280,6 +343,20 @@ def pair_contacts(state: SimState, cvx: ConvexData,
     rest = jnp.maximum(state.shapes.restitution[ia],
                        state.shapes.restitution[ib])
 
+    # pair feature key: canonical pair id × candidate width + source slot
+    # (the pre-top_k candidate index is a stable feature identity). Only
+    # emitted when the id range fits int32 — otherwise warm-start matching
+    # is disabled by zero keys.
+    n = state.num_bodies
+    width = depth.shape[1]
+    if n * n * width < 2**31 - 1:
+        amin = jnp.minimum(ia, ib)[:, None]
+        amax = jnp.maximum(ia, ib)[:, None]
+        key = (amin * n + amax) * width + top_idx
+        key = jnp.where(active, key, 0)
+    else:
+        key = jnp.zeros((p, kk), jnp.int32)
+
     rep = lambda x: jnp.broadcast_to(x[:, None], (p, kk)).reshape(-1)
     return Contacts(
         body_a=rep(ia),
@@ -290,6 +367,7 @@ def pair_contacts(state: SimState, cvx: ConvexData,
         active=active.reshape(-1),
         friction=rep(mu),
         restitution=rep(rest),
+        key=key.reshape(-1),
     )
 
 

@@ -116,11 +116,11 @@ class SceneBuilder:
 
     def add_hull(self, verts) -> int:
         """Register a convex hull (body-frame vertices); returns hull id."""
-        from physics_tpu.io.meshes import convex_hull_faces
+        from physics_tpu.io.meshes import convex_hull_face_polygons
 
         verts = np.asarray(verts, np.float32)
-        normals, offsets = convex_hull_faces(verts)
-        self._hulls.append((verts, normals, offsets))
+        normals, offsets, polys = convex_hull_face_polygons(verts)
+        self._hulls.append((verts, normals, offsets, polys))
         return len(self._hulls) - 1
 
     def set_hull(self, body: int, hull_id: int, friction=0.5, restitution=0.0):
@@ -217,13 +217,18 @@ class SceneBuilder:
 def _pack_hulls(hulls: Sequence) -> HullSet:
     vmax = max(h[0].shape[0] for h in hulls)
     fmax = max(h[1].shape[0] for h in hulls)
+    emax = max(
+        (len(p) for h in hulls for p in h[3]), default=1
+    )
     hcount = len(hulls)
     verts = np.zeros((hcount, vmax, 3), np.float32)
     vcount = np.zeros(hcount, np.int32)
     normals = np.zeros((hcount, fmax, 3), np.float32)
     offsets = np.zeros((hcount, fmax), np.float32)
     fcount = np.zeros(hcount, np.int32)
-    for i, (v, fn, fo) in enumerate(hulls):
+    fverts = np.zeros((hcount, fmax, emax), np.int32)
+    fvcount = np.zeros((hcount, fmax), np.int32)
+    for i, (v, fn, fo, polys) in enumerate(hulls):
         verts[i, : v.shape[0]] = v
         # pad with vertex 0 so padded support-point lookups stay in-hull
         verts[i, v.shape[0]:] = v[0]
@@ -233,12 +238,18 @@ def _pack_hulls(hulls: Sequence) -> HullSet:
         # pad faces with far-away planes so padded faces never bind
         offsets[i, fo.shape[0]:] = 1e30
         fcount[i] = fn.shape[0]
+        for f, poly in enumerate(polys):
+            fverts[i, f, : len(poly)] = poly
+            fverts[i, f, len(poly):] = poly[0]  # pad by repeating
+            fvcount[i, f] = len(poly)
     return HullSet(
         verts=jnp.asarray(verts),
         vert_count=jnp.asarray(vcount),
         face_normals=jnp.asarray(normals),
         face_offsets=jnp.asarray(offsets),
         face_count=jnp.asarray(fcount),
+        face_verts=jnp.asarray(fverts),
+        face_vert_count=jnp.asarray(fvcount),
     )
 
 

@@ -63,8 +63,21 @@ def solve_impulses(
     contacts: Contacts,
     cfg: SimConfig,
     axis_name: str | None = None,
-) -> Tuple[Array, Array, Dict]:
-    """Iteratively resolve contacts; returns (vel, omega, metrics).
+    warm: Tuple[Array, Array] | None = None,
+):
+    """Iteratively resolve contacts.
+
+    Returns (vel, omega, pseudo_vel, pseudo_omega, lam3, metrics): the
+    pseudo velocities are the split-impulse position correction (integrate
+    them into pos/quat over one dt, outside the momentum state); lam3 [C,3]
+    holds the converged real impulses (λn, λt1, λt2) per slot.
+
+    `warm=(prev_keys_sorted, prev_lam3)` warm-starts the solve: each
+    contact's feature key is matched against the previous step's sorted key
+    table (searchsorted) and the matched impulses are applied up front, so
+    the Jacobi sweeps only correct the *change* since last step — the
+    standard impulse-caching trick, which roughly halves the sweeps needed
+    for resting stacks.
 
     With `axis_name` (inside shard_map) the contact buffer is sharded across
     that mesh axis while body velocities stay replicated: every impulse
@@ -127,7 +140,10 @@ def solve_impulses(
         )
         return va - vb
 
-    # restitution uses the pre-solve approach velocity
+    # restitution uses the pre-solve approach velocity. SPLIT IMPULSE:
+    # the velocity solve targets restitution only — penetration is fixed by
+    # a separate pseudo-velocity position pass below, so the cached real
+    # impulses contain no Baumgarte energy (safe to warm start).
     v_n0 = jnp.einsum("ci,ci->c", nrm, rel_vel(state.vel, state.omega))
     bias = (
         jnp.float32(cfg.baumgarte)
@@ -135,7 +151,11 @@ def solve_impulses(
         * jnp.maximum(contacts.depth - jnp.float32(cfg.penetration_slop), 0.0)
     )
     bounce = contacts.restitution * jnp.maximum(-v_n0, 0.0)
-    v_target = jnp.maximum(bias, bounce)  # desired post-solve normal velocity
+    # warm-started solves use split impulse (bias handled positionally);
+    # cold solves keep classic Baumgarte bias in the velocity target, which
+    # reaches force balance in far fewer sweeps when starting from λ = 0
+    use_split = warm is not None
+    v_target = bounce if use_split else jnp.maximum(bias, bounce)
 
     # ---- impulse-application machinery ----
     # The endpoint body indices are FIXED across the Jacobi sweeps, so the
@@ -197,12 +217,57 @@ def solve_impulses(
         return vel, omega, lam_n_new, lam_t1_new, lam_t2_new
 
     zeros_c = jnp.zeros((c,), jnp.float32)
-    vel, omega, lam_n, _, _ = jax.lax.fori_loop(
+    lam0_n, lam0_t1, lam0_t2 = zeros_c, zeros_c, zeros_c
+    vel0, omega0 = state.vel, state.omega
+    if warm is not None:
+        prev_keys, prev_lam = warm
+        kp = prev_keys.shape[0]
+        pos = jnp.clip(
+            jnp.searchsorted(prev_keys, contacts.key), 0, kp - 1
+        )
+        found = (
+            (jnp.take(prev_keys, pos) == contacts.key)
+            & act
+            & (contacts.key != 0)
+        )
+        matched = jnp.where(found[:, None], jnp.take(prev_lam, pos, axis=0),
+                            0.0)
+        lam0_n, lam0_t1, lam0_t2 = matched[:, 0], matched[:, 1], matched[:, 2]
+        imp0 = (
+            lam0_n[:, None] * nrm
+            + lam0_t1[:, None] * t1
+            + lam0_t2[:, None] * t2
+        )
+        vel0, omega0 = apply(vel0, omega0, imp0)
+
+    vel, omega, lam_n, lam_t1, lam_t2 = jax.lax.fori_loop(
         0,
         cfg.contact_iters,
         iteration,
-        (state.vel, state.omega, zeros_c, zeros_c, zeros_c),
+        (vel0, omega0, lam0_n, lam0_t1, lam0_t2),
     )
+    lam3 = jnp.stack([lam_n, lam_t1, lam_t2], axis=-1)
+
+    # ---- split-impulse position correction ----
+    # Pseudo-velocities (never part of the real momentum state) are solved
+    # against the Baumgarte bias target and integrated into dpos/drot by the
+    # caller. Same operators, normal direction only.
+    def p_iteration(_, carry):
+        pvel, pomega, lam_b = carry
+        pv = rel_vel(pvel, pomega)
+        pv_n = jnp.einsum("ci,ci->c", nrm, pv)
+        d_lam = (bias - pv_n) / k_n * relax * actf
+        lam_b_new = jnp.maximum(lam_b + d_lam, 0.0)
+        pvel, pomega = apply(pvel, pomega, (lam_b_new - lam_b)[:, None] * nrm)
+        return pvel, pomega, lam_b_new
+
+    zero_nv = jnp.zeros_like(state.vel)
+    if use_split and cfg.position_iters > 0:
+        pvel, pomega, _ = jax.lax.fori_loop(
+            0, cfg.position_iters, p_iteration, (zero_nv, zero_nv, zeros_c)
+        )
+    else:
+        pvel, pomega = zero_nv, zero_nv
 
     count = jnp.sum(act.astype(jnp.int32))
     max_pen = jnp.max(jnp.where(act, contacts.depth, 0.0), initial=0.0)
@@ -216,7 +281,7 @@ def solve_impulses(
         "max_penetration": max_pen,
         "normal_impulse_sum": imp_sum,
     }
-    return vel, omega, metrics
+    return vel, omega, pvel, pomega, lam3, metrics
 
 
 def compact_contacts(
@@ -241,6 +306,27 @@ def compact_contacts(
     )
     taken = Contacts(*[getattr(contacts, f)[idx] for f in Contacts._fields])
     return taken, overflow
+
+
+def contact_capacity(state: SimState, cfg: SimConfig) -> int:
+    """Total contact-slot count of one step under `cfg` (static), via
+    eval_shape on the generation pipeline — used to size the warm-start
+    buffers (engine.prepare_contacts)."""
+
+    def gen(s):
+        cvx = convex_data(s)
+        groups = []
+        if cfg.ground_plane:
+            groups.append(ground_contacts(s, cvx, cfg))
+        if cfg.pair_collisions and s.num_bodies > 1:
+            groups.append(pair_contacts(s, cvx, pair_candidates(s, cfg), cfg))
+        if not groups:
+            return jnp.zeros((0,), jnp.int32)
+        contacts = concat_contacts(*groups)
+        contacts, _ = compact_contacts(contacts, cfg.max_contacts)
+        return contacts.key
+
+    return int(jax.eval_shape(gen, state).shape[0])
 
 
 def _pad_leading(arr: Array, multiple: int) -> Array:
@@ -309,7 +395,30 @@ def resolve_contacts(
         if axis_name:
             dropped = jax.lax.psum(dropped, axis_name)
         metrics["contact_overflow"] = dropped
-    vel, omega, solve_metrics = solve_impulses(
-        state, contacts, cfg, axis_name=axis_name
+
+    # warm start: enabled when the state's warm buffers were allocated at
+    # this config's contact capacity (engine.prepare_contacts); sharded
+    # solves skip it (per-shard key tables are not maintained)
+    c_total = contacts.key.shape[0]
+    use_warm = (
+        shard is None and state.contact_key.shape[0] == c_total and c_total > 0
     )
-    return state.replace(vel=vel, omega=omega), {**metrics, **solve_metrics}
+    warm = (state.contact_key, state.contact_lam) if use_warm else None
+
+    vel, omega, pvel, pomega, lam3, solve_metrics = solve_impulses(
+        state, contacts, cfg, axis_name=axis_name, warm=warm
+    )
+    # split-impulse position correction: pseudo velocities integrate into
+    # the pose immediately and never enter the momentum state
+    dt = jnp.float32(cfg.dt)
+    new_pos = state.pos + pvel * dt
+    dq = quat.exp_map(pomega * dt)
+    new_quat = quat.normalize(quat.mul(dq, state.quat))
+    state = state.replace(vel=vel, omega=omega, pos=new_pos, quat=new_quat)
+    if use_warm:
+        order = jnp.argsort(contacts.key)
+        state = state.replace(
+            contact_key=contacts.key[order],
+            contact_lam=lam3[order],
+        )
+    return state, {**metrics, **solve_metrics}

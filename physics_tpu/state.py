@@ -108,6 +108,10 @@ class HullSet:
     face_normals:[H, Fmax, 3] outward unit normals (padded with zeros)
     face_offsets:[H, Fmax]    plane offsets: n·x <= offset inside
     face_count:  [H] int32
+    face_verts:  [H, Fmax, Emax] per-face polygon vertex indices, ordered
+                 counter-clockwise seen from outside (padding repeats the
+                 first vertex)
+    face_vert_count: [H, Fmax] int32
     """
 
     verts: Array
@@ -115,6 +119,8 @@ class HullSet:
     face_normals: Array
     face_offsets: Array
     face_count: Array
+    face_verts: Array
+    face_vert_count: Array
 
     @classmethod
     def empty(cls) -> "HullSet":
@@ -124,6 +130,8 @@ class HullSet:
             face_normals=jnp.zeros((1, 1, 3), jnp.float32),
             face_offsets=jnp.zeros((1, 1), jnp.float32),
             face_count=jnp.zeros((1,), jnp.int32),
+            face_verts=jnp.zeros((1, 1, 1), jnp.int32),
+            face_vert_count=jnp.zeros((1, 1), jnp.int32),
         )
 
 
@@ -155,7 +163,11 @@ class SimState:
     # collision
     shapes: Shapes
     hulls: HullSet
-    lam_contact: Array  # [C] contact-impulse warm start (0 when unused)
+    # contact warm start: per-slot feature keys and impulses (λn, λt1, λt2)
+    # from the previous step; empty ([0]) disables warm starting — call
+    # engine.prepare_contacts(state, cfg) to allocate the right capacity
+    contact_key: Array  # [K] int32
+    contact_lam: Array  # [K, 3]
 
     # bookkeeping
     step_count: Array   # [] int32
@@ -230,6 +242,7 @@ def make_state(
         lam_joint=jnp.zeros((joints.capacity * MAX_JOINT_ROWS,), jnp.float32),
         shapes=shapes,
         hulls=hulls,
-        lam_contact=jnp.zeros((max(max_contacts, 0),), jnp.float32),
+        contact_key=jnp.zeros((max(max_contacts, 0),), jnp.int32),
+        contact_lam=jnp.zeros((max(max_contacts, 0), 3), jnp.float32),
         step_count=jnp.zeros((), jnp.int32),
     )
