@@ -58,22 +58,20 @@ static inline Vec3 normalize(const Vec3& v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Rasterize `n_inst` instances of one triangle mesh.
-//   verts:      [n_verts][3]      body-frame positions
-//   tris:       [n_tris][3]       vertex indices
-//   models:     [n_inst][16]      row-major model matrices (T(p)·R(q),
-//                                 the reference's InstanceRaw layout,
-//                                 graphics.rs:14-21)
-//   view_proj:  [16]              row-major camera matrix
-//   colors:     [n_inst][3] or nullptr (default light gray)
-//   out_rgb:    [height][width][3]  (caller-cleared or not: we clear)
-//   background: [3]
-void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
-               int32_t n_tris, const float* models, int32_t n_inst,
-               const float* view_proj, const float* colors, int32_t width,
-               int32_t height, uint8_t* out_rgb, const float* background) {
+// Shared triangle-fill core. If `uvs`+`tex` are given, samples the diffuse
+// texture with perspective-correct bilinear interpolation (the reference's
+// fragment shader is a plain texture sample, src/shader.wgsl:48-51 — set
+// light_strength=0 for that exact unlit look); otherwise flat-shades with
+// the per-instance base color.
+void rasterize_core(const float* verts, int32_t n_verts, const float* uvs,
+                    const int32_t* tris, int32_t n_tris, const float* models,
+                    int32_t n_inst, const float* view_proj,
+                    const float* colors, const uint8_t* tex, int32_t tex_w,
+                    int32_t tex_h, float light_strength, int32_t width,
+                    int32_t height, uint8_t* out_rgb,
+                    const float* background) {
     std::vector<float> zbuf((size_t)width * height, 1e30f);
     for (int32_t i = 0; i < width * height; ++i) {
         out_rgb[i * 3 + 0] = (uint8_t)(background[0] * 255.0f);
@@ -81,9 +79,10 @@ void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
         out_rgb[i * 3 + 2] = (uint8_t)(background[2] * 255.0f);
     }
 
+    const bool textured = uvs && tex && tex_w > 0 && tex_h > 0;
     const Vec3 light = normalize({0.4f, 0.8f, 0.45f});
     std::vector<Vec3> screen(n_verts);
-    std::vector<float> depth(n_verts);
+    std::vector<float> depth(n_verts), inv_w_v(n_verts);
     std::vector<uint8_t> ok(n_verts);
 
     for (int32_t inst = 0; inst < n_inst; ++inst) {
@@ -94,7 +93,6 @@ void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
             base_g = colors[inst * 3 + 1];
             base_b = colors[inst * 3 + 2];
         }
-        // full transform: clip = view_proj * model
         float mvp[16];
         for (int r = 0; r < 4; ++r)
             for (int c = 0; c < 4; ++c) {
@@ -114,6 +112,7 @@ void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
             }
             ok[v] = 1;
             float inv_w = 1.0f / w;
+            inv_w_v[v] = inv_w;
             screen[v] = {(clip.x * inv_w * 0.5f + 0.5f) * (float)width,
                          (1.0f - (clip.y * inv_w * 0.5f + 0.5f)) *
                              (float)height,
@@ -126,14 +125,14 @@ void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
                     i2 = tris[t * 3 + 2];
             if (!ok[i0] || !ok[i1] || !ok[i2]) continue;
 
-            // flat shading from the world-space face normal
             Vec3 a = {verts[i0 * 3], verts[i0 * 3 + 1], verts[i0 * 3 + 2]};
             Vec3 b = {verts[i1 * 3], verts[i1 * 3 + 1], verts[i1 * 3 + 2]};
             Vec3 c = {verts[i2 * 3], verts[i2 * 3 + 1], verts[i2 * 3 + 2]};
             Vec3 n_world =
                 normalize(mat4_rot_vec(model, cross(sub(b, a), sub(c, a))));
-            float lambert =
-                0.25f + 0.75f * std::max(0.0f, dot(n_world, light));
+            float lambert = 1.0f - light_strength * 0.75f +
+                            light_strength * 0.75f *
+                                std::max(0.0f, dot(n_world, light));
 
             const Vec3& s0 = screen[i0];
             const Vec3& s1 = screen[i1];
@@ -165,19 +164,100 @@ void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
                     if (w0 < 0.0f || w1 < 0.0f || w2 < 0.0f) continue;
                     float z = w0 * depth[i0] + w1 * depth[i1] + w2 * depth[i2];
                     size_t idx = (size_t)py * width + px;
-                    if (z < zbuf[idx]) {
-                        zbuf[idx] = z;
-                        out_rgb[idx * 3 + 0] =
-                            (uint8_t)std::min(255.0f, base_r * lambert * 255.0f);
-                        out_rgb[idx * 3 + 1] =
-                            (uint8_t)std::min(255.0f, base_g * lambert * 255.0f);
-                        out_rgb[idx * 3 + 2] =
-                            (uint8_t)std::min(255.0f, base_b * lambert * 255.0f);
+                    if (z >= zbuf[idx]) continue;
+                    zbuf[idx] = z;
+
+                    float r = base_r, g = base_g, bl = base_b;
+                    if (textured) {
+                        // perspective-correct: interpolate (uv/w, 1/w)
+                        float iw = w0 * inv_w_v[i0] + w1 * inv_w_v[i1] +
+                                   w2 * inv_w_v[i2];
+                        float u = (w0 * uvs[i0 * 2] * inv_w_v[i0] +
+                                   w1 * uvs[i1 * 2] * inv_w_v[i1] +
+                                   w2 * uvs[i2 * 2] * inv_w_v[i2]) /
+                                  iw;
+                        float vq = (w0 * uvs[i0 * 2 + 1] * inv_w_v[i0] +
+                                    w1 * uvs[i1 * 2 + 1] * inv_w_v[i1] +
+                                    w2 * uvs[i2 * 2 + 1] * inv_w_v[i2]) /
+                                   iw;
+                        // wrap; flip v (image rows top-down vs OBJ uv)
+                        u -= std::floor(u);
+                        vq -= std::floor(vq);
+                        float tx = u * (float)(tex_w)-0.5f;
+                        float ty = (1.0f - vq) * (float)(tex_h)-0.5f;
+                        int x0 = (int)std::floor(tx), y0 = (int)std::floor(ty);
+                        float fxs = tx - (float)x0, fys = ty - (float)y0;
+                        auto texel = [&](int xx, int yy, int ch) -> float {
+                            xx = std::min(std::max(xx, 0), tex_w - 1);
+                            yy = std::min(std::max(yy, 0), tex_h - 1);
+                            return (float)tex[((size_t)yy * tex_w + xx) * 4 +
+                                              ch] /
+                                   255.0f;
+                        };
+                        float cch[3];
+                        for (int ch = 0; ch < 3; ++ch) {
+                            float c00 = texel(x0, y0, ch),
+                                  c10 = texel(x0 + 1, y0, ch);
+                            float c01 = texel(x0, y0 + 1, ch),
+                                  c11 = texel(x0 + 1, y0 + 1, ch);
+                            cch[ch] = (c00 * (1 - fxs) + c10 * fxs) *
+                                          (1 - fys) +
+                                      (c01 * (1 - fxs) + c11 * fxs) * fys;
+                        }
+                        r = cch[0];
+                        g = cch[1];
+                        bl = cch[2];
                     }
+                    out_rgb[idx * 3 + 0] =
+                        (uint8_t)std::min(255.0f, r * lambert * 255.0f);
+                    out_rgb[idx * 3 + 1] =
+                        (uint8_t)std::min(255.0f, g * lambert * 255.0f);
+                    out_rgb[idx * 3 + 2] =
+                        (uint8_t)std::min(255.0f, bl * lambert * 255.0f);
                 }
             }
         }
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Textured instanced-mesh rasterization (reference pipeline parity:
+// vertex = camera.view_proj * model * pos with tex_coords passthrough,
+// fragment = diffuse texture sample — src/shader.wgsl:24-51).
+//   uvs: [n_verts][2] or nullptr; tex: RGBA8 [tex_h][tex_w][4] or nullptr;
+//   light_strength: 0 = unlit (reference look), 1 = full lambert.
+void rasterize_textured(const float* verts, int32_t n_verts, const float* uvs,
+                        const int32_t* tris, int32_t n_tris,
+                        const float* models, int32_t n_inst,
+                        const float* view_proj, const float* colors,
+                        const uint8_t* tex, int32_t tex_w, int32_t tex_h,
+                        float light_strength, int32_t width, int32_t height,
+                        uint8_t* out_rgb, const float* background) {
+    rasterize_core(verts, n_verts, uvs, tris, n_tris, models, n_inst,
+                   view_proj, colors, tex, tex_w, tex_h, light_strength,
+                   width, height, out_rgb, background);
+}
+
+// Rasterize `n_inst` instances of one triangle mesh.
+//   verts:      [n_verts][3]      body-frame positions
+//   tris:       [n_tris][3]       vertex indices
+//   models:     [n_inst][16]      row-major model matrices (T(p)·R(q),
+//                                 the reference's InstanceRaw layout,
+//                                 graphics.rs:14-21)
+//   view_proj:  [16]              row-major camera matrix
+//   colors:     [n_inst][3] or nullptr (default light gray)
+//   out_rgb:    [height][width][3]  (caller-cleared or not: we clear)
+//   background: [3]
+void rasterize(const float* verts, int32_t n_verts, const int32_t* tris,
+               int32_t n_tris, const float* models, int32_t n_inst,
+               const float* view_proj, const float* colors, int32_t width,
+               int32_t height, uint8_t* out_rgb, const float* background) {
+    rasterize_core(verts, n_verts, nullptr, tris, n_tris, models, n_inst,
+                   view_proj, colors, nullptr, 0, 0, 1.0f, width, height,
+                   out_rgb, background);
 }
 
 }  // extern "C"

@@ -38,6 +38,36 @@ def box_mesh(half=(1.0, 1.0, 1.0)) -> Tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(tris, np.int64)
 
 
+def box_mesh_uv(
+    half=(1.0, 1.0, 1.0),
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """UV-mapped box: (verts [24,3], uvs [24,2], tris [12,3]).
+
+    Each face gets its own 4 vertices with the full [0,1]² UV square
+    (the reference cube's per-face UV layout style, res/cube.obj `vt`
+    records) — for the textured viewer path (src/shader.wgsl samples
+    tex_coords per fragment).
+    """
+    base_v, base_t = box_mesh(half)
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+        (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+    ]
+    uv_quad = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    verts, uvs, tris = [], [], []
+    for f, q in enumerate(quads):
+        off = 4 * f
+        verts.extend(base_v[list(q)])
+        uvs.extend(uv_quad)
+        tris.append([off + 0, off + 1, off + 2])
+        tris.append([off + 0, off + 2, off + 3])
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(uvs, np.float32),
+        np.asarray(tris, np.int64),
+    )
+
+
 def beveled_cube_mesh(
     size: float = 1.0, bevel: float = 0.1
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -51,6 +51,21 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_float),                   # background
         ]
         lib.rasterize.restype = None
+        lib.rasterize_textured.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,   # verts
+            ctypes.POINTER(ctypes.c_float),                   # uvs|null
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,   # tris
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,   # models
+            ctypes.POINTER(ctypes.c_float),                   # view_proj
+            ctypes.POINTER(ctypes.c_float),                   # colors|null
+            ctypes.POINTER(ctypes.c_uint8),                   # tex|null
+            ctypes.c_int32, ctypes.c_int32,                   # tex w, h
+            ctypes.c_float,                                   # light_strength
+            ctypes.c_int32, ctypes.c_int32,                   # w, h
+            ctypes.POINTER(ctypes.c_uint8),                   # out
+            ctypes.POINTER(ctypes.c_float),                   # background
+        ]
+        lib.rasterize_textured.restype = None
         _lib = lib
     return _lib
 
@@ -68,9 +83,15 @@ def rasterize(
     height: int = 600,
     colors: Optional[np.ndarray] = None,
     background=(0.0, 0.0, 0.0),
+    uvs: Optional[np.ndarray] = None,
+    texture: Optional[np.ndarray] = None,
+    light_strength: float = 1.0,
 ) -> np.ndarray:
     """Render instances of one mesh; returns an RGB image [h, w, 3] uint8.
 
+    With `uvs` [V,2] and `texture` (RGBA8 [H,W,4]) the fill samples the
+    diffuse texture perspective-correctly — the reference's fragment path
+    (src/shader.wgsl:48-51); `light_strength=0` gives its exact unlit look.
     Background default black = the reference's clear color
     (rendering.rs:344-352 clears to BLACK)."""
     lib = _get_lib()
@@ -86,13 +107,28 @@ def rasterize(
         colors = np.ascontiguousarray(colors, np.float32)
         col_ptr = _fptr(colors)
 
-    lib.rasterize(
+    uv_ptr, tex_ptr, tw, th = None, None, 0, 0
+    if uvs is not None and texture is not None:
+        uvs = np.ascontiguousarray(uvs, np.float32)
+        if len(uvs) != len(verts):
+            raise ValueError(f"uvs ({len(uvs)}) must match verts ({len(verts)})")
+        texture = np.ascontiguousarray(texture, np.uint8)
+        if texture.ndim != 3 or texture.shape[2] != 4:
+            raise ValueError("texture must be RGBA8 [H, W, 4]")
+        uv_ptr = _fptr(uvs)
+        tex_ptr = texture.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        th, tw = texture.shape[:2]
+
+    lib.rasterize_textured(
         _fptr(verts), np.int32(len(verts)),
+        uv_ptr,
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         np.int32(len(tris)),
         _fptr(models), np.int32(len(models)),
         _fptr(vp),
         col_ptr,
+        tex_ptr, np.int32(tw), np.int32(th),
+        np.float32(light_strength),
         np.int32(width), np.int32(height),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _fptr(bg),
@@ -108,6 +144,9 @@ def render_state(
     width: int = 800,
     height: int = 600,
     colors: Optional[np.ndarray] = None,
+    uvs: Optional[np.ndarray] = None,
+    texture: Optional[np.ndarray] = None,
+    light_strength: float = 1.0,
 ) -> np.ndarray:
     """Render a SimState with one shared mesh (device→host once)."""
     from physics_tpu.io.export import get_render_data
@@ -116,7 +155,8 @@ def render_state(
     mats = get_render_data(state)
     if view_proj is None:
         view_proj = default_view_proj(width, height)
-    return rasterize(verts, tris, mats, view_proj, width, height, colors)
+    return rasterize(verts, tris, mats, view_proj, width, height, colors,
+                     uvs=uvs, texture=texture, light_strength=light_strength)
 
 
 def save_ppm(path: str, image: np.ndarray) -> None:

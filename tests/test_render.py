@@ -87,3 +87,45 @@ def test_render_state_helper(raster, tmp_path):
     data = out.read_bytes()
     assert data.startswith(b"P6\n160 120\n255\n")
     assert len(data) == len(b"P6\n160 120\n255\n") + 160 * 120 * 3
+
+
+def test_textured_rasterize_checkerboard():
+    """Textured path: a checkerboard cube must show BOTH tile colors, and
+    the untextured call must still work (legacy ABI)."""
+    from physics_tpu.io.primitives import box_mesh_uv
+    from physics_tpu.render.rasterizer import rasterize
+    from physics_tpu.render.texture import checkerboard
+
+    verts, uvs, tris = box_mesh_uv((1.0, 1.0, 1.0))
+    model = np.eye(4, dtype=np.float32).reshape(1, 16)
+    vp = default_view_proj(160, 120)
+    tex = checkerboard(64, tiles=4, color_a=(255, 0, 0), color_b=(0, 0, 255))
+
+    img = rasterize(verts, tris, model, vp, width=160, height=120,
+                    uvs=uvs, texture=tex, light_strength=0.0)
+    # unlit: every non-background pixel is exactly one of the two colors
+    nonbg = img[np.any(img != 0, axis=-1)]
+    assert len(nonbg) > 100
+    reds = np.sum((nonbg[:, 0] > 200) & (nonbg[:, 2] < 50))
+    blues = np.sum((nonbg[:, 2] > 200) & (nonbg[:, 0] < 50))
+    assert reds > 10 and blues > 10, (reds, blues)
+
+    flat = rasterize(verts, tris, model, vp, width=160, height=120)
+    assert np.any(flat != 0)
+
+
+def test_texture_loaders():
+    from physics_tpu.render.texture import checkerboard, load_texture, solid, uv_grid
+
+    for tex in (checkerboard(32), uv_grid(32), solid()):
+        assert tex.dtype == np.uint8 and tex.shape[-1] == 4
+
+    # PIL round-trip
+    import tempfile, os
+    from PIL import Image
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.png")
+        Image.fromarray(checkerboard(16)).save(p)
+        back = load_texture(p)
+        np.testing.assert_array_equal(back, checkerboard(16))
