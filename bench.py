@@ -23,6 +23,7 @@ import time
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from physics_tpu.engine import step
@@ -60,6 +61,16 @@ def make_chunk_runner(cfg, batched: bool = False):
     return run
 
 
+def _fence(arr) -> float:
+    """Force completion with a real device->host transfer.
+
+    On the axon (tunnelled TPU) backend, block_until_ready returns before
+    cached-executable runs actually finish, which silently inflates wall
+    timings ~1000x; only materializing a value waits for the compute.
+    """
+    return float(jax.device_get(jnp.sum(arr)))
+
+
 def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
     from physics_tpu.engine import prepare_contacts
 
@@ -71,16 +82,16 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
 
     t0 = time.perf_counter()
     state = run(state)  # compile + first (settle) chunk
-    jax.block_until_ready(state.pos)
+    _fence(state.pos)
     log(f"pile[{n_bodies}]: compile+first chunk {time.perf_counter()-t0:.1f}s")
     for _ in range(settle_chunks):
         state = run(state)
-    jax.block_until_ready(state.pos)
+    _fence(state.pos)
 
     t0 = time.perf_counter()
     for _ in range(timed_chunks):
         state = run(state)
-    jax.block_until_ready(state.pos)
+    _fence(state.pos)
     dt = time.perf_counter() - t0
     sps = timed_chunks * CHUNK / dt
 
@@ -107,10 +118,10 @@ def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     batched = jax.vmap(lambda o: base.replace(pos=base.pos + o))(offsets)
     run = make_chunk_runner(cfg, batched=True)
     out = run(batched)
-    jax.block_until_ready(out.pos)
+    _fence(out.pos)
     t0 = time.perf_counter()
     out = run(out)
-    jax.block_until_ready(out.pos)
+    _fence(out.pos)
     dt = time.perf_counter() - t0
     sps = CHUNK / dt
     log(

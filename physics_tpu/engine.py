@@ -205,7 +205,7 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
     c = contact_capacity(state, cfg)
     return state.replace(
         contact_key=jnp.zeros((c,), jnp.int32),
-        contact_lam=jnp.zeros((c, 3), jnp.float32),
+        contact_lam=jnp.zeros((3, c), jnp.float32),
     )
 
 

@@ -32,6 +32,24 @@ from physics_tpu.state import (
 import jax.numpy as jnp
 
 
+def _from_euler_np(roll, pitch, yaw) -> np.ndarray:
+    """NumPy mirror of maths.quaternion.from_euler (nalgebra
+    UnitQuaternion::from_euler_angles, R = Rz·Ry·Rx), (w, x, y, z)."""
+    hr, hp, hy = roll * 0.5, pitch * 0.5, yaw * 0.5
+    sr, cr = np.sin(hr), np.cos(hr)
+    sp, cp = np.sin(hp), np.cos(hp)
+    sy, cy = np.sin(hy), np.cos(hy)
+    return np.array(
+        [
+            cr * cp * cy + sr * sp * sy,
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+        ],
+        np.float32,
+    )
+
+
 class SceneBuilder:
     """Accumulates bodies/joints/shapes on host, then `build()`s a SimState."""
 
@@ -70,13 +88,10 @@ class SceneBuilder:
         if quat is not None and euler is not None:
             raise ValueError("give either quat or euler, not both")
         if euler is not None:
-            from physics_tpu.maths import quaternion as quatmod
-
-            q = np.asarray(
-                quatmod.from_euler(
-                    jnp.float32(euler[0]), jnp.float32(euler[1]), jnp.float32(euler[2])
-                )
-            )
+            # host-side numpy (same formula as maths.quaternion.from_euler —
+            # a per-body device dispatch here made 4k-body scene builds take
+            # minutes through the TPU tunnel)
+            q = _from_euler_np(*np.asarray(euler, np.float32))
         elif quat is not None:
             q = np.asarray(quat, np.float32)
         else:
@@ -186,17 +201,16 @@ class SceneBuilder:
                 jp[i] = p
                 jks[i], jkd[i] = ks, kd
             joints = Joints(
-                jtype=jnp.asarray(jt), body_a=jnp.asarray(ja),
-                body_b=jnp.asarray(jb), params=jnp.asarray(jp),
-                ks=jnp.asarray(jks), kd=jnp.asarray(jkd),
+                jtype=jt, body_a=ja, body_b=jb, params=jp, ks=jks, kd=jkd,
             )
 
+        # plain numpy: make_state ships the whole state in one device_put
         shapes = Shapes(
-            stype=jnp.asarray(np.asarray(self._stype, np.int32)),
-            params=jnp.asarray(np.stack(self._sparams)),
-            hull_index=jnp.asarray(np.asarray(self._hull_index, np.int32)),
-            friction=jnp.asarray(np.asarray(self._friction, np.float32)),
-            restitution=jnp.asarray(np.asarray(self._restitution, np.float32)),
+            stype=np.asarray(self._stype, np.int32),
+            params=np.stack(self._sparams),
+            hull_index=np.asarray(self._hull_index, np.int32),
+            friction=np.asarray(self._friction, np.float32),
+            restitution=np.asarray(self._restitution, np.float32),
         )
 
         hulls = _pack_hulls(self._hulls) if self._hulls else HullSet.empty()
@@ -243,13 +257,9 @@ def _pack_hulls(hulls: Sequence) -> HullSet:
             fverts[i, f, len(poly):] = poly[0]  # pad by repeating
             fvcount[i, f] = len(poly)
     return HullSet(
-        verts=jnp.asarray(verts),
-        vert_count=jnp.asarray(vcount),
-        face_normals=jnp.asarray(normals),
-        face_offsets=jnp.asarray(offsets),
-        face_count=jnp.asarray(fcount),
-        face_verts=jnp.asarray(fverts),
-        face_vert_count=jnp.asarray(fvcount),
+        verts=verts, vert_count=vcount, face_normals=normals,
+        face_offsets=offsets, face_count=fcount, face_verts=fverts,
+        face_vert_count=fvcount,
     )
 
 

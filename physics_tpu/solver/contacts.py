@@ -13,6 +13,12 @@ Per contact, normal impulse λₙ ≥ 0 with a Baumgarte bias velocity
 (β·max(depth − slop, 0)/dt) plus restitution, and a friction box-clamp
 |λₜ| ≤ μ·λₙ along two tangent directions. All state lives in the fori_loop
 carry; the whole solve fuses into the step program.
+
+LAYOUT (v5e-measured): all per-contact quantities are component-form 1-D
+[C] arrays (maths.vec3c) — [C, 3] tensors pad their minor dim to 128 lanes
+and made each Jacobi sweep cost ~1.2 ms at C = 24k; the component form is
+~10× cheaper. Contact vector fields arrive as [3, C] rows (narrowphase
+convention) and body state unpacks to component rows once per solve.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from physics_tpu.config import SimConfig
+from physics_tpu.maths import vec3c as v3
 from physics_tpu.maths import quaternion as quat
 from physics_tpu.ops.broadphase import pair_candidates
 from physics_tpu.ops.narrowphase import (
@@ -37,24 +44,17 @@ from physics_tpu.state import SimState
 Array = jnp.ndarray
 
 
-def _tangent_basis(n: Array) -> Tuple[Array, Array]:
-    """Orthonormal (t1, t2) ⊥ n, branchless (works for any unit n)."""
-    # pick the reference axis least aligned with n
-    ax = jnp.abs(n)
-    use_x = (ax[..., 0] <= ax[..., 1]) & (ax[..., 0] <= ax[..., 2])
-    use_y = (~use_x) & (ax[..., 1] <= ax[..., 2])
-    e = jnp.where(
-        use_x[..., None],
-        jnp.array([1.0, 0.0, 0.0], jnp.float32),
-        jnp.where(
-            use_y[..., None],
-            jnp.array([0.0, 1.0, 0.0], jnp.float32),
-            jnp.array([0.0, 0.0, 1.0], jnp.float32),
-        ),
-    )
-    t1 = jnp.cross(n, e)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-    t2 = jnp.cross(n, t1)
+def _tangent_basis(n):
+    """Orthonormal (t1, t2) ⊥ n, branchless, component form."""
+    ax, ay, az = jnp.abs(n[0]), jnp.abs(n[1]), jnp.abs(n[2])
+    use_x = (ax <= ay) & (ax <= az)
+    use_y = (~use_x) & (ay <= az)
+    f = lambda m: m.astype(jnp.float32)
+    e = (f(use_x), f(use_y), f(~(use_x | use_y)))
+    t1 = v3.cross(n, e)
+    inv = 1.0 / jnp.maximum(v3.norm(t1), 1e-9)
+    t1 = v3.scale(t1, inv)
+    t2 = v3.cross(n, t1)
     return t1, t2
 
 
@@ -67,9 +67,10 @@ def solve_impulses(
 ):
     """Iteratively resolve contacts.
 
-    Returns (vel, omega, pseudo_vel, pseudo_omega, lam3, metrics): the
+    Returns (vel, omega, pseudo_vel, pseudo_omega, lam3, metrics): vel/omega
+    and the pseudo velocities come back as [N, 3] arrays (packed once); the
     pseudo velocities are the split-impulse position correction (integrate
-    them into pos/quat over one dt, outside the momentum state); lam3 [C,3]
+    them into pos/quat over one dt, outside the momentum state); lam3 [3, C]
     holds the converged real impulses (λn, λt1, λt2) per slot.
 
     `warm=(prev_keys_sorted, prev_lam3)` warm-starts the solve: each
@@ -83,6 +84,14 @@ def solve_impulses(
     that mesh axis while body velocities stay replicated: every impulse
     scatter becomes a local delta followed by a psum, which keeps the Jacobi
     iteration mathematically identical to the single-device solve.
+
+    GATHER/SCATTER BUDGET (the design driver — on v5e each gather/scatter
+    op costs ~0.1-0.4 ms at these index counts regardless of payload width,
+    so ops are PACKED, not element-wise): per sweep exactly TWO lane
+    gathers (one [rows, N] -> [rows, C] per body endpoint, velocities and
+    angular velocities ride the same table) and ONE lane scatter-add
+    ([rows, 2C] -> [rows, N+1]). The old per-component form issued 24
+    gather/scatter ops per sweep and was ~8x slower end to end.
     """
     n = state.num_bodies
     c = contacts.body_a.shape[0]
@@ -94,57 +103,108 @@ def solve_impulses(
     b = jnp.clip(b_raw, 0, n - 1)
     act = contacts.active
     actf = act.astype(jnp.float32)
+    has_bf = (has_b & act).astype(jnp.float32)
 
-    inv_m_a = state.inv_mass[a] * actf
-    inv_m_b = jnp.where(has_b, state.inv_mass[b], 0.0) * actf
+    # contact degree per body -> Jacobi relaxation 1/deg (one packed scatter)
+    seg_ids = jnp.concatenate([jnp.where(act, a, n),
+                               jnp.where(has_b & act, b, n)])
+    deg = jnp.zeros((n + 1,), jnp.float32).at[seg_ids].add(1.0)[:n]
+    if axis_name:
+        deg = jax.lax.psum(deg, axis_name)
 
-    rot = quat.to_matrix(state.quat)
-    inv_i_w = jnp.einsum("nij,njk,nlk->nil", rot, state.inv_inertia, rot)
-    inv_i_a = inv_i_w[a] * actf[:, None, None]
-    inv_i_b = inv_i_w[b] * (has_b & act).astype(jnp.float32)[:, None, None]
+    # ---- packed body table: ONE lane gather per endpoint ----
+    # rows: pos(0:3) | world inv-inertia row-major (3:12) | inv_mass(12) |
+    # deg(13) | pad(14:16)
+    r9 = v3.quat_to_mat(state.quat)                  # 9 x [N]
+    iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))  # world I^-1
+    table = jnp.stack(
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+        + list(iw9)
+        + [state.inv_mass, deg, jnp.zeros((n,), jnp.float32),
+           jnp.zeros((n,), jnp.float32)]
+    )                                                 # [16, N]
+    ta = table[:, a]                                  # [16, C] lane gather
+    tb = table[:, b]                                  # [16, C] lane gather
 
-    r_a = contacts.point - state.pos[a]
-    r_b = contacts.point - state.pos[b]
-    nrm = contacts.normal
+    inv_m_a = ta[12] * actf
+    inv_m_b = tb[12] * has_bf
+    iw_a = tuple(ta[3 + k] * actf for k in range(9))
+    iw_b = tuple(tb[3 + k] * has_bf for k in range(9))
+
+    p = (contacts.point[0], contacts.point[1], contacts.point[2])
+    nrm = (contacts.normal[0], contacts.normal[1], contacts.normal[2])
+    r_a = v3.sub(p, (ta[0], ta[1], ta[2]))
+    r_b = v3.sub(p, (tb[0], tb[1], tb[2]))
     t1, t2 = _tangent_basis(nrm)
 
-    def eff_mass(d: Array) -> Array:
-        # k = Σ 1/m + d·((I⁻¹(r×d))×r) for each body
-        ra_x = jnp.cross(r_a, d)
-        rb_x = jnp.cross(r_b, d)
-        term_a = jnp.einsum(
-            "ci,ci->c", d, jnp.cross(jnp.einsum("cij,cj->ci", inv_i_a, ra_x), r_a)
-        )
-        term_b = jnp.einsum(
-            "ci,ci->c", d, jnp.cross(jnp.einsum("cij,cj->ci", inv_i_b, rb_x), r_b)
-        )
+    def eff_mass(d):
+        # k = sum 1/m + d.((I^-1 (r x d)) x r) for each body
+        term_a = v3.dot(d, v3.cross(v3.mat_vec(iw_a, v3.cross(r_a, d)), r_a))
+        term_b = v3.dot(d, v3.cross(v3.mat_vec(iw_b, v3.cross(r_b, d)), r_b))
         return inv_m_a + inv_m_b + term_a + term_b
 
     k_n = jnp.maximum(eff_mass(nrm), 1e-9)
     k_t1 = jnp.maximum(eff_mass(t1), 1e-9)
     k_t2 = jnp.maximum(eff_mass(t2), 1e-9)
 
-    # contact degree per body → Jacobi relaxation 1/deg
-    ones = actf
-    deg = jnp.zeros((n,), jnp.float32).at[a].add(ones)
-    deg = deg.at[b].add(jnp.where(has_b, ones, 0.0))
-    if axis_name:
-        deg = jax.lax.psum(deg, axis_name)
-    deg_c = jnp.maximum(jnp.maximum(deg[a], jnp.where(has_b, deg[b], 0.0)), 1.0)
+    deg_c = jnp.maximum(jnp.maximum(ta[13], jnp.where(has_b, tb[13], 0.0)),
+                        1.0)
     relax = jnp.float32(cfg.contact_relaxation) / deg_c
 
-    def rel_vel(vel: Array, omega: Array) -> Array:
-        va = vel[a] + jnp.cross(omega[a], r_a)
-        vb = jnp.where(
-            has_b[:, None], vel[b] + jnp.cross(omega[b], r_b), 0.0
-        )
-        return va - vb
+    # ---- packed solver state z [16, N]: rows 0:6 = real (vel, omega),
+    # rows 8:14 = split-impulse pseudo (vel, omega). The velocity pass and
+    # the position pass are INDEPENDENT systems (the position bias uses
+    # pre-solve depths), so both ride the SAME per-sweep lane gather and
+    # lane scatter — halving the step's gather/scatter budget.
+    vw0 = jnp.concatenate(
+        [state.vel.T, state.omega.T, jnp.zeros((10, n), jnp.float32)]
+    )                                                 # [16, N]
+
+    def rel_vel_from(ga, gb, base=0):
+        """Relative velocity at the contact from gathered endpoint rows."""
+        va = v3.add((ga[base + 0], ga[base + 1], ga[base + 2]),
+                    v3.cross((ga[base + 3], ga[base + 4], ga[base + 5]), r_a))
+        vb = v3.add((gb[base + 0], gb[base + 1], gb[base + 2]),
+                    v3.cross((gb[base + 3], gb[base + 4], gb[base + 5]), r_b))
+        vb = v3.scale(vb, has_bf)
+        return v3.sub(va, vb)
+
+    zero_c = jnp.zeros((c,), jnp.float32)
+
+    def delta_from(imp, pimp=None):
+        """Real impulse ±imp and pseudo impulse ±pimp (v3 [C]) → packed
+        state delta [16, N] via ONE lane scatter-add (psum'd when sharded)."""
+        rows = []
+
+        def endpoint_rows(im):
+            dv_a = v3.scale(im, inv_m_a)
+            dw_a = v3.mat_vec(iw_a, v3.cross(r_a, im))
+            dv_b = v3.scale(im, -inv_m_b)
+            dw_b = v3.neg(v3.mat_vec(iw_b, v3.cross(r_b, im)))
+            return (
+                [jnp.concatenate([dv_a[k], dv_b[k]]) for k in range(3)]
+                + [jnp.concatenate([dw_a[k], dw_b[k]]) for k in range(3)]
+            )
+
+        zero_row = jnp.zeros((2 * c,), jnp.float32)
+        rows = endpoint_rows(imp) + [zero_row, zero_row]
+        if pimp is not None:
+            rows += endpoint_rows(pimp) + [zero_row, zero_row]
+        else:
+            rows += [zero_row] * 8
+        contrib = jnp.stack(rows)                     # [16, 2C]
+        delta = jnp.zeros((16, n + 1), jnp.float32).at[:, seg_ids].add(
+            contrib)[:, :n]
+        if axis_name:
+            delta = jax.lax.psum(delta, axis_name)
+        return delta
 
     # restitution uses the pre-solve approach velocity. SPLIT IMPULSE:
-    # the velocity solve targets restitution only — penetration is fixed by
-    # a separate pseudo-velocity position pass below, so the cached real
+    # the velocity solve targets restitution only -- penetration is fixed by
+    # the parallel pseudo-velocity position rows, so the cached real
     # impulses contain no Baumgarte energy (safe to warm start).
-    v_n0 = jnp.einsum("ci,ci->c", nrm, rel_vel(state.vel, state.omega))
+    ga0, gb0 = vw0[:, a], vw0[:, b]
+    v_n0 = v3.dot(nrm, rel_vel_from(ga0, gb0))
     bias = (
         jnp.float32(cfg.baumgarte)
         / dt
@@ -153,121 +213,98 @@ def solve_impulses(
     bounce = contacts.restitution * jnp.maximum(-v_n0, 0.0)
     # warm-started solves use split impulse (bias handled positionally);
     # cold solves keep classic Baumgarte bias in the velocity target, which
-    # reaches force balance in far fewer sweeps when starting from λ = 0
+    # reaches force balance in far fewer sweeps when starting from lambda = 0
     use_split = warm is not None
     v_target = bounce if use_split else jnp.maximum(bias, bounce)
+    n_pos_iters = cfg.position_iters if use_split else 0
+    total_iters = max(cfg.contact_iters, n_pos_iters)
 
-    # ---- impulse-application machinery ----
-    # The endpoint body indices are FIXED across the Jacobi sweeps, so the
-    # sort permutation for a sorted segment-sum is computed once and reused
-    # every iteration (sorted segment-sum ≈ 2× a duplicate-index scatter-add
-    # on TPU, and we fold the two endpoints and linear+angular parts into
-    # ONE [2C, 6] segment-sum per sweep).
-    b_seg = jnp.where(has_b & act, b, n)  # dead endpoints → segment n
-    a_seg = jnp.where(act, a, n)
-    seg_ids = jnp.concatenate([a_seg, b_seg])
-    seg_perm = jnp.argsort(seg_ids)
-    seg_sorted = seg_ids[seg_perm]
-
-    def apply(vel, omega, imp):
-        """Apply impulse ±imp [C,3] to the bodies (psum'd when sharded)."""
-        dv_a = imp * inv_m_a[:, None]
-        dw_a = jnp.einsum("cij,cj->ci", inv_i_a, jnp.cross(r_a, imp))
-        dv_b = -imp * inv_m_b[:, None]
-        dw_b = -jnp.einsum("cij,cj->ci", inv_i_b, jnp.cross(r_b, imp))
-        contrib = jnp.concatenate(
-            [
-                jnp.concatenate([dv_a, dw_a], axis=-1),
-                jnp.concatenate([dv_b, dw_b], axis=-1),
-            ],
-            axis=0,
-        )  # [2C, 6]
-        summed = jax.ops.segment_sum(
-            contrib[seg_perm], seg_sorted, num_segments=n + 1,
-            indices_are_sorted=True,
-        )[:n]
-        dvel, domega = summed[:, :3], summed[:, 3:]
-        if axis_name:
-            dvel, domega = jax.lax.psum((dvel, domega), axis_name)
-        return vel + dvel, omega + domega
-
-    def iteration(_, carry):
-        vel, omega, lam_n, lam_t1, lam_t2 = carry
+    def iteration(i, carry):
+        z, lam_n, lam_t1, lam_t2, lam_b = carry
+        ga, gb = z[:, a], z[:, b]
+        vel_on = (i < cfg.contact_iters).astype(jnp.float32)
+        pos_on = (i < n_pos_iters).astype(jnp.float32)
 
         # one velocity snapshot per sweep: normal and friction corrections
-        # are computed together and applied in a single segment-sum (pure
-        # Jacobi; the friction clamp uses this sweep's updated λₙ)
-        v = rel_vel(vel, omega)
-        v_n = jnp.einsum("ci,ci->c", nrm, v)
-        d_lam = (v_target - v_n) / k_n * relax * actf
+        # are computed together and applied in a single scatter pass (pure
+        # Jacobi; the friction clamp uses this sweep's updated lambda_n)
+        v = rel_vel_from(ga, gb)
+        v_n = v3.dot(nrm, v)
+        d_lam = (v_target - v_n) / k_n * relax * actf * vel_on
         lam_n_new = jnp.maximum(lam_n + d_lam, 0.0)
 
         lim = contacts.friction * lam_n_new
-        v_t1 = jnp.einsum("ci,ci->c", t1, v)
-        lam_t1_new = jnp.clip(lam_t1 - v_t1 / k_t1 * relax * actf, -lim, lim)
-        v_t2 = jnp.einsum("ci,ci->c", t2, v)
-        lam_t2_new = jnp.clip(lam_t2 - v_t2 / k_t2 * relax * actf, -lim, lim)
+        v_t1 = v3.dot(t1, v)
+        lam_t1_new = jnp.clip(
+            lam_t1 - v_t1 / k_t1 * relax * actf * vel_on, -lim, lim)
+        v_t2 = v3.dot(t2, v)
+        lam_t2_new = jnp.clip(
+            lam_t2 - v_t2 / k_t2 * relax * actf * vel_on, -lim, lim)
 
-        imp = (
-            (lam_n_new - lam_n)[:, None] * nrm
-            + (lam_t1_new - lam_t1)[:, None] * t1
-            + (lam_t2_new - lam_t2)[:, None] * t2
+        imp = v3.add(
+            v3.add(
+                v3.scale(nrm, lam_n_new - lam_n),
+                v3.scale(t1, lam_t1_new - lam_t1),
+            ),
+            v3.scale(t2, lam_t2_new - lam_t2),
         )
-        vel, omega = apply(vel, omega, imp)
-        return vel, omega, lam_n_new, lam_t1_new, lam_t2_new
 
-    zeros_c = jnp.zeros((c,), jnp.float32)
-    lam0_n, lam0_t1, lam0_t2 = zeros_c, zeros_c, zeros_c
-    vel0, omega0 = state.vel, state.omega
+        # position (split-impulse) rows: pseudo velocities vs Baumgarte bias
+        pv_n = v3.dot(nrm, rel_vel_from(ga, gb, base=8))
+        d_lam_b = (bias - pv_n) / k_n * relax * actf * pos_on
+        lam_b_new = jnp.maximum(lam_b + d_lam_b, 0.0)
+        pimp = v3.scale(nrm, lam_b_new - lam_b)
+
+        z = z + delta_from(imp, pimp)
+        return (z, lam_n_new, lam_t1_new, lam_t2_new, lam_b_new)
+
+    lam0_n, lam0_t1, lam0_t2 = zero_c, zero_c, zero_c
+    z = vw0
     if warm is not None:
+        # sort-merge key matching: ONE argsort + one gather + one scatter.
+        # (jnp.searchsorted lowers to a ~15-iteration binary-search while
+        # loop of gathers — measured 1.3 ms/step at C = 24k on v5e; this
+        # merge costs ~0.35 ms.) Composite sort key (key·2 + tag) keeps each
+        # previous-step entry immediately before any current entry with the
+        # same feature key; pair keys < n²·8 so the ·2 stays in int32.
         prev_keys, prev_lam = warm
         kp = prev_keys.shape[0]
-        pos = jnp.clip(
-            jnp.searchsorted(prev_keys, contacts.key), 0, kp - 1
+        comb = jnp.concatenate([prev_keys, contacts.key])
+        tag = jnp.concatenate([
+            jnp.zeros((kp,), jnp.int32), jnp.ones((c,), jnp.int32)
+        ])
+        order = jnp.argsort(comb * 2 + tag).astype(jnp.int32)
+        sk = comb[order]
+        st = tag[order]
+        prev_slot = jnp.concatenate([order[:1], order[:-1]])     # order[i-1]
+        prev_tag = jnp.concatenate([jnp.ones((1,), jnp.int32), st[:-1]])
+        prev_key = jnp.concatenate([sk[:1] - 1, sk[:-1]])
+        match = (st == 1) & (prev_tag == 0) & (sk == prev_key) & (sk != 0)
+        matched_col = jnp.clip(prev_slot, 0, kp - 1)
+        vals = prev_lam[:, matched_col]              # [3, kp+c] lane gather
+        vals = vals * match.astype(jnp.float32)
+        cur_slot = jnp.where(match, order - kp, c)   # c → dropped
+        lam0 = jnp.zeros((3, c + 1), jnp.float32).at[:, cur_slot].add(
+            vals)[:, :c]
+        actf3 = (act & (contacts.key != 0)).astype(jnp.float32)
+        lam0_n = lam0[0] * actf3
+        lam0_t1 = lam0[1] * actf3
+        lam0_t2 = lam0[2] * actf3
+        imp0 = v3.add(
+            v3.add(v3.scale(nrm, lam0_n), v3.scale(t1, lam0_t1)),
+            v3.scale(t2, lam0_t2),
         )
-        found = (
-            (jnp.take(prev_keys, pos) == contacts.key)
-            & act
-            & (contacts.key != 0)
-        )
-        matched = jnp.where(found[:, None], jnp.take(prev_lam, pos, axis=0),
-                            0.0)
-        lam0_n, lam0_t1, lam0_t2 = matched[:, 0], matched[:, 1], matched[:, 2]
-        imp0 = (
-            lam0_n[:, None] * nrm
-            + lam0_t1[:, None] * t1
-            + lam0_t2[:, None] * t2
-        )
-        vel0, omega0 = apply(vel0, omega0, imp0)
+        z = z + delta_from(imp0)
 
-    vel, omega, lam_n, lam_t1, lam_t2 = jax.lax.fori_loop(
+    z, lam_n, lam_t1, lam_t2, _ = jax.lax.fori_loop(
         0,
-        cfg.contact_iters,
+        total_iters,
         iteration,
-        (vel0, omega0, lam0_n, lam0_t1, lam0_t2),
+        (z, lam0_n, lam0_t1, lam0_t2, zero_c),
     )
-    lam3 = jnp.stack([lam_n, lam_t1, lam_t2], axis=-1)
-
-    # ---- split-impulse position correction ----
-    # Pseudo-velocities (never part of the real momentum state) are solved
-    # against the Baumgarte bias target and integrated into dpos/drot by the
-    # caller. Same operators, normal direction only.
-    def p_iteration(_, carry):
-        pvel, pomega, lam_b = carry
-        pv = rel_vel(pvel, pomega)
-        pv_n = jnp.einsum("ci,ci->c", nrm, pv)
-        d_lam = (bias - pv_n) / k_n * relax * actf
-        lam_b_new = jnp.maximum(lam_b + d_lam, 0.0)
-        pvel, pomega = apply(pvel, pomega, (lam_b_new - lam_b)[:, None] * nrm)
-        return pvel, pomega, lam_b_new
-
-    zero_nv = jnp.zeros_like(state.vel)
-    if use_split and cfg.position_iters > 0:
-        pvel, pomega, _ = jax.lax.fori_loop(
-            0, cfg.position_iters, p_iteration, (zero_nv, zero_nv, zeros_c)
-        )
-    else:
-        pvel, pomega = zero_nv, zero_nv
+    lam3 = jnp.stack([lam_n, lam_t1, lam_t2])                       # [3, C]
+    vw = z[:8]
+    pvw = z[8:]
 
     count = jnp.sum(act.astype(jnp.int32))
     max_pen = jnp.max(jnp.where(act, contacts.depth, 0.0), initial=0.0)
@@ -281,7 +318,25 @@ def solve_impulses(
         "max_penetration": max_pen,
         "normal_impulse_sum": imp_sum,
     }
-    return vel, omega, pvel, pomega, lam3, metrics
+    return (
+        vw[:3].T,
+        vw[3:6].T,
+        pvw[:3].T,
+        pvw[3:6].T,
+        lam3,
+        metrics,
+    )
+
+
+_VEC_FIELDS = ("point", "normal")  # [3, C] fields of Contacts
+
+
+def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
+    return Contacts(*[
+        getattr(contacts, f)[:, idx] if f in _VEC_FIELDS
+        else getattr(contacts, f)[idx]
+        for f in Contacts._fields
+    ])
 
 
 def compact_contacts(
@@ -304,8 +359,7 @@ def compact_contacts(
     overflow = jnp.maximum(
         jnp.sum(contacts.active.astype(jnp.int32)) - max_contacts, 0
     )
-    taken = Contacts(*[getattr(contacts, f)[idx] for f in Contacts._fields])
-    return taken, overflow
+    return _field_gather(contacts, idx), overflow
 
 
 def contact_capacity(state: SimState, cfg: SimConfig) -> int:
@@ -329,22 +383,35 @@ def contact_capacity(state: SimState, cfg: SimConfig) -> int:
     return int(jax.eval_shape(gen, state).shape[0])
 
 
-def _pad_leading(arr: Array, multiple: int) -> Array:
-    """Zero-pad the leading axis up to a multiple (False/0 ⇒ inactive)."""
-    rem = arr.shape[0] % multiple
+def _pad_axis(arr: Array, multiple: int, axis: int) -> Array:
+    """Zero-pad `axis` up to a multiple (False/0 ⇒ inactive)."""
+    rem = arr.shape[axis] % multiple
     if rem == 0:
         return arr
-    pad = [(0, multiple - rem)] + [(0, 0)] * (arr.ndim - 1)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, multiple - rem)
     return jnp.pad(arr, pad)
 
 
-def _chunk(arr: Array, axis_name: str, n_shards: int) -> Array:
-    """This device's contiguous slice of a leading-axis-sharded array
+def _chunk(
+    arr: Array, axis_name: str, n_shards: int, axis: int = 0
+) -> Array:
+    """This device's contiguous slice of an `axis`-sharded array
     (padded with inactive slots if not evenly divisible)."""
-    arr = _pad_leading(arr, n_shards)
-    size = arr.shape[0] // n_shards
+    arr = _pad_axis(arr, n_shards, axis)
+    size = arr.shape[axis] // n_shards
     idx = jax.lax.axis_index(axis_name)
-    return jax.lax.dynamic_slice_in_dim(arr, idx * size, size, 0)
+    return jax.lax.dynamic_slice_in_dim(arr, idx * size, size, axis)
+
+
+def _chunk_contacts(
+    contacts: Contacts, axis_name: str, n_shards: int
+) -> Contacts:
+    return Contacts(*[
+        _chunk(getattr(contacts, f), axis_name, n_shards,
+               axis=1 if f in _VEC_FIELDS else 0)
+        for f in Contacts._fields
+    ])
 
 
 def resolve_contacts(
@@ -367,9 +434,7 @@ def resolve_contacts(
     if cfg.ground_plane:
         gc = ground_contacts(state, cvx, cfg)
         if shard:
-            gc = Contacts(*[
-                _chunk(getattr(gc, f), *shard) for f in Contacts._fields
-            ])
+            gc = _chunk_contacts(gc, *shard)
         groups.append(gc)
     if cfg.pair_collisions and state.num_bodies > 1:
         cand = pair_candidates(state, cfg)
@@ -419,6 +484,6 @@ def resolve_contacts(
         order = jnp.argsort(contacts.key)
         state = state.replace(
             contact_key=contacts.key[order],
-            contact_lam=lam3[order],
+            contact_lam=lam3[:, order],
         )
     return state, {**metrics, **solve_metrics}

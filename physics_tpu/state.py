@@ -167,7 +167,7 @@ class SimState:
     # from the previous step; empty ([0]) disables warm starting — call
     # engine.prepare_contacts(state, cfg) to allocate the right capacity
     contact_key: Array  # [K] int32
-    contact_lam: Array  # [K, 3]
+    contact_lam: Array  # [3, K] (xyz-major, see ops.narrowphase.Contacts)
 
     # bookkeeping
     step_count: Array   # [] int32
@@ -196,20 +196,26 @@ def make_state(
     """Assemble a SimState from plain arrays, filling reference defaults
     (mass=1, inertia=I₃, identity orientation; reference:
     src/physics/rigid_body.rs:64-76)."""
-    pos = jnp.asarray(pos, jnp.float32)
+    # Assembled entirely in NumPy and shipped with ONE jax.device_put:
+    # per-field jnp conversions compile a tiny fill/convert program each
+    # (~0.4 s/program through the TPU tunnel) and made large scene builds
+    # take minutes.
+    import numpy as np
+
+    pos = np.asarray(pos, np.float32)
     n = pos.shape[0]
     if quat is None:
-        quat = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (n, 1))
+        quat = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
     if vel is None:
-        vel = jnp.zeros((n, 3), jnp.float32)
+        vel = np.zeros((n, 3), np.float32)
     if omega is None:
-        omega = jnp.zeros((n, 3), jnp.float32)
+        omega = np.zeros((n, 3), np.float32)
     if mass is None:
-        mass = jnp.ones((n,), jnp.float32)
-    mass = jnp.asarray(mass, jnp.float32)
+        mass = np.ones((n,), np.float32)
+    mass = np.asarray(mass, np.float32)
     if inertia is None:
-        inertia = jnp.tile(jnp.eye(3, dtype=jnp.float32), (n, 1, 1))
-    inertia = jnp.asarray(inertia, jnp.float32)
+        inertia = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    inertia = np.asarray(inertia, np.float32)
     if joints is None:
         joints = Joints.empty(0)
     if shapes is None:
@@ -217,32 +223,34 @@ def make_state(
     if hulls is None:
         hulls = HullSet.empty()
 
-    inv_mass = jnp.where(jnp.isinf(mass), 0.0, 1.0 / mass)
-    # static bodies (inv_mass == 0) get zero inverse inertia
-    from physics_tpu.maths.linalg import inv3x3
-
-    inv_inertia = jnp.where(
+    inv_mass = np.where(np.isinf(mass), 0.0, 1.0 / mass).astype(np.float32)
+    # static bodies (inv_mass == 0) get zero inverse inertia; same adjugate
+    # formula as maths.linalg.inv3x3 (np.linalg.inv matches to f32 precision)
+    safe = inertia.copy()
+    safe[inv_mass == 0] = np.eye(3, dtype=np.float32)
+    inv_inertia = np.where(
         (inv_mass > 0)[:, None, None],
-        inv3x3(inertia),
-        jnp.zeros((n, 3, 3), jnp.float32),
+        np.linalg.inv(safe).astype(np.float32),
+        np.zeros((n, 3, 3), np.float32),
     )
 
-    return SimState(
+    state = SimState(
         pos=pos,
-        quat=jnp.asarray(quat, jnp.float32),
-        vel=jnp.asarray(vel, jnp.float32),
-        omega=jnp.asarray(omega, jnp.float32),
-        force=jnp.zeros((n, 3), jnp.float32),
-        torque=jnp.zeros((n, 3), jnp.float32),
+        quat=np.asarray(quat, np.float32),
+        vel=np.asarray(vel, np.float32),
+        omega=np.asarray(omega, np.float32),
+        force=np.zeros((n, 3), np.float32),
+        torque=np.zeros((n, 3), np.float32),
         mass=mass,
         inv_mass=inv_mass,
         inertia=inertia,
         inv_inertia=inv_inertia,
         joints=joints,
-        lam_joint=jnp.zeros((joints.capacity * MAX_JOINT_ROWS,), jnp.float32),
+        lam_joint=np.zeros((joints.capacity * MAX_JOINT_ROWS,), np.float32),
         shapes=shapes,
         hulls=hulls,
-        contact_key=jnp.zeros((max(max_contacts, 0),), jnp.int32),
-        contact_lam=jnp.zeros((max(max_contacts, 0), 3), jnp.float32),
-        step_count=jnp.zeros((), jnp.int32),
+        contact_key=np.zeros((max(max_contacts, 0),), np.int32),
+        contact_lam=np.zeros((3, max(max_contacts, 0)), np.float32),
+        step_count=np.zeros((), np.int32),
     )
+    return jax.device_put(state)

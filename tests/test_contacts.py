@@ -140,3 +140,54 @@ def test_contact_metrics_surfaced():
     _, metrics = jax.jit(step_with_metrics, static_argnums=1)(state, CFG_GROUND)
     assert int(metrics["contact_count"]) == 4  # 4 corners penetrate
     assert float(metrics["max_penetration"]) > 0.05
+
+
+def test_warm_start_key_matching_sort_merge():
+    """The sort-merge warm matcher must recover exactly the impulses cached
+    under matching feature keys (NumPy oracle over random key tables)."""
+    import jax.numpy as jnp
+    from physics_tpu.ops.narrowphase import Contacts
+    from physics_tpu.solver.contacts import solve_impulses
+    from physics_tpu.io.meshes import box_inertia
+
+    rng = np.random.default_rng(7)
+    # two bodies resting: one contact each against ground, synthetic keys
+    b = SceneBuilder()
+    for k in range(2):
+        i = b.add_body(pos=(k * 2.0, 0.45, 0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5, 0.5, 0.5))
+    state = b.build()
+
+    c = 8
+    keys = np.array([5, 9, 0, 3, 12, 0, 7, 1], np.int32)
+    active = keys != 0
+    contacts = Contacts(
+        body_a=jnp.zeros(c, jnp.int32),
+        body_b=jnp.full((c,), -1, jnp.int32),
+        point=jnp.zeros((3, c), jnp.float32),
+        normal=jnp.stack([jnp.zeros(c), jnp.ones(c), jnp.zeros(c)]),
+        depth=jnp.full((c,), 0.01, jnp.float32),
+        active=jnp.asarray(active),
+        friction=jnp.full((c,), 0.5, jnp.float32),
+        restitution=jnp.zeros(c, jnp.float32),
+        key=jnp.asarray(keys),
+    )
+    prev_keys = np.array([0, 0, 1, 3, 6, 9, 12, 40], np.int32)  # sorted
+    prev_lam = rng.standard_normal((3, 8)).astype(np.float32)
+    cfg = SimConfig(contact_iters=0, position_iters=0)
+    _, _, _, _, lam3, _ = jax.jit(
+        lambda s, ct: solve_impulses(
+            s, ct, cfg,
+            warm=(jnp.asarray(prev_keys), jnp.asarray(prev_lam)))
+    )(state, contacts)
+    lam3 = np.asarray(lam3)
+    # oracle: for each active nonzero cur key present in prev_keys, the
+    # cached lam must come through; else zero (contact_iters=0 keeps values)
+    for i, k in enumerate(keys):
+        if k != 0 and active[i] and k in prev_keys:
+            j = int(np.where(prev_keys == k)[0][0])
+            np.testing.assert_allclose(lam3[:, i], prev_lam[:, j],
+                                       rtol=1e-6, err_msg=str(i))
+        else:
+            np.testing.assert_allclose(lam3[:, i], 0.0)
