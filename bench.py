@@ -106,13 +106,13 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
 def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     from physics_tpu.config import SimConfig
 
-    from physics_tpu.engine import prepare_contacts
-
+    # boxes_only fast paths; cold solves (no warm buffers: the per-env
+    # sort-merge dominated and vmapped sorts serialize on TPU)
     cfg = SimConfig(
         compat=False, ground_plane=True, pair_collisions=True,
-        contact_iters=8, dt=1.0 / 60.0,
+        contact_iters=8, dt=1.0 / 60.0, boxes_only=True,
     )
-    base = prepare_contacts(random_env(0, n_bodies), cfg)
+    base = random_env(0, n_bodies)
     rng = np.random.default_rng(1)
     offsets = rng.uniform(-1, 1, (n_envs, 1, 3)).astype(np.float32)
     batched = jax.vmap(lambda o: base.replace(pos=base.pos + o))(offsets)

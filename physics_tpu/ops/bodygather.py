@@ -1,0 +1,54 @@
+"""Body-table gather/scatter with a size-based strategy switch.
+
+Two regimes on TPU (v5e, trace-measured):
+
+* LARGE body tables (one big scene): a real lane gather/scatter costs
+  ~4-7 ns per index — fine at N = 4k, C = 24k.
+* SMALL tables under `vmap` (thousands of tiny envs): each vmapped
+  gather/scatter lowers to a serial per-index loop and dominates the step
+  (~25 ms/step at 256 envs × 8 bodies). With N ≤ ~64 the same operation as
+  a dense one-hot contraction is a tiny matmul that vectorizes perfectly
+  across the env batch (0 gathers in the whole program).
+
+The threshold is static (shapes), so the choice is made at trace time and
+both paths stay jit/vmap/shard_map-compatible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+DENSE_MAX_N = 64
+
+
+def lane_gather(table: Array, idx: Array) -> Array:
+    """table [R, N], idx [C] → [R, C] (rows of the table per index)."""
+    n = table.shape[-1]
+    if n <= DENSE_MAX_N:
+        oh = jax.nn.one_hot(idx, n, dtype=table.dtype)      # [C, N]
+        return jnp.einsum("rn,cn->rc", table, oh)
+    return table[:, idx]
+
+
+def lane_scatter_add(contrib: Array, ids: Array, n: int) -> Array:
+    """contrib [R, C], ids [C] with values in [0, n] (n ⇒ dropped) → [R, n].
+
+    Duplicate ids accumulate.
+    """
+    if n + 1 <= DENSE_MAX_N:
+        oh = jax.nn.one_hot(ids, n + 1, dtype=contrib.dtype)  # [C, n+1]
+        return jnp.einsum("rc,cn->rn", contrib, oh)[:, :n]
+    return jnp.zeros(
+        (contrib.shape[0], n + 1), contrib.dtype
+    ).at[:, ids].add(contrib)[:, :n]
+
+
+def scatter_add_1d(contrib: Array, ids: Array, n: int) -> Array:
+    """contrib [C], ids [C] with values in [0, n] (n ⇒ dropped) → [n]."""
+    if n + 1 <= DENSE_MAX_N:
+        oh = jax.nn.one_hot(ids, n + 1, dtype=contrib.dtype)
+        return jnp.einsum("c,cn->n", contrib, oh)[:n]
+    return jnp.zeros((n + 1,), contrib.dtype).at[ids].add(contrib)[:n]

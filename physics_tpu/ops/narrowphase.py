@@ -221,7 +221,10 @@ def ground_contacts(state: SimState, cvx: ConvexData, cfg: SimConfig
     """Contacts of every body's vertices against the plane y = ground_height.
 
     Up to min(8, Vc) contacts per body, deepest-first (top_k)."""
-    if cfg.boxes_only:
+    if cfg.boxes_only and jax.default_backend() == "tpu":
+        # TPU-layout fast path; on this image's CPU backend its subgraph
+        # combined with the pair path makes XLA emit catastrophically slow
+        # code (~100x) — see pair_contacts note
         return _ground_contacts_boxes(state, cfg)
     n = state.num_bodies
     rot = quat.to_matrix(state.quat)                                   # [N,3,3]
@@ -322,8 +325,10 @@ def _pair_contacts_boxes(state: SimState, cand: PairCandidates,
            state.shapes.restitution,
            (state.inv_mass > 0).astype(jnp.float32)]
     )                                                  # [18, N]
-    ta = table[:, ia]                                  # [18, P] lane gather
-    tb = table[:, ib]                                  # [18, P] lane gather
+    from physics_tpu.ops.bodygather import lane_gather
+
+    ta = lane_gather(table, ia)                        # [18, P]
+    tb = lane_gather(table, ib)                        # [18, P]
 
     man = box_box_manifold_batched(
         (ta[0], ta[1], ta[2]), tuple(ta[3 + k] for k in range(9)),
@@ -331,6 +336,11 @@ def _pair_contacts_boxes(state: SimState, cand: PairCandidates,
         (tb[0], tb[1], tb[2]), tuple(tb[3 + k] for k in range(9)),
         (tb[12], tb[13], tb[14]),
     )
+
+    # keep the SAT manifold and the slot selection in separate XLA
+    # computations: fused together, LLVM/XLA-CPU pathologically hangs
+    # compiling (or executing) the combined kernel — barrier is free on TPU
+    man = jax.tree_util.tree_map(jax.lax.optimization_barrier, man)
 
     movable = (ta[17] > 0) | (tb[17] > 0)
     base = cand.mask & movable
@@ -387,7 +397,12 @@ def _pair_contacts_boxes(state: SimState, cand: PairCandidates,
 def pair_contacts(state: SimState, cvx: ConvexData,
                   cand: PairCandidates, cfg: SimConfig) -> Contacts:
     """Contacts for the broad-phase candidate pairs (fixed [P·K] output)."""
-    if cfg.boxes_only:
+    if cfg.boxes_only and jax.default_backend() == "tpu":
+        # The batched component-form SAT is a TPU-layout optimization. On
+        # the CPU backend of this image's jaxlib, executing its
+        # selected-point graph spins forever (runtime codegen bug — the
+        # same program compiles and runs fine on TPU), so other backends
+        # take the generic vmapped path below.
         return _pair_contacts_boxes(state, cand, cfg)
 
     ia, ib = cand.body_a, cand.body_b

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from physics_tpu.config import SimConfig
 from physics_tpu.maths import vec3c as v3
+from physics_tpu.ops.bodygather import lane_gather, lane_scatter_add, scatter_add_1d
 from physics_tpu.maths import quaternion as quat
 from physics_tpu.ops.broadphase import pair_candidates
 from physics_tpu.ops.narrowphase import (
@@ -108,7 +109,7 @@ def solve_impulses(
     # contact degree per body -> Jacobi relaxation 1/deg (one packed scatter)
     seg_ids = jnp.concatenate([jnp.where(act, a, n),
                                jnp.where(has_b & act, b, n)])
-    deg = jnp.zeros((n + 1,), jnp.float32).at[seg_ids].add(1.0)[:n]
+    deg = scatter_add_1d(jnp.ones_like(seg_ids, jnp.float32), seg_ids, n)
     if axis_name:
         deg = jax.lax.psum(deg, axis_name)
 
@@ -123,8 +124,8 @@ def solve_impulses(
         + [state.inv_mass, deg, jnp.zeros((n,), jnp.float32),
            jnp.zeros((n,), jnp.float32)]
     )                                                 # [16, N]
-    ta = table[:, a]                                  # [16, C] lane gather
-    tb = table[:, b]                                  # [16, C] lane gather
+    ta = lane_gather(table, a)                        # [16, C]
+    tb = lane_gather(table, b)                        # [16, C]
 
     inv_m_a = ta[12] * actf
     inv_m_b = tb[12] * has_bf
@@ -193,8 +194,7 @@ def solve_impulses(
         else:
             rows += [zero_row] * 8
         contrib = jnp.stack(rows)                     # [16, 2C]
-        delta = jnp.zeros((16, n + 1), jnp.float32).at[:, seg_ids].add(
-            contrib)[:, :n]
+        delta = lane_scatter_add(contrib, seg_ids, n)
         if axis_name:
             delta = jax.lax.psum(delta, axis_name)
         return delta
@@ -203,7 +203,7 @@ def solve_impulses(
     # the velocity solve targets restitution only -- penetration is fixed by
     # the parallel pseudo-velocity position rows, so the cached real
     # impulses contain no Baumgarte energy (safe to warm start).
-    ga0, gb0 = vw0[:, a], vw0[:, b]
+    ga0, gb0 = lane_gather(vw0, a), lane_gather(vw0, b)
     v_n0 = v3.dot(nrm, rel_vel_from(ga0, gb0))
     bias = (
         jnp.float32(cfg.baumgarte)
@@ -221,7 +221,7 @@ def solve_impulses(
 
     def iteration(i, carry):
         z, lam_n, lam_t1, lam_t2, lam_b = carry
-        ga, gb = z[:, a], z[:, b]
+        ga, gb = lane_gather(z, a), lane_gather(z, b)
         vel_on = (i < cfg.contact_iters).astype(jnp.float32)
         pos_on = (i < n_pos_iters).astype(jnp.float32)
 
