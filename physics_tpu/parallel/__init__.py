@@ -1,3 +1,3 @@
-from physics_tpu.parallel import sharding
+from physics_tpu.parallel import multihost, sharding
 
-__all__ = ["sharding"]
+__all__ = ["multihost", "sharding"]

@@ -129,3 +129,51 @@ def test_texture_loaders():
         Image.fromarray(checkerboard(16)).save(p)
         back = load_texture(p)
         np.testing.assert_array_equal(back, checkerboard(16))
+
+
+def test_camera_controller_reference_semantics():
+    """Controller math mirrors the reference (camera.rs:152-182): forward
+    follows yaw, scroll follows pitch ('scrollward'), pitch clamps at
+    ±(π/2 − 1e-4), per-frame rotation deltas reset."""
+    from physics_tpu.render.camera import Camera, CameraController
+
+    cam = Camera(position=(0.0, 0.0, 0.0), yaw=0.0, pitch=0.0)
+    ctl = CameraController(speed=4.0, sensitivity=0.4)
+
+    assert ctl.process_keyboard("W", True)
+    assert not ctl.process_keyboard("q", True)
+    ctl.update_camera(cam, 0.5)
+    # yaw 0 → forward = (cos 0, 0, sin 0) = +x; 4.0 · 0.5 = 2
+    np.testing.assert_allclose(cam.position, [2.0, 0.0, 0.0], atol=1e-6)
+    ctl.process_keyboard("w", False)
+
+    # vertical axis
+    ctl.process_keyboard("space", True)
+    ctl.update_camera(cam, 0.25)
+    np.testing.assert_allclose(cam.position[1], 1.0, atol=1e-6)
+    ctl.process_keyboard("space", False)
+
+    # mouse look: dy raises pitch by dy·sens·dt, then resets
+    ctl.process_mouse(1.0, 2.0)
+    ctl.update_camera(cam, 0.5)
+    np.testing.assert_allclose(cam.yaw, 0.2, atol=1e-6)
+    np.testing.assert_allclose(cam.pitch, 0.4, atol=1e-6)
+    ctl.update_camera(cam, 0.5)  # deltas consumed
+    np.testing.assert_allclose(cam.pitch, 0.4, atol=1e-6)
+
+    # scroll moves along the pitched view direction (line delta ×100)
+    p0 = np.asarray(cam.position).copy()
+    ctl.process_scroll(lines=1.0)
+    ctl.update_camera(cam, 0.1)
+    d = np.asarray(cam.position) - p0
+    expect_dir = np.array([np.cos(0.4) * np.cos(0.2), np.sin(0.4),
+                           np.cos(0.4) * np.sin(0.2)])
+    d_norm = d / np.linalg.norm(d)
+    np.testing.assert_allclose(d_norm, -expect_dir, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(d), 100 * 4.0 * 0.4 * 0.1,
+                               rtol=1e-5)
+
+    # pitch clamp
+    ctl.process_mouse(0.0, 1e6)
+    ctl.update_camera(cam, 1.0)
+    assert abs(cam.pitch - (np.pi / 2 - 0.0001)) < 1e-6
