@@ -113,44 +113,54 @@ def sweep_candidates(
     aabb_s = aabbs[order]                                  # [N,2,3] (1 gather)
     coll_s = collidable[order]
 
-    # neighbor j = i+d in sorted order, d = 1..k, via shifted padded slices
-    pad_aabb = jnp.concatenate(
-        [aabb_s, jnp.full((k, 2, 3), jnp.inf, aabb_s.dtype)], axis=0
-    )
-    pad_coll = jnp.concatenate([coll_s, jnp.zeros((k,), bool)], axis=0)
     pad_order = jnp.concatenate(
         [order, jnp.zeros((k,), jnp.int32)], axis=0
     )
-    nb_aabb = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(pad_aabb, d, n, 0)
-         for d in range(1, k + 1)], axis=1)                # [N,k,2,3]
-    nb_coll = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(pad_coll, d, n, 0)
-         for d in range(1, k + 1)], axis=1)                # [N,k]
     nb_order = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(pad_order, d, n, 0)
          for d in range(1, k + 1)], axis=1)                # [N,k]
 
-    # x-overlap: neighbor's min-x must start before our max-x
-    x_overlap = nb_aabb[:, :, 0, 0] <= aabb_s[:, None, 1, 0]
-    lo = jnp.maximum(aabb_s[:, None, 0, :], nb_aabb[:, :, 0, :])
-    hi = jnp.minimum(aabb_s[:, None, 1, :], nb_aabb[:, :, 1, :])
-    full_overlap = jnp.all(lo <= hi, axis=-1)              # [N,k]
+    if jax.default_backend() == "tpu":
+        # ONE Pallas kernel: AABBs stay in VMEM for the whole window loop
+        # instead of `window` shifted HBM re-reads (ops/sweep_pallas.py)
+        from physics_tpu.ops.sweep_pallas import sweep_window_masks
 
-    valid = (
-        jnp.arange(n)[:, None] + jnp.arange(1, k + 1)[None, :]
-    ) < n
-    mask = (
-        valid & x_overlap & full_overlap
-        & coll_s[:, None] & nb_coll
-    )
+        x_t, full_t = sweep_window_masks(aabb_s, coll_s, k)  # [k, N]
+        mask = full_t.T                                       # [N, k]
+        last_overlap = x_t[k - 1]
+    else:
+        # neighbor j = i+d in sorted order, d = 1..k, shifted padded slices
+        pad_aabb = jnp.concatenate(
+            [aabb_s, jnp.full((k, 2, 3), jnp.inf, aabb_s.dtype)], axis=0
+        )
+        pad_coll = jnp.concatenate([coll_s, jnp.zeros((k,), bool)], axis=0)
+        nb_aabb = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(pad_aabb, d, n, 0)
+             for d in range(1, k + 1)], axis=1)            # [N,k,2,3]
+        nb_coll = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(pad_coll, d, n, 0)
+             for d in range(1, k + 1)], axis=1)            # [N,k]
+
+        # x-overlap: neighbor's min-x must start before our max-x
+        x_overlap = nb_aabb[:, :, 0, 0] <= aabb_s[:, None, 1, 0]
+        lo = jnp.maximum(aabb_s[:, None, 0, :], nb_aabb[:, :, 0, :])
+        hi = jnp.minimum(aabb_s[:, None, 1, :], nb_aabb[:, :, 1, :])
+        full_overlap = jnp.all(lo <= hi, axis=-1)          # [N,k]
+
+        valid = (
+            jnp.arange(n)[:, None] + jnp.arange(1, k + 1)[None, :]
+        ) < n
+        mask = (
+            valid & x_overlap & full_overlap
+            & coll_s[:, None] & nb_coll
+        )
+        last_overlap = x_overlap[:, -1] & valid[:, -1] & coll_s
 
     ia_f = jnp.broadcast_to(order[:, None], (n, k)).reshape(-1)
     ib_f = nb_order.reshape(-1)
 
     # overflow: window neighbor k (the furthest we look) still x-overlaps →
     # there may be pairs beyond the window.
-    last_overlap = x_overlap[:, -1] & valid[:, -1] & coll_s
     overflow = jnp.sum(last_overlap.astype(jnp.int32))
     return PairCandidates(ia_f, ib_f, mask.reshape(-1), overflow)
 

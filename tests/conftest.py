@@ -1,7 +1,9 @@
 """Test harness config: run on CPU with 8 virtual devices.
 
 Tests never require a TPU — the multi-chip sharding tests use the fake CPU
-mesh (SURVEY.md §4 item 5).
+mesh (SURVEY.md §4 item 5). Set PHYSICS_TPU_TEST_TPU=1 to run the suite on
+an attached TPU instead (exercises the Pallas kernels and the
+backend-gated fast paths).
 
 Note: this environment's sitecustomize imports jax at interpreter startup
 (pinning JAX_PLATFORMS from the shell env), so setting os.environ here is
@@ -12,14 +14,18 @@ creation, which also hasn't happened yet.
 
 import os
 
+_USE_TPU = os.environ.get("PHYSICS_TPU_TEST_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")

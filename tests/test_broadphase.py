@@ -97,3 +97,37 @@ def test_noncollidable_bodies_ignored():
     state = b.build()
     cand = allpairs_candidates(state, body_aabbs(state))
     assert pairs_set(cand) == set()
+
+
+def test_sweep_pallas_kernel_matches_oracle():
+    """The Pallas window-mask kernel must match a NumPy oracle (runs only
+    when a TPU is attached; the CPU path uses the XLA formulation)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas TPU kernel requires a TPU backend")
+    import jax.numpy as jnp
+    from physics_tpu.ops.sweep_pallas import sweep_window_masks
+
+    rng = np.random.default_rng(0)
+    n, k = 256, 16
+    mins = np.sort(rng.uniform(-10, 10, (n, 3)).astype(np.float32), axis=0)
+    ext = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    aabbs = np.stack([mins, mins + ext], axis=1)
+    aabbs = aabbs[np.argsort(aabbs[:, 0, 0])]
+    coll = rng.uniform(size=n) > 0.1
+
+    _, full_t = sweep_window_masks(jnp.asarray(aabbs), jnp.asarray(coll), k)
+    ref = np.zeros((k, n), bool)
+    for d in range(1, k + 1):
+        nb_min = np.full((n, 3), np.inf, np.float32)
+        nb_max = np.full((n, 3), -np.inf, np.float32)
+        nb_c = np.zeros(n, bool)
+        nb_min[: n - d] = aabbs[d:, 0]
+        nb_max[: n - d] = aabbs[d:, 1]
+        nb_c[: n - d] = coll[d:]
+        lo = np.maximum(aabbs[:, 0], nb_min)
+        hi = np.minimum(aabbs[:, 1], nb_max)
+        ref[d - 1] = np.all(lo <= hi, axis=-1) & coll & nb_c
+    np.testing.assert_array_equal(np.asarray(full_t), ref)
