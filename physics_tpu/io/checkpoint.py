@@ -38,3 +38,40 @@ def load(path: str, like: SimState) -> SimState:
             )
         new_leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_orbax(path: str, state: SimState) -> None:
+    """Save via orbax (async-capable, multi-host-aware production
+    checkpointing); `path` must be a directory.
+
+    Zero-size leaves (empty warm-start buffers etc.) are skipped — orbax
+    refuses them — and restored from the `like` template on load."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    payload = {
+        f"leaf_{i}": leaf for i, leaf in enumerate(leaves)
+        if np.size(leaf) > 0
+    }
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(os.path.abspath(path), payload, force=True)
+
+
+def load_orbax(path: str, like: SimState) -> SimState:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    template = {
+        f"leaf_{i}": leaf for i, leaf in enumerate(leaves)
+        if np.size(leaf) > 0
+    }
+    with ocp.StandardCheckpointer() as ckpt:
+        data = ckpt.restore(os.path.abspath(path), template)
+    new_leaves = [
+        data.get(f"leaf_{i}", leaf) for i, leaf in enumerate(leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -109,3 +109,55 @@ def random_env(seed: int, n_bodies: int = 8) -> SimState:
         )
         b.set_box(i, (0.4,) * 3, friction=0.5)
     return b.build()
+
+
+def mesh_rain(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
+              bevel: float = 0.1) -> SimState:
+    """Convex-hull meshes raining onto the ground (the mesh-rain config,
+    SURVEY.md §7 M2): every body is the reference demo's bevel-edged cube
+    as a convex hull (26 faces), randomly oriented, falling from a column.
+    """
+    from physics_tpu.io.primitives import beveled_cube_mesh
+
+    rng = np.random.default_rng(seed)
+    verts, _ = beveled_cube_mesh(size=size, bevel=bevel)
+    b = SceneBuilder()
+    hull = b.add_hull(verts)
+    side = max(1, int(np.ceil(np.sqrt(n_bodies / 4))))
+    count = 0
+    for layer in range(10**9):
+        if count >= n_bodies:
+            break
+        for gx in range(side):
+            for gz in range(side):
+                if count >= n_bodies:
+                    break
+                jitter = rng.uniform(-0.2, 0.2, 3)
+                i = b.add_body(
+                    pos=(
+                        (gx - side / 2) * 2.5 * size + jitter[0],
+                        1.5 * size + layer * 3.0 * size + jitter[1],
+                        (gz - side / 2) * 2.5 * size + jitter[2],
+                    ),
+                    euler=rng.uniform(-1.5, 1.5, 3),
+                    inertia=box_inertia((size,) * 3, 1.0),
+                )
+                b.set_hull(i, hull, friction=0.4, restitution=0.05)
+                count += 1
+    return b.build()
+
+
+def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
+    """Solver/broad-phase settings for the mesh-rain hull scenes."""
+    return SimConfig(
+        compat=False,
+        ground_plane=True,
+        pair_collisions=True,
+        broadphase="sweep",
+        sweep_window=32,
+        max_pair_candidates=8 * n_bodies,
+        max_contacts_per_pair=6,
+        max_contacts=8 * n_bodies,
+        contact_iters=16,
+        dt=dt,
+    )

@@ -111,3 +111,16 @@ def test_ball_joint_row_velocity_consistency():
     c1 = np.asarray(joint_rows(state2).c[0])
     c_dot_fd = (c1 - c0) / eps
     np.testing.assert_allclose(c_dot_pred, c_dot_fd, rtol=1e-2, atol=1e-3)
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from physics_tpu.io import checkpoint
+    from physics_tpu.scene import demo_scene
+    import jax.numpy as jnp
+
+    state = demo_scene()
+    state = state.replace(vel=state.vel + 1.5)
+    checkpoint.save_orbax(str(tmp_path / "ck"), state)
+    back = checkpoint.load_orbax(str(tmp_path / "ck"), demo_scene())
+    np.testing.assert_array_equal(np.asarray(back.vel), np.asarray(state.vel))
+    np.testing.assert_array_equal(np.asarray(back.pos), np.asarray(state.pos))

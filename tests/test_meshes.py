@@ -118,3 +118,15 @@ def test_hull_bodies_rest_on_ground():
     # rests on a flat face: height = half extent 0.5 (minus slop/sag)
     assert 0.42 < y < 0.55, y
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.05
+
+
+def test_mesh_rain_scene_builds_and_steps():
+    from physics_tpu.scenes import mesh_rain, rain_config
+    from physics_tpu.engine import step
+    import jax
+
+    state = mesh_rain(12, size=0.4)
+    assert int(np.sum(np.asarray(state.shapes.stype) == 3)) == 12  # hulls
+    cfg = rain_config(12).replace(contact_iters=8)
+    out = jax.jit(lambda s: step(s, cfg))(state)
+    assert bool(np.all(np.isfinite(np.asarray(out.pos))))
