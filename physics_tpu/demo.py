@@ -32,6 +32,10 @@ def main(argv=None) -> None:
     parser.add_argument("--out", default="demo_frames")
     parser.add_argument("--width", type=int, default=800)
     parser.add_argument("--height", type=int, default=600)
+    parser.add_argument("--textured", action="store_true",
+                        help="render the unlit textured look of the "
+                             "reference viewer (procedural checkerboard "
+                             "diffuse; shader.wgsl samples a texture)")
     parser.add_argument("--correct", action="store_true",
                         help="use the corrected physics instead of "
                              "reference-compat semantics")
@@ -56,10 +60,16 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.render_every > 0:
-        from physics_tpu.io.primitives import beveled_cube_mesh
+        from physics_tpu.io.primitives import beveled_cube_mesh, box_mesh_uv
         from physics_tpu.render.rasterizer import render_state, save_png
+        from physics_tpu.render.texture import checkerboard
 
-        mesh = beveled_cube_mesh(1.0, 0.1)
+        if args.textured:
+            verts, uvs, tris = box_mesh_uv((1.0, 1.0, 1.0))
+            mesh = (verts, tris, uvs, checkerboard(128))
+        else:
+            v, t = beveled_cube_mesh(1.0, 0.1)
+            mesh = (v, t, None, None)
         os.makedirs(args.out, exist_ok=True)
 
     t0 = time.perf_counter()
@@ -72,7 +82,9 @@ def main(argv=None) -> None:
         state = step_fn(state, cfg)
         if args.render_every and k % args.render_every == 0:
             img = render_state(state, mesh[0], mesh[1],
-                               width=args.width, height=args.height)
+                               width=args.width, height=args.height,
+                               uvs=mesh[2], texture=mesh[3],
+                               light_strength=0.0 if args.textured else 1.0)
             save_png(os.path.join(args.out, f"frame_{k:05d}.png"), img)
     jax.block_until_ready(state.pos)
     wall = time.perf_counter() - t0
