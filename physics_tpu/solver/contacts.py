@@ -14,11 +14,12 @@ Per contact, normal impulse λₙ ≥ 0 with a Baumgarte bias velocity
 |λₜ| ≤ μ·λₙ along two tangent directions. All state lives in the fori_loop
 carry; the whole solve fuses into the step program.
 
-LAYOUT (v5e-measured): all per-contact quantities are component-form 1-D
-[C] arrays (maths.vec3c) — [C, 3] tensors pad their minor dim to 128 lanes
-and made each Jacobi sweep cost ~1.2 ms at C = 24k; the component form is
-~10× cheaper. Contact vector fields arrive as [3, C] rows (narrowphase
-convention) and body state unpacks to component rows once per solve.
+LAYOUT (v5e-measured, docs/PERFORMANCE.md): all per-contact quantities are
+component-form 1-D [C] arrays (maths.vec3c) — [C, 3] tensors pad their
+minor dim to 128 lanes. Contact vector fields arrive as [3, C] rows
+(narrowphase convention); body state rides packed [rows, N] tables so each
+sweep costs exactly two lane gathers and one lane scatter (ops/bodygather
+switches those to dense one-hot contractions for small vmapped envs).
 """
 
 from __future__ import annotations
@@ -76,10 +77,10 @@ def solve_impulses(
 
     `warm=(prev_keys_sorted, prev_lam3)` warm-starts the solve: each
     contact's feature key is matched against the previous step's sorted key
-    table (searchsorted) and the matched impulses are applied up front, so
-    the Jacobi sweeps only correct the *change* since last step — the
-    standard impulse-caching trick, which roughly halves the sweeps needed
-    for resting stacks.
+    table (one-argsort sort-merge) and the matched impulses are applied up
+    front, so the Jacobi sweeps only correct the *change* since last step —
+    the standard impulse-caching trick, which roughly halves the sweeps
+    needed for resting stacks.
 
     With `axis_name` (inside shard_map) the contact buffer is sharded across
     that mesh axis while body velocities stay replicated: every impulse
