@@ -69,6 +69,15 @@ class SimConfig:
     sweep_window: int = 32              # neighbor window for 'sweep'
     max_pair_candidates: int = 0        # 0 → derived from N
 
+    # --- contact solver backend ---
+    # 'jacobi'        — packed-table XLA projected Jacobi (any backend)
+    # 'pallas_banded' — fused single-kernel banded solve (requires
+    #                   broadphase='sweep'; ~10× faster sweeps on TPU, runs
+    #                   interpreted elsewhere). See solver/contacts_pallas.py
+    contact_solver: str = "jacobi"
+    pallas_tile: int = 1024             # contacts per kernel grid step
+    pallas_window: int = 512            # body-rank window per tile (mult 128)
+
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True
     gyroscopic: bool = False            # add -ω×(Iω) term (explicit)

@@ -90,6 +90,19 @@ def allpairs_candidates(state: SimState, aabbs: Array) -> PairCandidates:
     return PairCandidates(ia, ib, mask, jnp.int32(0))
 
 
+def sweep_order(state: SimState, aabbs: Array) -> Array:
+    """The sweep's body sort order (original body id per sorted rank).
+
+    Shared with the banded contact solver (solver/contacts_pallas.py),
+    which relies on this exact order for its band guarantee: XLA CSE merges
+    the duplicate computation inside one jitted step.
+    """
+    min_x = aabbs[:, 0, 0]
+    collidable = state.shapes.stype != SHAPE_NONE
+    sort_key = jnp.where(collidable, min_x, jnp.inf)
+    return jnp.argsort(sort_key).astype(jnp.int32)
+
+
 def sweep_candidates(
     state: SimState, aabbs: Array, window: int
 ) -> PairCandidates:
@@ -104,11 +117,9 @@ def sweep_candidates(
     """
     n = state.num_bodies
     k = min(window, n - 1)
-    min_x = aabbs[:, 0, 0]
     collidable = state.shapes.stype != SHAPE_NONE
-    # push non-collidable bodies to the end of the sorted order
-    sort_key = jnp.where(collidable, min_x, jnp.inf)
-    order = jnp.argsort(sort_key).astype(jnp.int32)        # [N]
+    # non-collidable bodies are pushed to the end of the sorted order
+    order = sweep_order(state, aabbs)                      # [N]
 
     aabb_s = aabbs[order]                                  # [N,2,3] (1 gather)
     coll_s = collidable[order]

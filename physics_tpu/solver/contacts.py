@@ -24,7 +24,7 @@ switches those to dense one-hot contractions for small vmapped envs).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,44 +60,44 @@ def _tangent_basis(n):
     return t1, t2
 
 
-def solve_impulses(
+class ContactGeom(NamedTuple):
+    """Per-contact solve constants shared by the XLA and Pallas solvers.
+
+    All vector quantities are component-form tuples of [C] arrays
+    (maths.vec3c); iw_* are 9-tuples (row-major world inverse inertia,
+    pre-masked by activity), already multiplied by the activity masks the
+    way `solve_impulses` consumes them.
+    """
+
+    seg_ids: Array          # [2C] scatter ids (a then b; n ⇒ dropped)
+    inv_m_a: Array
+    inv_m_b: Array
+    iw_a: tuple
+    iw_b: tuple
+    r_a: tuple
+    r_b: tuple
+    nrm: tuple
+    t1: tuple
+    t2: tuple
+    k_n: Array
+    k_t1: Array
+    k_t2: Array
+    relax: Array
+    actf: Array
+    has_bf: Array
+
+
+def contact_geometry(
     state: SimState,
     contacts: Contacts,
     cfg: SimConfig,
     axis_name: str | None = None,
-    warm: Tuple[Array, Array] | None = None,
-):
-    """Iteratively resolve contacts.
-
-    Returns (vel, omega, pseudo_vel, pseudo_omega, lam3, metrics): vel/omega
-    and the pseudo velocities come back as [N, 3] arrays (packed once); the
-    pseudo velocities are the split-impulse position correction (integrate
-    them into pos/quat over one dt, outside the momentum state); lam3 [3, C]
-    holds the converged real impulses (λn, λt1, λt2) per slot.
-
-    `warm=(prev_keys_sorted, prev_lam3)` warm-starts the solve: each
-    contact's feature key is matched against the previous step's sorted key
-    table (one-argsort sort-merge) and the matched impulses are applied up
-    front, so the Jacobi sweeps only correct the *change* since last step —
-    the standard impulse-caching trick, which roughly halves the sweeps
-    needed for resting stacks.
-
-    With `axis_name` (inside shard_map) the contact buffer is sharded across
-    that mesh axis while body velocities stay replicated: every impulse
-    scatter becomes a local delta followed by a psum, which keeps the Jacobi
-    iteration mathematically identical to the single-device solve.
-
-    GATHER/SCATTER BUDGET (the design driver — on v5e each gather/scatter
-    op costs ~0.1-0.4 ms at these index counts regardless of payload width,
-    so ops are PACKED, not element-wise): per sweep exactly TWO lane
-    gathers (one [rows, N] -> [rows, C] per body endpoint, velocities and
-    angular velocities ride the same table) and ONE lane scatter-add
-    ([rows, 2C] -> [rows, N+1]). The old per-component form issued 24
-    gather/scatter ops per sweep and was ~8x slower end to end.
-    """
+) -> ContactGeom:
+    """Prologue of the impulse solve: packed body-table gathers → effective
+    masses, contact frames, Jacobi relaxation factors. ONE lane gather per
+    contact endpoint (see the gather/scatter budget note in
+    `solve_impulses`)."""
     n = state.num_bodies
-    c = contacts.body_a.shape[0]
-    dt = jnp.float32(cfg.dt)
 
     a = contacts.body_a
     b_raw = contacts.body_b
@@ -152,6 +152,103 @@ def solve_impulses(
     deg_c = jnp.maximum(jnp.maximum(ta[13], jnp.where(has_b, tb[13], 0.0)),
                         1.0)
     relax = jnp.float32(cfg.contact_relaxation) / deg_c
+
+    return ContactGeom(
+        seg_ids=seg_ids, inv_m_a=inv_m_a, inv_m_b=inv_m_b,
+        iw_a=iw_a, iw_b=iw_b, r_a=r_a, r_b=r_b, nrm=nrm, t1=t1, t2=t2,
+        k_n=k_n, k_t1=k_t1, k_t2=k_t2, relax=relax, actf=actf,
+        has_bf=has_bf,
+    )
+
+
+def warm_start_lambda(
+    contacts: Contacts, warm: Tuple[Array, Array], c: int
+) -> Tuple[Array, Array, Array]:
+    """Match previous-step impulses to this step's contacts by feature key.
+
+    sort-merge key matching: ONE argsort + one gather + one scatter.
+    (jnp.searchsorted lowers to a ~15-iteration binary-search while
+    loop of gathers — measured 1.3 ms/step at C = 24k on v5e; this
+    merge costs ~0.35 ms.) Composite sort key (key·2 + tag) keeps each
+    previous-step entry immediately before any current entry with the
+    same feature key; pair keys < n²·8 so the ·2 stays in int32.
+
+    Returns (lam0_n, lam0_t1, lam0_t2), already masked to active keyed
+    contacts.
+    """
+    prev_keys, prev_lam = warm
+    kp = prev_keys.shape[0]
+    comb = jnp.concatenate([prev_keys, contacts.key])
+    tag = jnp.concatenate([
+        jnp.zeros((kp,), jnp.int32), jnp.ones((c,), jnp.int32)
+    ])
+    order = jnp.argsort(comb * 2 + tag).astype(jnp.int32)
+    sk = comb[order]
+    st = tag[order]
+    prev_slot = jnp.concatenate([order[:1], order[:-1]])     # order[i-1]
+    prev_tag = jnp.concatenate([jnp.ones((1,), jnp.int32), st[:-1]])
+    prev_key = jnp.concatenate([sk[:1] - 1, sk[:-1]])
+    match = (st == 1) & (prev_tag == 0) & (sk == prev_key) & (sk != 0)
+    matched_col = jnp.clip(prev_slot, 0, kp - 1)
+    vals = prev_lam[:, matched_col]              # [3, kp+c] lane gather
+    vals = vals * match.astype(jnp.float32)
+    cur_slot = jnp.where(match, order - kp, c)   # c → dropped
+    lam0 = jnp.zeros((3, c + 1), jnp.float32).at[:, cur_slot].add(
+        vals)[:, :c]
+    actf3 = (contacts.active & (contacts.key != 0)).astype(jnp.float32)
+    return lam0[0] * actf3, lam0[1] * actf3, lam0[2] * actf3
+
+
+def solve_impulses(
+    state: SimState,
+    contacts: Contacts,
+    cfg: SimConfig,
+    axis_name: str | None = None,
+    warm: Tuple[Array, Array] | None = None,
+):
+    """Iteratively resolve contacts.
+
+    Returns (vel, omega, pseudo_vel, pseudo_omega, lam3, metrics): vel/omega
+    and the pseudo velocities come back as [N, 3] arrays (packed once); the
+    pseudo velocities are the split-impulse position correction (integrate
+    them into pos/quat over one dt, outside the momentum state); lam3 [3, C]
+    holds the converged real impulses (λn, λt1, λt2) per slot.
+
+    `warm=(prev_keys_sorted, prev_lam3)` warm-starts the solve: each
+    contact's feature key is matched against the previous step's sorted key
+    table (one-argsort sort-merge) and the matched impulses are applied up
+    front, so the Jacobi sweeps only correct the *change* since last step —
+    the standard impulse-caching trick, which roughly halves the sweeps
+    needed for resting stacks.
+
+    With `axis_name` (inside shard_map) the contact buffer is sharded across
+    that mesh axis while body velocities stay replicated: every impulse
+    scatter becomes a local delta followed by a psum, which keeps the Jacobi
+    iteration mathematically identical to the single-device solve.
+
+    GATHER/SCATTER BUDGET (the design driver — on v5e each gather/scatter
+    op costs ~0.1-0.4 ms at these index counts regardless of payload width,
+    so ops are PACKED, not element-wise): per sweep exactly TWO lane
+    gathers (one [rows, N] -> [rows, C] per body endpoint, velocities and
+    angular velocities ride the same table) and ONE lane scatter-add
+    ([rows, 2C] -> [rows, N+1]). The old per-component form issued 24
+    gather/scatter ops per sweep and was ~8x slower end to end.
+    """
+    n = state.num_bodies
+    c = contacts.body_a.shape[0]
+    dt = jnp.float32(cfg.dt)
+
+    g = contact_geometry(state, contacts, cfg, axis_name=axis_name)
+    seg_ids = g.seg_ids
+    inv_m_a, inv_m_b = g.inv_m_a, g.inv_m_b
+    iw_a, iw_b = g.iw_a, g.iw_b
+    r_a, r_b = g.r_a, g.r_b
+    nrm, t1, t2 = g.nrm, g.t1, g.t2
+    k_n, k_t1, k_t2 = g.k_n, g.k_t1, g.k_t2
+    relax, actf, has_bf = g.relax, g.actf, g.has_bf
+    act = contacts.active
+    a = contacts.body_a
+    b = jnp.clip(contacts.body_b, 0, n - 1)
 
     # ---- packed solver state z [16, N]: rows 0:6 = real (vel, omega),
     # rows 8:14 = split-impulse pseudo (vel, omega). The velocity pass and
@@ -262,35 +359,7 @@ def solve_impulses(
     lam0_n, lam0_t1, lam0_t2 = zero_c, zero_c, zero_c
     z = vw0
     if warm is not None:
-        # sort-merge key matching: ONE argsort + one gather + one scatter.
-        # (jnp.searchsorted lowers to a ~15-iteration binary-search while
-        # loop of gathers — measured 1.3 ms/step at C = 24k on v5e; this
-        # merge costs ~0.35 ms.) Composite sort key (key·2 + tag) keeps each
-        # previous-step entry immediately before any current entry with the
-        # same feature key; pair keys < n²·8 so the ·2 stays in int32.
-        prev_keys, prev_lam = warm
-        kp = prev_keys.shape[0]
-        comb = jnp.concatenate([prev_keys, contacts.key])
-        tag = jnp.concatenate([
-            jnp.zeros((kp,), jnp.int32), jnp.ones((c,), jnp.int32)
-        ])
-        order = jnp.argsort(comb * 2 + tag).astype(jnp.int32)
-        sk = comb[order]
-        st = tag[order]
-        prev_slot = jnp.concatenate([order[:1], order[:-1]])     # order[i-1]
-        prev_tag = jnp.concatenate([jnp.ones((1,), jnp.int32), st[:-1]])
-        prev_key = jnp.concatenate([sk[:1] - 1, sk[:-1]])
-        match = (st == 1) & (prev_tag == 0) & (sk == prev_key) & (sk != 0)
-        matched_col = jnp.clip(prev_slot, 0, kp - 1)
-        vals = prev_lam[:, matched_col]              # [3, kp+c] lane gather
-        vals = vals * match.astype(jnp.float32)
-        cur_slot = jnp.where(match, order - kp, c)   # c → dropped
-        lam0 = jnp.zeros((3, c + 1), jnp.float32).at[:, cur_slot].add(
-            vals)[:, :c]
-        actf3 = (act & (contacts.key != 0)).astype(jnp.float32)
-        lam0_n = lam0[0] * actf3
-        lam0_t1 = lam0[1] * actf3
-        lam0_t2 = lam0[2] * actf3
+        lam0_n, lam0_t1, lam0_t2 = warm_start_lambda(contacts, warm, c)
         imp0 = v3.add(
             v3.add(v3.scale(nrm, lam0_n), v3.scale(t1, lam0_t1)),
             v3.scale(t2, lam0_t2),
@@ -333,11 +402,38 @@ _VEC_FIELDS = ("point", "normal")  # [3, C] fields of Contacts
 
 
 def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
-    return Contacts(*[
-        getattr(contacts, f)[:, idx] if f in _VEC_FIELDS
-        else getattr(contacts, f)[idx]
-        for f in Contacts._fields
-    ])
+    """Reorder every Contacts field by `idx` with ONE packed lane gather.
+
+    Gather cost on TPU is per-op × per-index (docs/PERFORMANCE.md), so the
+    9 float rows ride one [9, C] table and the 4 int fields (body ids, key,
+    active) another — two packed gathers instead of nine. Ints stay int32:
+    bit-casting them through f32 is NOT safe (negative ids / large keys form
+    NaN payloads, which the TPU may canonicalize in transit).
+    """
+    packed = jnp.stack([
+        contacts.point[0], contacts.point[1], contacts.point[2],
+        contacts.normal[0], contacts.normal[1], contacts.normal[2],
+        contacts.depth,
+        contacts.friction,
+        contacts.restitution,
+    ])[:, idx]                                   # ONE [9, C] lane gather
+    ipacked = jnp.stack([
+        contacts.body_a,
+        contacts.body_b,
+        contacts.active.astype(jnp.int32),
+        contacts.key,
+    ])[:, idx]                                   # ONE [4, C] int gather
+    return Contacts(
+        body_a=ipacked[0],
+        body_b=ipacked[1],
+        point=packed[0:3],
+        normal=packed[3:6],
+        depth=packed[6],
+        active=ipacked[2] != 0,
+        friction=packed[7],
+        restitution=packed[8],
+        key=ipacked[3],
+    )
 
 
 def compact_contacts(
@@ -381,7 +477,12 @@ def contact_capacity(state: SimState, cfg: SimConfig) -> int:
         contacts, _ = compact_contacts(contacts, cfg.max_contacts)
         return contacts.key
 
-    return int(jax.eval_shape(gen, state).shape[0])
+    c = int(jax.eval_shape(gen, state).shape[0])
+    if cfg.contact_solver == "pallas_banded":
+        from physics_tpu.solver.contacts_pallas import padded_contact_count
+
+        c = padded_contact_count(state.num_bodies, c, cfg)
+    return c
 
 
 def _pad_axis(arr: Array, multiple: int, axis: int) -> Array:
@@ -466,14 +567,45 @@ def resolve_contacts(
     # this config's contact capacity (engine.prepare_contacts); sharded
     # solves skip it (per-shard key tables are not maintained)
     c_total = contacts.key.shape[0]
-    use_warm = (
-        shard is None and state.contact_key.shape[0] == c_total and c_total > 0
-    )
-    warm = (state.contact_key, state.contact_lam) if use_warm else None
+    if cfg.contact_solver == "pallas_banded":
+        if shard is not None:
+            raise ValueError(
+                "contact_solver='pallas_banded' does not support sharded "
+                "solves; use contact_solver='jacobi' with shard="
+            )
+        if cfg.pair_collisions and cfg.broadphase != "sweep":
+            raise ValueError(
+                "contact_solver='pallas_banded' requires broadphase='sweep' "
+                "(its band guarantee comes from the sweep's rank window)"
+            )
+        from physics_tpu.ops.broadphase import body_aabbs, sweep_order
+        from physics_tpu.solver.contacts_pallas import (
+            padded_contact_count,
+            solve_impulses_banded,
+        )
 
-    vel, omega, pvel, pomega, lam3, solve_metrics = solve_impulses(
-        state, contacts, cfg, axis_name=axis_name, warm=warm
-    )
+        cp = padded_contact_count(state.num_bodies, c_total, cfg)
+        use_warm = state.contact_key.shape[0] == cp and c_total > 0
+        warm = (state.contact_key, state.contact_lam) if use_warm else None
+        body_order = sweep_order(state, body_aabbs(state))
+        # NOTE: returns the rank-sorted, tile-padded contacts struct — the
+        # returned lam3 aligns with IT, so warm bookkeeping below must too
+        vel, omega, pvel, pomega, lam3, solve_metrics, contacts = (
+            solve_impulses_banded(
+                state, contacts, cfg, body_order, warm=warm
+            )
+        )
+    else:
+        use_warm = (
+            shard is None
+            and state.contact_key.shape[0] == c_total
+            and c_total > 0
+        )
+        warm = (state.contact_key, state.contact_lam) if use_warm else None
+
+        vel, omega, pvel, pomega, lam3, solve_metrics = solve_impulses(
+            state, contacts, cfg, axis_name=axis_name, warm=warm
+        )
     # split-impulse position correction: pseudo velocities integrate into
     # the pose immediately and never enter the momentum state
     dt = jnp.float32(cfg.dt)

@@ -1,0 +1,448 @@
+"""Fused banded contact solve: the whole projected-Jacobi sweep loop as ONE
+Pallas TPU kernel.
+
+Motivation (docs/PERFORMANCE.md): in the XLA solver every Jacobi sweep pays
+two HBM lane gathers and one lane scatter at ~4-7 ns/index — ~8 ms of the
+4k-pile step. This kernel keeps the packed velocity table ("z", real +
+split-impulse pseudo velocities) resident in VMEM across ALL sweeps and
+turns each gather/scatter into banded one-hot MXU matmuls, which is
+possible because the sweep broad phase guarantees a band structure: pair
+candidates are (rank i, rank i+d), d ≤ sweep_window, in AABB-min-x sorted
+body order (ops/broadphase.py sweep_candidates). Measured on the settled
+4k pile: max rank distance 44, per-1024-contact-tile body span ≤ 244 — a
+static 512-wide window per tile covers everything.
+
+Layout/precision notes (all v5e trace-measured, see
+experiments/pallas_fused_sweep.py):
+  * one-hot matrices are built in-kernel by iota-compare (never touch HBM)
+    in bf16; gathered/scattered payloads are split hi/lo into two bf16
+    matmuls accumulated in f32 — exact to ~2⁻¹⁹ relative (the MXU's f32
+    mode via precision=HIGHEST costs ~5×; full-f32 semantics are not
+    needed inside a fixed-point iteration).
+  * Jacobi semantics are preserved exactly: each sweep reads a snapshot
+    (tab_read) taken at tile 0 while deltas accumulate into tab_acc, so
+    tile ordering does not leak into the math (matches the XLA solver up
+    to f32 summation order).
+  * the warm-start impulse application (XLA path: one extra lane scatter)
+    rides the kernel as sweep 0.
+
+Out-of-window safety: contacts whose endpoints do not fit their tile's
+window are deactivated (zero one-hot column — they contribute nothing and
+read zeros) and counted into the `band_overflow` metric — never silently
+dropped (SURVEY.md §7 design stance). With broadphase='sweep' and
+pallas_window ≥ tile span + sweep_window this is provably zero; a
+ValueError guards non-sweep broad phases.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from physics_tpu.config import SimConfig
+from physics_tpu.maths import vec3c as v3
+from physics_tpu.ops.narrowphase import Contacts
+from physics_tpu.solver.contacts import (
+    _field_gather,
+    contact_geometry,
+    warm_start_lambda,
+)
+from physics_tpu.state import SimState
+
+Array = jnp.ndarray
+
+# consts table row indices ([R_CONST, C] f32, tile-blocked into the kernel)
+_R_RA = 0        # 0:3   r_a
+_R_RB = 3        # 3:6   r_b
+_R_N = 6         # 6:9   normal
+_R_T1 = 9        # 9:12  tangent 1
+_R_T2 = 12       # 12:15 tangent 2
+_R_IKN = 15      # 1/k_n
+_R_IKT1 = 16
+_R_IKT2 = 17
+_R_VTGT = 18     # velocity-solve target (restitution / Baumgarte)
+_R_BIAS = 19     # position-solve bias velocity
+_R_FRIC = 20
+_R_RELAX = 21    # relaxation * activity
+_R_IMA = 22      # inv_mass_a * act
+_R_IMB = 23
+_R_IWA = 24      # 24:33 world inv inertia a (row major), * act
+_R_IWB = 33      # 33:42 world inv inertia b
+_R_LAM0 = 42     # 42:45 warm-start (λn, λt1, λt2), pre-masked
+R_CONST = 48     # padded to a multiple of 8 sublanes
+
+# z table rows: 0:3 vel | 3:6 omega | 8:11 pseudo vel | 11:14 pseudo omega
+Z_ROWS = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _split(x):
+    """hi/lo bf16 split: x == hi + lo to ~19 significant bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
+    """Kernel body closure over the static solve shape.
+
+    Grid is (n_sweeps, ntiles); when `warm_sweep` the s=0 pass applies the
+    warm-start impulses (λ: 0 → λ₀) instead of a relaxation update.
+    """
+
+    def kernel(base_ref, la_ref, lb_ref, consts_ref, z0_ref,
+               zout_ref, lam_ref, tab_read, tab_acc, lam_s):
+        s, t = pl.program_id(0), pl.program_id(1)
+        ntiles = pl.num_programs(1)
+
+        @pl.when((s == 0) & (t == 0))
+        def _():
+            tab_acc[:] = z0_ref[:]
+
+        @pl.when(t == 0)
+        def _():
+            tab_read[:] = tab_acc[:]
+
+        coff = pl.multiple_of(t * tile, 128)
+
+        @pl.when(s == 0)
+        def _():
+            lam_s[:, pl.ds(coff, tile)] = jnp.zeros((4, tile), jnp.float32)
+
+        start = pl.multiple_of(base_ref[t], 128)
+        win = tab_read[:, pl.ds(start, wtot)]                # [16, WTOT]
+        w_hi, w_lo = _split(win)
+        la = la_ref[0, 0, :]
+        lb = lb_ref[0, 0, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
+        oh_a = (row == la[None, :]).astype(jnp.bfloat16)     # [WTOT, TILE]
+        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+
+        def bgather(oh):
+            g1 = jax.lax.dot_general(
+                w_hi, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return g1 + jax.lax.dot_general(
+                w_lo, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [16, TILE]
+
+        ga = bgather(oh_a)
+        gb = bgather(oh_b)       # ghost endpoints (lb = -1): all-zero column
+
+        cs = consts_ref[:]                                   # [R_CONST, TILE]
+        r_a = (cs[_R_RA], cs[_R_RA + 1], cs[_R_RA + 2])
+        r_b = (cs[_R_RB], cs[_R_RB + 1], cs[_R_RB + 2])
+        nrm = (cs[_R_N], cs[_R_N + 1], cs[_R_N + 2])
+        t1 = (cs[_R_T1], cs[_R_T1 + 1], cs[_R_T1 + 2])
+        t2 = (cs[_R_T2], cs[_R_T2 + 1], cs[_R_T2 + 2])
+        inv_k_n, inv_k_t1, inv_k_t2 = cs[_R_IKN], cs[_R_IKT1], cs[_R_IKT2]
+        v_target, bias = cs[_R_VTGT], cs[_R_BIAS]
+        friction, relax = cs[_R_FRIC], cs[_R_RELAX]
+        inv_m_a, inv_m_b = cs[_R_IMA], cs[_R_IMB]
+        iw_a = tuple(cs[_R_IWA + k] for k in range(9))
+        iw_b = tuple(cs[_R_IWB + k] for k in range(9))
+
+        def rel_vel(base):
+            va = v3.add((ga[base], ga[base + 1], ga[base + 2]),
+                        v3.cross((ga[base + 3], ga[base + 4], ga[base + 5]),
+                                 r_a))
+            vb = v3.add((gb[base], gb[base + 1], gb[base + 2]),
+                        v3.cross((gb[base + 3], gb[base + 4], gb[base + 5]),
+                                 r_b))
+            return v3.sub(va, vb)
+
+        i = s - 1 if warm_sweep else s
+        vel_on = jnp.where((i >= 0) & (i < vel_iters), 1.0, 0.0)
+        pos_on = jnp.where((i >= 0) & (i < pos_iters), 1.0, 0.0)
+        is_warm = (s == 0) if warm_sweep else False
+
+        lam4 = lam_s[:, pl.ds(coff, tile)]                   # [4, TILE]
+        lam_n, lam_t1, lam_t2, lam_b = lam4[0], lam4[1], lam4[2], lam4[3]
+
+        v = rel_vel(0)
+        v_n = v3.dot(nrm, v)
+        d_lam = (v_target - v_n) * inv_k_n * relax * vel_on
+        lam_n_new = jnp.maximum(lam_n + d_lam, 0.0)
+        lim = friction * lam_n_new
+        v_t1 = v3.dot(t1, v)
+        lam_t1_new = jnp.clip(lam_t1 - v_t1 * inv_k_t1 * relax * vel_on,
+                              -lim, lim)
+        v_t2 = v3.dot(t2, v)
+        lam_t2_new = jnp.clip(lam_t2 - v_t2 * inv_k_t2 * relax * vel_on,
+                              -lim, lim)
+
+        pv_n = v3.dot(nrm, rel_vel(8))
+        d_lam_b = (bias - pv_n) * inv_k_n * relax * pos_on
+        lam_b_new = jnp.maximum(lam_b + d_lam_b, 0.0)
+
+        if warm_sweep:
+            # sweep 0 applies the cached impulses: λ jumps 0 → λ₀
+            wf = jnp.where(is_warm, 1.0, 0.0)
+            nf = 1.0 - wf
+            lam_n_new = wf * cs[_R_LAM0] + nf * lam_n_new
+            lam_t1_new = wf * cs[_R_LAM0 + 1] + nf * lam_t1_new
+            lam_t2_new = wf * cs[_R_LAM0 + 2] + nf * lam_t2_new
+            lam_b_new = nf * lam_b_new
+
+        imp = v3.add(
+            v3.add(v3.scale(nrm, lam_n_new - lam_n),
+                   v3.scale(t1, lam_t1_new - lam_t1)),
+            v3.scale(t2, lam_t2_new - lam_t2))
+        pimp = v3.scale(nrm, lam_b_new - lam_b)
+
+        lam_s[:, pl.ds(coff, tile)] = jnp.stack(
+            [lam_n_new, lam_t1_new, lam_t2_new, lam_b_new])
+
+        zero = jnp.zeros((tile,), jnp.float32)
+
+        def contrib(im, pim, inv_m, iw, r, sign):
+            dv = v3.scale(im, sign * inv_m)
+            dw = v3.scale(v3.mat_vec(iw, v3.cross(r, im)), sign)
+            pdv = v3.scale(pim, sign * inv_m)
+            pdw = v3.scale(v3.mat_vec(iw, v3.cross(r, pim)), sign)
+            return jnp.stack(
+                [dv[0], dv[1], dv[2], dw[0], dw[1], dw[2], zero, zero,
+                 pdv[0], pdv[1], pdv[2], pdw[0], pdw[1], pdw[2], zero,
+                 zero])                                       # [16, TILE]
+
+        ca = contrib(imp, pimp, inv_m_a, iw_a, r_a, 1.0)
+        cb = contrib(imp, pimp, inv_m_b, iw_b, r_b, -1.0)
+
+        def bscatter(cmat, oh):
+            c_hi, c_lo = _split(cmat)
+            d1 = jax.lax.dot_general(
+                c_hi, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [16, WTOT]
+            return d1 + jax.lax.dot_general(
+                c_lo, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        tab_acc[:, pl.ds(start, wtot)] += bscatter(ca, oh_a) + bscatter(
+            cb, oh_b)
+
+        lam_ref[:] = jnp.stack([lam_n_new, lam_t1_new, lam_t2_new,
+                                lam_b_new])
+
+        @pl.when((s == n_sweeps - 1) & (t == ntiles - 1))
+        def _():
+            zout_ref[:] = tab_acc[:]
+
+    return kernel
+
+
+def banded_sweeps(
+    z0: Array,            # [16, NPAD] packed rank-space velocity table
+    bases: Array,         # [ntiles] int32 window starts (multiples of 128)
+    la: Array,            # [Cp] int32 local rank of endpoint a (-1 ⇒ off)
+    lb: Array,            # [Cp] int32 local rank of endpoint b (-1 ⇒ off)
+    consts: Array,        # [R_CONST, Cp] per-contact constants
+    *,
+    tile: int,
+    wtot: int,
+    vel_iters: int,
+    pos_iters: int,
+    warm_sweep: bool,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array]:
+    """Run the fused sweep loop; returns (z [16, NPAD], lam [4, Cp])."""
+    cp = la.shape[0]
+    ntiles = cp // tile
+    npad = z0.shape[1]
+    n_sweeps = max(vel_iters, pos_iters) + (1 if warm_sweep else 0)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    la3 = jnp.broadcast_to(la.reshape(ntiles, 1, tile), (ntiles, 8, tile))
+    lb3 = jnp.broadcast_to(lb.reshape(ntiles, 1, tile), (ntiles, 8, tile))
+
+    kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
+                          warm_sweep)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sweeps, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, 8, tile), lambda s, t, b: (t, 0, 0)),
+            pl.BlockSpec((1, 8, tile), lambda s, t, b: (t, 0, 0)),
+            pl.BlockSpec((R_CONST, tile), lambda s, t, b: (0, t)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda s, t, b: (0, t)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Z_ROWS, npad), jnp.float32),
+            pltpu.VMEM((Z_ROWS, npad), jnp.float32),
+            pltpu.VMEM((4, cp), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((Z_ROWS, npad), jnp.float32),
+            jax.ShapeDtypeStruct((4, cp), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bases, la3, lb3, consts, z0)
+
+
+def solve_shape(n: int, c: int, cfg: SimConfig) -> Tuple[int, int, int]:
+    """(tile, wtot, npad) for a solve of c contacts over n bodies."""
+    cp128 = max(_round_up(c, 128), 128)
+    tile = min(cfg.pallas_tile, cp128)
+    wtot = cfg.pallas_window
+    npad = _round_up(max(n + wtot, wtot), 128)
+    return tile, wtot, npad
+
+
+def padded_contact_count(n: int, c: int, cfg: SimConfig) -> int:
+    tile, _, _ = solve_shape(n, c, cfg)
+    return _round_up(max(c, 1), tile)
+
+
+def _pad_contacts(contacts: Contacts, cp: int) -> Contacts:
+    c = contacts.body_a.shape[0]
+    if c == cp:
+        return contacts
+    pad = cp - c
+
+    def pad_field(name):
+        arr = getattr(contacts, name)
+        if name in ("point", "normal"):
+            return jnp.pad(arr, ((0, 0), (0, pad)))
+        return jnp.pad(arr, ((0, pad),))
+
+    return Contacts(*[pad_field(f) for f in Contacts._fields])
+
+
+def solve_impulses_banded(
+    state: SimState,
+    contacts: Contacts,
+    cfg: SimConfig,
+    order: Array,
+    warm: Tuple[Array, Array] | None = None,
+):
+    """Drop-in replacement for `solve_impulses` using the fused kernel.
+
+    `order` is the broad-phase sweep's body sort order (original body id per
+    rank); the solve runs in rank space so pair endpoints are within
+    `sweep_window` of each other. Returns the same tuple as
+    `solve_impulses` plus a reordered `contacts` (sorted by rank, padded to
+    the kernel tile) whose slots align with the returned lam3 — the caller
+    must use THAT struct for warm-start bookkeeping.
+    """
+    n = state.num_bodies
+    c0 = contacts.body_a.shape[0]
+    dt = jnp.float32(cfg.dt)
+    tile, wtot, npad = solve_shape(n, c0, cfg)
+    cp = padded_contact_count(n, c0, cfg)
+
+    # rank of each body in sweep order: rank[order[i]] = i
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # sort contacts by their lowest endpoint rank, then pad to the tile
+    has_b0 = contacts.body_b >= 0
+    ra0 = rank[contacts.body_a]
+    rb0 = jnp.where(has_b0, rank[jnp.clip(contacts.body_b, 0, n - 1)], ra0)
+    lo = jnp.where(contacts.active, jnp.minimum(ra0, rb0), n + npad)
+    contacts = _field_gather(contacts, jnp.argsort(lo).astype(jnp.int32))
+    contacts = _pad_contacts(contacts, cp)
+
+    g = contact_geometry(state, contacts, cfg)
+
+    has_b = contacts.body_b >= 0
+    ra = rank[contacts.body_a]
+    rb = jnp.where(has_b, rank[jnp.clip(contacts.body_b, 0, n - 1)], -1)
+    lo_s = jnp.where(contacts.active, jnp.minimum(ra, jnp.where(
+        has_b, rb, ra)), npad - 1)
+
+    ntiles = cp // tile
+    tile_min = jnp.min(lo_s.reshape(ntiles, tile), axis=1)
+    bases = jnp.clip((tile_min // 128) * 128, 0, npad - wtot).astype(
+        jnp.int32)
+    base_per = jnp.repeat(bases, tile)
+    la = ra - base_per
+    lb = jnp.where(has_b, rb - base_per, -1)
+
+    in_band = (la >= 0) & (la < wtot) & (lb < wtot)
+    overflow = jnp.sum(
+        (contacts.active & ~in_band).astype(jnp.int32))
+    actf = (contacts.active & in_band).astype(jnp.float32)
+    la = jnp.where(in_band & contacts.active, la, -1)
+    lb = jnp.where(in_band & contacts.active & has_b, lb, -1)
+
+    # ---- velocity-solve targets (same math as solve_impulses) ----
+    vel_r = state.vel[order]                                  # rank space
+    omega_r = state.omega[order]
+    z0 = jnp.zeros((Z_ROWS, npad), jnp.float32)
+    z0 = z0.at[0:3, :n].set(vel_r.T).at[3:6, :n].set(omega_r.T)
+
+    # pre-solve approach velocity (from state, NOT the z table — cheaper
+    # as a direct gather of the original [N, 3] arrays)
+    va0 = v3.add(v3.unpack(state.vel[contacts.body_a], -1),
+                 v3.cross(v3.unpack(state.omega[contacts.body_a], -1),
+                          g.r_a))
+    bsafe = jnp.clip(contacts.body_b, 0, n - 1)
+    vb0 = v3.scale(
+        v3.add(v3.unpack(state.vel[bsafe], -1),
+               v3.cross(v3.unpack(state.omega[bsafe], -1), g.r_b)),
+        g.has_bf)
+    v_n0 = v3.dot(g.nrm, v3.sub(va0, vb0))
+    bias = (jnp.float32(cfg.baumgarte) / dt
+            * jnp.maximum(contacts.depth - jnp.float32(cfg.penetration_slop),
+                          0.0))
+    bounce = contacts.restitution * jnp.maximum(-v_n0, 0.0)
+    use_split = warm is not None
+    v_target = bounce if use_split else jnp.maximum(bias, bounce)
+    n_pos_iters = cfg.position_iters if use_split else 0
+
+    lam0_n = lam0_t1 = lam0_t2 = jnp.zeros((cp,), jnp.float32)
+    if warm is not None:
+        lam0_n, lam0_t1, lam0_t2 = warm_start_lambda(contacts, warm, cp)
+        lam0_n, lam0_t1, lam0_t2 = (lam0_n * actf, lam0_t1 * actf,
+                                    lam0_t2 * actf)
+
+    consts = jnp.concatenate([
+        jnp.stack(list(g.r_a) + list(g.r_b) + list(g.nrm) + list(g.t1)
+                  + list(g.t2)
+                  + [1.0 / g.k_n, 1.0 / g.k_t1, 1.0 / g.k_t2,
+                     v_target, bias, contacts.friction,
+                     g.relax * actf, g.inv_m_a, g.inv_m_b]
+                  + list(g.iw_a) + list(g.iw_b)
+                  + [lam0_n, lam0_t1, lam0_t2]),
+        jnp.zeros((R_CONST - 45, cp), jnp.float32),
+    ])                                                        # [R_CONST, Cp]
+
+    z, lam4 = banded_sweeps(
+        z0, bases, la, lb, consts,
+        tile=tile, wtot=wtot,
+        vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
+        warm_sweep=use_split,
+    )
+
+    zz = z[:, rank]                                           # [16, N]
+    vel = zz[0:3].T
+    omega = zz[3:6].T
+    pvel = zz[8:11].T
+    pomega = zz[11:14].T
+    lam3 = lam4[:3]
+
+    count = jnp.sum(contacts.active.astype(jnp.int32))
+    max_pen = jnp.max(jnp.where(contacts.active, contacts.depth, 0.0),
+                      initial=0.0)
+    metrics = {
+        "contact_count": count,
+        "max_penetration": max_pen,
+        "normal_impulse_sum": jnp.sum(lam3[0]),
+        "band_overflow": overflow,
+    }
+    return vel, omega, pvel, pomega, lam3, metrics, contacts

@@ -1,0 +1,123 @@
+"""Parity + safety tests for the fused banded Pallas contact solver.
+
+On CPU the kernel runs in Pallas interpreter mode (same math, no Mosaic),
+so these tests validate semantics everywhere; the TPU bench exercises the
+compiled path. Tolerances reflect the solver's hi/lo bf16 MXU split
+(~2e-6 relative per gather, amplified by projection boundaries across
+sweeps — see solver/contacts_pallas.py docstring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physics_tpu.config import SimConfig
+from physics_tpu.engine import prepare_contacts, step
+from physics_tpu.scenes import box_stack
+from physics_tpu.solver.contacts_pallas import solve_impulses_banded
+
+
+def _cfg(**kw):
+    base = dict(
+        ground_plane=True, pair_collisions=True, broadphase="sweep",
+        sweep_window=8, contact_iters=8, position_iters=8, boxes_only=True,
+        max_contacts=128, pallas_tile=256, pallas_window=128,
+    )
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _settled(cfg, n_steps=3):
+    s = box_stack(6)
+    for _ in range(n_steps):
+        s = step(s, cfg)
+    return s
+
+
+def test_cold_parity():
+    cfgj = _cfg()
+    cfgp = cfgj.replace(contact_solver="pallas_banded")
+    s = _settled(cfgj)  # in-contact state
+    sj = step(s, cfgj)
+    sp = step(s, cfgp)
+    np.testing.assert_allclose(sj.vel, sp.vel, atol=5e-4)
+    np.testing.assert_allclose(sj.omega, sp.omega, atol=5e-4)
+    np.testing.assert_allclose(sj.pos, sp.pos, atol=5e-5)
+    np.testing.assert_allclose(sj.quat, sp.quat, atol=5e-5)
+
+
+def test_warm_parity_and_capacity():
+    cfgj = _cfg()
+    cfgp = cfgj.replace(contact_solver="pallas_banded")
+    sj = prepare_contacts(box_stack(6), cfgj)
+    sp = prepare_contacts(box_stack(6), cfgp)
+    # capacity is tile-padded for the pallas solver
+    assert sp.contact_key.shape[0] % 128 == 0
+    for _ in range(4):
+        sj = step(sj, cfgj)
+        sp = step(sp, cfgp)
+    np.testing.assert_allclose(sj.pos, sp.pos, atol=2e-4)
+    np.testing.assert_allclose(sj.vel, sp.vel, atol=2e-3)
+    # warm-start buffers carry matched impulses on both paths
+    assert float(jnp.sum(sp.contact_lam[0])) > 0.0
+
+
+def test_stack_stays_up():
+    cfgp = _cfg(contact_iters=16).replace(contact_solver="pallas_banded")
+    s = prepare_contacts(box_stack(5), cfgp)
+    for _ in range(40):
+        s = step(s, cfgp)
+    pos = np.asarray(s.pos)
+    assert np.all(np.isfinite(pos))
+    # boxes remain stacked in order, none fell through the ground
+    assert np.all(np.diff(pos[:, 1]) > 0.5)
+    assert pos[0, 1] > 0.4
+
+
+def test_band_overflow_counted_not_silent():
+    """A pair contact whose rank distance exceeds the window is deactivated
+    and counted, never silently mis-solved."""
+    from physics_tpu.ops.narrowphase import Contacts
+    from physics_tpu.scene import SceneBuilder
+    from physics_tpu.io.meshes import box_inertia
+
+    b = SceneBuilder()
+    n = 300
+    for i in range(n):
+        j = b.add_body(pos=(float(i), 0.5, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(j, (0.5,) * 3)
+    state = b.build()
+    cfg = _cfg(max_contacts=0).replace(contact_solver="pallas_banded")
+
+    def mk(body_b):
+        c = 128
+        z3 = jnp.zeros((3, c), jnp.float32)
+        nrm = z3.at[1, :].set(1.0)
+        return Contacts(
+            body_a=jnp.zeros((c,), jnp.int32),
+            body_b=jnp.full((c,), -1, jnp.int32).at[0].set(body_b),
+            point=z3, normal=nrm,
+            depth=jnp.zeros((c,), jnp.float32).at[0].set(0.01),
+            active=jnp.zeros((c,), bool).at[0].set(True),
+            friction=jnp.zeros((c,), jnp.float32),
+            restitution=jnp.zeros((c,), jnp.float32),
+            key=jnp.zeros((c,), jnp.int32).at[0].set(7),
+        )
+
+    order = jnp.arange(n, dtype=jnp.int32)  # x-sorted already
+    # in-band partner: rank distance 5 << window 128
+    out = solve_impulses_banded(state, mk(5), cfg, order)
+    assert int(out[5]["band_overflow"]) == 0
+    # out-of-band partner: rank distance 250 > window 128
+    out = solve_impulses_banded(state, mk(250), cfg, order)
+    assert int(out[5]["band_overflow"]) == 1
+    # its impulse is dropped (velocities untouched)
+    np.testing.assert_allclose(out[0], state.vel, atol=1e-7)
+
+
+def test_requires_sweep_broadphase():
+    cfg = _cfg(broadphase="allpairs").replace(
+        contact_solver="pallas_banded")
+    with pytest.raises(ValueError, match="sweep"):
+        step(box_stack(3), cfg)
