@@ -47,8 +47,12 @@ def lane_scatter_add(contrib: Array, ids: Array, n: int) -> Array:
 
 
 def scatter_add_1d(contrib: Array, ids: Array, n: int) -> Array:
-    """contrib [C], ids [C] with values in [0, n] (n ⇒ dropped) → [n]."""
+    """contrib [C], ids [C] with values in [0, n] (n ⇒ dropped) → [n].
+
+    Routed through the 2-D lane scatter: a 1-D scatter-add lowers worse on
+    TPU than the same op with a unit sublane dim (docs/PERFORMANCE.md).
+    """
     if n + 1 <= DENSE_MAX_N:
         oh = jax.nn.one_hot(ids, n + 1, dtype=contrib.dtype)
         return jnp.einsum("c,cn->n", contrib, oh)[:n]
-    return jnp.zeros((n + 1,), contrib.dtype).at[ids].add(contrib)[:n]
+    return lane_scatter_add(contrib[None, :], ids, n)[0]

@@ -188,16 +188,20 @@ def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
     if max_pairs <= 0 or p <= max_pairs:
         return cand
     # full argsort + slice: lax.top_k is O(n·k) on TPU and k here is
-    # thousands — a single XLA sort is orders of magnitude faster
+    # thousands — a single XLA sort is orders of magnitude faster. The three
+    # fields ride ONE packed [3, P] gather (per-op gather cost dominates).
     score = cand.mask.astype(jnp.float32)
     idx = jnp.argsort(-score)[:max_pairs]
     dropped = jnp.maximum(
         jnp.sum(cand.mask.astype(jnp.int32)) - max_pairs, 0
     )
+    packed = jnp.stack(
+        [cand.body_a, cand.body_b, cand.mask.astype(jnp.int32)]
+    )[:, idx]
     return PairCandidates(
-        body_a=cand.body_a[idx],
-        body_b=cand.body_b[idx],
-        mask=cand.mask[idx],
+        body_a=packed[0],
+        body_b=packed[1],
+        mask=packed[2] != 0,
         overflow=cand.overflow + dropped,
     )
 

@@ -92,11 +92,17 @@ def contact_geometry(
     contacts: Contacts,
     cfg: SimConfig,
     axis_name: str | None = None,
+    need_deg: bool = True,
 ) -> ContactGeom:
     """Prologue of the impulse solve: packed body-table gathers → effective
     masses, contact frames, Jacobi relaxation factors. ONE lane gather per
     contact endpoint (see the gather/scatter budget note in
-    `solve_impulses`)."""
+    `solve_impulses`).
+
+    `need_deg=False` skips the contact-degree scatter; the returned `relax`
+    is then the raw relaxation factor and the caller must divide by the
+    per-contact degree itself (the Pallas solver counts degrees in-kernel,
+    see solver/contacts_pallas.py)."""
     n = state.num_bodies
 
     a = contacts.body_a
@@ -110,9 +116,12 @@ def contact_geometry(
     # contact degree per body -> Jacobi relaxation 1/deg (one packed scatter)
     seg_ids = jnp.concatenate([jnp.where(act, a, n),
                                jnp.where(has_b & act, b, n)])
-    deg = scatter_add_1d(jnp.ones_like(seg_ids, jnp.float32), seg_ids, n)
-    if axis_name:
-        deg = jax.lax.psum(deg, axis_name)
+    if need_deg:
+        deg = scatter_add_1d(jnp.ones_like(seg_ids, jnp.float32), seg_ids, n)
+        if axis_name:
+            deg = jax.lax.psum(deg, axis_name)
+    else:
+        deg = jnp.ones((n,), jnp.float32)
 
     # ---- packed body table: ONE lane gather per endpoint ----
     # rows: pos(0:3) | world inv-inertia row-major (3:12) | inv_mass(12) |
@@ -182,21 +191,35 @@ def warm_start_lambda(
     tag = jnp.concatenate([
         jnp.zeros((kp,), jnp.int32), jnp.ones((c,), jnp.int32)
     ])
-    order = jnp.argsort(comb * 2 + tag).astype(jnp.int32)
-    sk = comb[order]
-    st = tag[order]
-    prev_slot = jnp.concatenate([order[:1], order[:-1]])     # order[i-1]
+    slot = jnp.concatenate([
+        jnp.arange(kp, dtype=jnp.int32), jnp.arange(c, dtype=jnp.int32)
+    ])
+    zc = jnp.zeros((c,), jnp.float32)
+    # multi-operand lax.sort: tag/slot AND the previous impulses ride the
+    # sort as payloads — no post-sort gathers at all
+    sk2, st, sslot, pl0, pl1, pl2 = jax.lax.sort(
+        (comb * 2 + tag, tag, slot,
+         jnp.concatenate([prev_lam[0], zc]),
+         jnp.concatenate([prev_lam[1], zc]),
+         jnp.concatenate([prev_lam[2], zc])),
+        num_keys=1,
+    )
     prev_tag = jnp.concatenate([jnp.ones((1,), jnp.int32), st[:-1]])
-    prev_key = jnp.concatenate([sk[:1] - 1, sk[:-1]])
-    match = (st == 1) & (prev_tag == 0) & (sk == prev_key) & (sk != 0)
-    matched_col = jnp.clip(prev_slot, 0, kp - 1)
-    vals = prev_lam[:, matched_col]              # [3, kp+c] lane gather
-    vals = vals * match.astype(jnp.float32)
-    cur_slot = jnp.where(match, order - kp, c)   # c → dropped
-    lam0 = jnp.zeros((3, c + 1), jnp.float32).at[:, cur_slot].add(
-        vals)[:, :c]
+    prev_sk2 = jnp.concatenate([sk2[:1] - 2, sk2[:-1]])
+    match = (st == 1) & (prev_tag == 0) & (sk2 == prev_sk2 + 1) & (sk2 != 1)
+    mf = match.astype(jnp.float32)
+
+    def pred(x):  # predecessor's payload (the matching prev entry's λ)
+        return jnp.concatenate([x[:1], x[:-1]]) * mf
+
+    # delivery sort: every CURRENT entry (matched or not) keyed by its own
+    # slot, prev entries keyed past the end — the first c outputs are the
+    # slots in order, i.e. a scatter expressed as a payload sort
+    dkey = jnp.where(st == 1, sslot, kp + c)
+    _, l0, l1, l2 = jax.lax.sort(
+        (dkey, pred(pl0), pred(pl1), pred(pl2)), num_keys=1)
     actf3 = (contacts.active & (contacts.key != 0)).astype(jnp.float32)
-    return lam0[0] * actf3, lam0[1] * actf3, lam0[2] * actf3
+    return l0[:c] * actf3, l1[:c] * actf3, l2[:c] * actf3
 
 
 def solve_impulses(
@@ -614,9 +637,13 @@ def resolve_contacts(
     new_quat = quat.normalize(quat.mul(dq, state.quat))
     state = state.replace(vel=vel, omega=omega, pos=new_pos, quat=new_quat)
     if use_warm:
-        order = jnp.argsort(contacts.key)
+        # multi-operand sort: impulses ride the key sort as payloads (no
+        # post-sort gathers)
+        key_s, l0, l1, l2 = jax.lax.sort(
+            (contacts.key, lam3[0], lam3[1], lam3[2]), num_keys=1
+        )
         state = state.replace(
-            contact_key=contacts.key[order],
-            contact_lam=lam3[:, order],
+            contact_key=key_s,
+            contact_lam=jnp.stack([l0, l1, l2]),
         )
     return state, {**metrics, **solve_metrics}

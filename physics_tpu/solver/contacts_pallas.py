@@ -93,9 +93,15 @@ def _split(x):
 def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
     """Kernel body closure over the static solve shape.
 
-    Grid is (n_sweeps, ntiles); when `warm_sweep` the s=0 pass applies the
-    warm-start impulses (λ: 0 → λ₀) instead of a relaxation update.
+    Grid is (n_sweeps, ntiles). Sweep s=0 is a combined pre-pass: it
+    scatters each active contact's endpoint count into z-table row 14 (so
+    the Jacobi relaxation 1/deg is computed in-kernel — the per-sweep
+    endpoint gathers read the deg row for free, it rides the same matmul)
+    and, when `warm_sweep`, applies the warm-start impulses (λ: 0 → λ₀) in
+    the same scatter. Relaxation sweeps start at s=1 and never race the
+    pre-pass: they read the per-sweep snapshot taken at tile 0.
     """
+    stage_off = 1
 
     def kernel(base_ref, la_ref, lb_ref, consts_ref, z0_ref,
                zout_ref, lam_ref, tab_read, tab_acc, lam_s):
@@ -158,10 +164,14 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
                                  r_b))
             return v3.sub(va, vb)
 
-        i = s - 1 if warm_sweep else s
+        # in-kernel Jacobi relaxation: deg rides z row 14 (deg pre-pass)
+        relax = relax / jnp.maximum(jnp.maximum(ga[14], gb[14]), 1.0)
+
+        i = s - stage_off
         vel_on = jnp.where((i >= 0) & (i < vel_iters), 1.0, 0.0)
         pos_on = jnp.where((i >= 0) & (i < pos_iters), 1.0, 0.0)
         is_warm = (s == 0) if warm_sweep else False
+        degf = jnp.where(s == 0, 1.0, 0.0)
 
         lam4 = lam_s[:, pl.ds(coff, tile)]                   # [4, TILE]
         lam_n, lam_t1, lam_t2, lam_b = lam4[0], lam4[1], lam4[2], lam4[3]
@@ -202,6 +212,11 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
 
         zero = jnp.zeros((tile,), jnp.float32)
 
+        # deg pre-pass contribution: one count per active in-band endpoint
+        # (inactive contacts have an all-zero one-hot column, so a plain
+        # broadcast suffices)
+        deg_row = degf * jnp.ones((tile,), jnp.float32)
+
         def contrib(im, pim, inv_m, iw, r, sign):
             dv = v3.scale(im, sign * inv_m)
             dw = v3.scale(v3.mat_vec(iw, v3.cross(r, im)), sign)
@@ -209,7 +224,7 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
             pdw = v3.scale(v3.mat_vec(iw, v3.cross(r, pim)), sign)
             return jnp.stack(
                 [dv[0], dv[1], dv[2], dw[0], dw[1], dw[2], zero, zero,
-                 pdv[0], pdv[1], pdv[2], pdw[0], pdw[1], pdw[2], zero,
+                 pdv[0], pdv[1], pdv[2], pdw[0], pdw[1], pdw[2], deg_row,
                  zero])                                       # [16, TILE]
 
         ca = contrib(imp, pimp, inv_m_a, iw_a, r_a, 1.0)
@@ -255,7 +270,8 @@ def banded_sweeps(
     cp = la.shape[0]
     ntiles = cp // tile
     npad = z0.shape[1]
-    n_sweeps = max(vel_iters, pos_iters) + (1 if warm_sweep else 0)
+    # +1: the combined degree/warm-start pre-pass (sweep 0)
+    n_sweeps = max(vel_iters, pos_iters) + 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -349,19 +365,29 @@ def solve_impulses_banded(
     rank = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
 
-    # sort contacts by their lowest endpoint rank, then pad to the tile
+    # sort contacts by their lowest endpoint rank, then pad to the tile;
+    # the endpoint ranks ride one packed [2, C] gather through the sort
+    # instead of being re-looked-up afterwards
     has_b0 = contacts.body_b >= 0
-    ra0 = rank[contacts.body_a]
-    rb0 = jnp.where(has_b0, rank[jnp.clip(contacts.body_b, 0, n - 1)], ra0)
+    both = rank[None, :][
+        :, jnp.stack([contacts.body_a,
+                      jnp.clip(contacts.body_b, 0, n - 1)])
+    ][0]                                       # ONE [2, C] rank lookup
+    ra0 = both[0]
+    rb0 = jnp.where(has_b0, both[1], ra0)
     lo = jnp.where(contacts.active, jnp.minimum(ra0, rb0), n + npad)
-    contacts = _field_gather(contacts, jnp.argsort(lo).astype(jnp.int32))
+    sort_idx = jnp.argsort(lo).astype(jnp.int32)
+    rr = jnp.stack([ra0, jnp.where(has_b0, rb0, -1)])[:, sort_idx]
+    contacts = _field_gather(contacts, sort_idx)
     contacts = _pad_contacts(contacts, cp)
+    rr = jnp.pad(rr, ((0, 0), (0, cp - rr.shape[1])), constant_values=-1)
 
-    g = contact_geometry(state, contacts, cfg)
+    # need_deg=False: the kernel's degree pre-pass replaces the XLA scatter
+    g = contact_geometry(state, contacts, cfg, need_deg=False)
 
     has_b = contacts.body_b >= 0
-    ra = rank[contacts.body_a]
-    rb = jnp.where(has_b, rank[jnp.clip(contacts.body_b, 0, n - 1)], -1)
+    ra = rr[0]
+    rb = rr[1]
     lo_s = jnp.where(contacts.active, jnp.minimum(ra, jnp.where(
         has_b, rb, ra)), npad - 1)
 
