@@ -75,8 +75,11 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
     from physics_tpu.engine import prepare_contacts
 
     state = box_pile(n_bodies)
-    # warm-started split-impulse solve: 8 sweeps suffice (see solver docs)
-    cfg = pile_config(n_bodies).replace(contact_iters=8)
+    # warm-started split-impulse solve: 8 sweeps suffice (see solver docs);
+    # the fused banded Pallas kernel runs the whole sweep loop in VMEM
+    cfg = pile_config(n_bodies).replace(
+        contact_iters=8, contact_solver="pallas_banded"
+    )
     state = prepare_contacts(state, cfg)
     run = make_chunk_runner(cfg)
 
@@ -105,19 +108,25 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
 
 def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     from physics_tpu.config import SimConfig
+    from physics_tpu.engine import prepare_contacts
+    from physics_tpu.envs import pack_envs
 
-    # boxes_only fast paths; cold solves (no warm buffers: the per-env
-    # sort-merge dominated and vmapped sorts serialize on TPU)
+    # block-diagonal packed envs: one scene, one fused banded solve, warm
+    # starting at full width (vmapped per-env sorts used to serialize)
     cfg = SimConfig(
         compat=False, ground_plane=True, pair_collisions=True,
         contact_iters=8, dt=1.0 / 60.0, boxes_only=True,
+        broadphase="env_blocks", env_block_size=n_bodies,
+        contact_solver="pallas_banded",
+        max_contacts=48 * n_envs,
     )
     base = random_env(0, n_bodies)
     rng = np.random.default_rng(1)
     offsets = rng.uniform(-1, 1, (n_envs, 1, 3)).astype(np.float32)
     batched = jax.vmap(lambda o: base.replace(pos=base.pos + o))(offsets)
-    run = make_chunk_runner(cfg, batched=True)
-    out = run(batched)
+    packed = prepare_contacts(pack_envs(batched), cfg)
+    run = make_chunk_runner(cfg)
+    out = run(packed)
     _fence(out.pos)
     t0 = time.perf_counter()
     out = run(out)
@@ -125,7 +134,7 @@ def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     dt = time.perf_counter() - t0
     sps = CHUNK / dt
     log(
-        f"batched[{n_envs}x{n_bodies}]: {sps:.1f} steps/s, "
+        f"packed[{n_envs}x{n_bodies}]: {sps:.1f} steps/s, "
         f"{n_envs * n_bodies * sps / 1e6:.2f}M body-steps/s"
     )
     return n_envs * n_bodies * sps

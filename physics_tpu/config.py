@@ -64,10 +64,13 @@ class SimConfig:
     # the scene is known to contain only boxes (pile/stack workloads) —
     # the SAT manifold covers everything
     boxes_only: bool = False
-    # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window)
+    # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window),
+    # 'env_blocks' (batched envs packed into one block-diagonal scene —
+    # static per-env upper-triangular pairs, see envs.pack_envs)
     broadphase: str = "allpairs"
     sweep_window: int = 32              # neighbor window for 'sweep'
     max_pair_candidates: int = 0        # 0 → derived from N
+    env_block_size: int = 0             # bodies per env for 'env_blocks'
 
     # --- contact solver backend ---
     # 'jacobi'        — packed-table XLA projected Jacobi (any backend)

@@ -81,6 +81,77 @@ def stack_states(state: SimState, n_envs: int) -> SimState:
     )
 
 
+def pack_envs(batched: SimState) -> SimState:
+    """Flatten a vmapped [E, K, ...] state into ONE [E·K]-body scene.
+
+    Block-diagonal packing: body id = e·K + k. With
+    `broadphase='env_blocks'` (static per-env pair lists) and
+    `contact_solver='pallas_banded'` the whole batch solves in one fused
+    kernel — no vmap, so cross-env ops that serialize under vmap (sorts,
+    warm-start matching, compaction) run once at full width instead of E
+    times. The physics is identical to the vmapped step: envs cannot
+    interact (candidate pairs never cross env boundaries).
+
+    Joints are not yet supported in packed mode (their body indices would
+    need per-env offsetting); env-invariant leaves (hulls, step counter)
+    are taken from env 0. Warm-start buffers are reset — call
+    engine.prepare_contacts on the packed state.
+    """
+    e, k = batched.pos.shape[:2]
+    if batched.joints.capacity > 0:
+        raise ValueError("pack_envs: joints unsupported in packed mode")
+
+    def flat(a):
+        return a.reshape((e * k,) + a.shape[2:])
+
+    def take0(tree):
+        return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+    return batched.replace(
+        pos=flat(batched.pos), quat=flat(batched.quat),
+        vel=flat(batched.vel), omega=flat(batched.omega),
+        force=flat(batched.force), torque=flat(batched.torque),
+        mass=flat(batched.mass), inv_mass=flat(batched.inv_mass),
+        inertia=flat(batched.inertia), inv_inertia=flat(batched.inv_inertia),
+        joints=take0(batched.joints), lam_joint=batched.lam_joint[0],
+        shapes=jax.tree_util.tree_map(flat, batched.shapes),
+        hulls=take0(batched.hulls),
+        contact_key=jnp.zeros((0,), jnp.int32),
+        contact_lam=jnp.zeros((3, 0), jnp.float32),
+        step_count=batched.step_count[0],
+    )
+
+
+def unpack_envs(state: SimState, n_envs: int) -> SimState:
+    """Inverse of `pack_envs` for the per-body fields ([E·K] → [E, K])."""
+    e = n_envs
+    k = state.num_bodies // e
+
+    def unflat(a):
+        return a.reshape((e, k) + a.shape[1:])
+
+    def tile(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (e,) + a.shape), tree
+        )
+
+    return state.replace(
+        pos=unflat(state.pos), quat=unflat(state.quat),
+        vel=unflat(state.vel), omega=unflat(state.omega),
+        force=unflat(state.force), torque=unflat(state.torque),
+        mass=unflat(state.mass), inv_mass=unflat(state.inv_mass),
+        inertia=unflat(state.inertia), inv_inertia=unflat(state.inv_inertia),
+        joints=tile(state.joints),
+        lam_joint=jnp.broadcast_to(
+            state.lam_joint, (e,) + state.lam_joint.shape),
+        shapes=jax.tree_util.tree_map(unflat, state.shapes),
+        hulls=tile(state.hulls),
+        contact_key=jnp.zeros((e, 0), jnp.int32),
+        contact_lam=jnp.zeros((e, 3, 0), jnp.float32),
+        step_count=jnp.broadcast_to(state.step_count, (e,)),
+    )
+
+
 def randomize_positions(
     batched: SimState, key: Array, scale: float = 0.5
 ) -> SimState:

@@ -176,6 +176,42 @@ def sweep_candidates(
     return PairCandidates(ia_f, ib_f, mask.reshape(-1), overflow)
 
 
+def env_block_candidates(
+    state: SimState, aabbs: Array, env_size: int
+) -> PairCandidates:
+    """Candidate pairs for a block-diagonal packed-env scene.
+
+    Bodies are E envs of `env_size` bodies each (body id = e·K + k, see
+    envs.pack_envs); only within-env pairs can collide, so the candidate
+    set is the static per-env upper triangle masked by AABB overlap. Zero
+    dynamic gathers: the [E, K, K] overlap tensor is pure broadcasting and
+    the K(K−1)/2 upper-tri lanes are selected with a compile-time index
+    list. Exact (overflow ≡ 0) — every possible pair is tested.
+
+    This layout also gives the banded contact solver its band guarantee
+    with the identity body order: |a−b| < K.
+    """
+    n = state.num_bodies
+    k = env_size
+    assert n % k == 0, "env_blocks: num_bodies must be a multiple of K"
+    e = n // k
+    oi, oj = _upper_tri_pairs_np(k)                         # [Pk] static
+    flat = (oi * k + oj).astype(np.int32)
+
+    ae = aabbs.reshape(e, k, 2, 3)
+    lo = jnp.maximum(ae[:, :, None, 0], ae[:, None, :, 0])  # [E,K,K,3]
+    hi = jnp.minimum(ae[:, :, None, 1], ae[:, None, :, 1])
+    ov = jnp.all(lo <= hi, axis=-1)                         # [E,K,K]
+    coll = (state.shapes.stype != SHAPE_NONE).reshape(e, k)
+    ov = ov & coll[:, :, None] & coll[:, None, :]
+    mask = ov.reshape(e, k * k)[:, flat].reshape(-1)        # [E·Pk]
+
+    base = (jnp.arange(e, dtype=jnp.int32) * k)[:, None]
+    ia = (base + jnp.asarray(oi)[None, :]).reshape(-1)
+    ib = (base + jnp.asarray(oj)[None, :]).reshape(-1)
+    return PairCandidates(ia, ib, mask, jnp.int32(0))
+
+
 def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
     """Keep at most `max_pairs` active candidates (top_k on the mask).
 
@@ -210,6 +246,8 @@ def pair_candidates(state: SimState, cfg: SimConfig) -> PairCandidates:
     aabbs = body_aabbs(state)
     if cfg.broadphase == "sweep":
         cand = sweep_candidates(state, aabbs, cfg.sweep_window)
+    elif cfg.broadphase == "env_blocks":
+        cand = env_block_candidates(state, aabbs, cfg.env_block_size)
     else:
         cand = allpairs_candidates(state, aabbs)
     return compact_pairs(cand, cfg.max_pair_candidates)

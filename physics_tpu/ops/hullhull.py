@@ -8,10 +8,14 @@ anti-parallel face of the other hull is clipped against the reference
 face's side planes — Sutherland–Hodgman with depth carried as an
 interpolated coordinate, all one-hot einsums (see boxbox.py TPU note).
 
-Deliberate approximation (documented): edge-edge separating axes are NOT
-enumerated (that's O(E_a·E_b) per pair); deep edge-edge hull penetration
-resolves on a face axis with slightly-off normal. Face-dominant contact —
-resting, stacking, raining meshes — is exact. For separated pairs, use
+Edge-edge separating axes ARE enumerated, over the cross products of the
+hulls' unique edge DIRECTIONS (precomputed at scene build into
+HullSet.edge_dirs — direction count ≪ edge count for typical meshes, e.g.
+a beveled cube has ~100 edges but ~9 directions). When an edge axis wins
+(with a face-preference fudge mirroring the box-box SAT), the face-clip
+manifold is replaced by the single closest-point contact between the two
+supporting edges. Face-dominant contact — resting, stacking — still takes
+the exact clipped multi-point manifold. For separated pairs, use
 `gjk_distance` (solver-grade distance/witness queries).
 
 Returned normal points from hull B toward hull A (Contacts convention).
@@ -39,6 +43,8 @@ class HullData(NamedTuple):
     face_mask: Array    # [F] f32
     face_verts: Array   # [F, E] int32
     face_vert_count: Array  # [F]
+    edge_dirs: Array    # [D, 3] unique unit edge directions (body frame)
+    edge_dir_mask: Array  # [D] f32
 
 
 def hull_hull_manifold(
@@ -48,7 +54,7 @@ def hull_hull_manifold(
     """Contact manifold for one hull pair.
 
     Returns (points [CAP,3] world, normals [CAP,3] B→A, depth [CAP],
-    valid [CAP]) with CAP = 2·E (clip capacity).
+    valid [CAP]) with CAP = 2·E + 1 (clip capacity + one edge-edge slot).
     """
     e_cap = ha.face_verts.shape[1]
     cap = 2 * e_cap
@@ -83,9 +89,83 @@ def hull_hull_manifold(
 
     sep_all = jnp.concatenate([sep_a, sep_b])             # [Fa+Fb]
     best = jnp.argmax(sep_all)
-    separated = jnp.max(sep_all) > 0.0
+    face_sep = jnp.max(sep_all)
     fa = sep_a.shape[0]
     ref_is_a = best < fa
+
+    # --- edge-edge SAT over unique-direction cross products ---
+    da_w = ha.edge_dirs @ rot_a.T                         # [Da,3]
+    db_w = hb.edge_dirs @ rot_b.T                         # [Db,3]
+    axes = jnp.cross(da_w[:, None, :], db_w[None, :, :]).reshape(-1, 3)
+    ax_mask = (ha.edge_dir_mask[:, None]
+               * hb.edge_dir_mask[None, :]).reshape(-1)
+    alen = jnp.linalg.norm(axes, axis=-1)
+    ax_ok = (ax_mask > 0) & (alen > 1e-6)                 # parallel → skip
+    axes = axes / jnp.maximum(alen, 1e-9)[:, None]
+    # orient every axis from B toward A
+    centers = pos_a - pos_b
+    flip = jnp.where(axes @ centers < 0.0, -1.0, 1.0)
+    axes = axes * flip[:, None]
+    # separation on axis n (B→A): min_A(v·n) − max_B(v·n)
+    pa_d = jnp.where(ha.vert_mask[:, None] > 0, va @ axes.T, big)
+    pb_d = jnp.where(hb.vert_mask[:, None] > 0, vb @ axes.T, -big)
+    sep_e_all = jnp.min(pa_d, axis=0) - jnp.max(pb_d, axis=0)
+    sep_e_all = jnp.where(ax_ok, sep_e_all, -big)
+    best_e = jnp.argmax(sep_e_all)
+    edge_sep = jnp.max(sep_e_all)
+    n_edge = jax.nn.one_hot(
+        best_e, axes.shape[0], dtype=jnp.float32) @ axes
+
+    separated = jnp.maximum(face_sep, edge_sep) > 0.0
+    # face-preference fudge (mirrors the box-box SAT, ops/boxbox.py): an
+    # edge axis must be clearly shallower to displace the face manifold
+    edge_wins = (~separated) & (
+        edge_sep > face_sep + 1e-4 + 0.05 * jnp.abs(face_sep))
+
+    # supporting edges: runtime directed-edge list from the face polygons
+    def support_edge(verts_w, h, d):
+        """Closest edge of one hull in support direction `d` ([2,3])."""
+        f_cnt = h.face_vert_count                          # [F]
+        idx = h.face_verts                                 # [F,E]
+        e_cap2 = idx.shape[1]
+        nxt = jnp.take_along_axis(
+            idx,
+            (jnp.arange(e_cap2)[None, :] + 1)
+            % jnp.maximum(f_cnt, 1)[:, None],
+            axis=1,
+        )                                                  # [F,E]
+        vcap = verts_w.shape[0]
+        p0 = jax.nn.one_hot(idx, vcap, dtype=jnp.float32) @ verts_w
+        p1 = jax.nn.one_hot(nxt, vcap, dtype=jnp.float32) @ verts_w
+        emask = ((jnp.arange(e_cap2)[None, :] < f_cnt[:, None])
+                 & (h.face_mask[:, None] > 0))
+        score = jnp.minimum(p0 @ d, p1 @ d)                # [F,E]
+        score = jnp.where(emask, score, -big)
+        k = jnp.argmax(score.reshape(-1))
+        oh = jax.nn.one_hot(k, score.size, dtype=jnp.float32)
+        return (oh @ p0.reshape(-1, 3), oh @ p1.reshape(-1, 3))
+
+    ea0, ea1 = support_edge(va, ha, -n_edge)               # A supports −n
+    eb0, eb1 = support_edge(vb, hb, n_edge)                # B supports +n
+    # closest points between the two segments
+    d1 = ea1 - ea0
+    d2 = eb1 - eb0
+    r0 = ea0 - eb0
+    a11 = d1 @ d1
+    a22 = d2 @ d2
+    a12 = d1 @ d2
+    b1 = d1 @ r0
+    b2 = d2 @ r0
+    den = a11 * a22 - a12 * a12
+    s = jnp.where(jnp.abs(den) > 1e-9, (a12 * b2 - a22 * b1) / den, 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(a22 > 1e-9, (b2 + a12 * s) / a22, 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(a11 > 1e-9, jnp.clip((a12 * t - b1) / a11, 0.0, 1.0), s)
+    pa_c = ea0 + s * d1
+    pb_c = eb0 + t * d2
+    edge_point = 0.5 * (pa_c + pb_c)
+    edge_depth = -edge_sep
 
     # --- reference face selection (one-hot) ---
     oh_a = jax.nn.one_hot(jnp.where(ref_is_a, best, 0), fa, dtype=jnp.float32)
@@ -175,7 +255,10 @@ def hull_hull_manifold(
 
     slot = jnp.arange(cap)
     depth = -poly[:, 2]
-    valid = (slot < m) & (depth > 0.0) & jnp.logical_not(separated)
+    valid = (
+        (slot < m) & (depth > 0.0) & jnp.logical_not(separated)
+        & jnp.logical_not(edge_wins)
+    )
     points = (
         p0[None, :]
         + poly[:, 0:1] * t1[None, :]
@@ -185,6 +268,14 @@ def hull_hull_manifold(
     # contact normal B → A: n_ref points ref → incident
     n_out = jnp.where(ref_is_a, -n_ref, n_ref)
     normals = jnp.broadcast_to(n_out, (cap, 3))
+
+    # slot cap: the edge-edge closest-point contact (replaces the face
+    # manifold when an edge axis is the shallowest separation)
+    points = jnp.concatenate([points, edge_point[None, :]])
+    normals = jnp.concatenate([normals, n_edge[None, :]])
+    depth = jnp.concatenate([depth, edge_depth[None]])
+    valid = jnp.concatenate(
+        [valid, (edge_wins & (edge_depth > 0.0))[None]])
     return points, normals, depth, valid
 
 

@@ -430,6 +430,13 @@ def pair_contacts(state: SimState, cvx: ConvexData,
 
         both_hull = cvx.is_hull[ia] & cvx.is_hull[ib]
         face_mask = jnp.isfinite(cvx.face_off).astype(jnp.float32)
+        hull_idx = jnp.clip(
+            state.shapes.hull_index, 0, state.hulls.verts.shape[0] - 1)
+        ed = state.hulls.edge_dirs[hull_idx]               # [N, D, 3]
+        ed_cnt = state.hulls.edge_dir_count[hull_idx]
+        ed_mask = (
+            jnp.arange(ed.shape[1])[None, :] < ed_cnt[:, None]
+        ).astype(jnp.float32)
 
         def hdata(idx):
             return HullData(
@@ -440,6 +447,8 @@ def pair_contacts(state: SimState, cvx: ConvexData,
                 face_mask=face_mask[idx],
                 face_verts=cvx.face_verts[idx],
                 face_vert_count=cvx.face_vert_count[idx],
+                edge_dirs=ed[idx],
+                edge_dir_mask=ed_mask[idx],
             )
 
         hh_p, hh_n, hh_d, hh_v = jax.vmap(hull_hull_manifold)(
@@ -469,6 +478,57 @@ def pair_contacts(state: SimState, cvx: ConvexData,
         depth = jnp.concatenate([d1, d2, sat_d], axis=1)     # [P, 2Vc+8]
         normal = jnp.concatenate([n1, n2, sat_n], axis=1)
         point = jnp.concatenate([p1, p2, sat_p], axis=1)
+
+        # sphere-box analytic contact (closest point on the OBB): exact in
+        # face, edge AND corner regions — the vertex-face candidate above
+        # only handles face regions (its max-over-planes normal is wrong
+        # past an edge). Replaces slot 1 for sphere-box pairs.
+        sb_ab = cvx.is_sphere[ia] & cvx.is_box[ib]   # A sphere, B box
+        sb_ba = cvx.is_box[ia] & cvx.is_sphere[ib]
+        sb_any = sb_ab | sb_ba
+        s_pos = jnp.where(sb_ab[:, None], pos_a, pos_b)
+        s_r = jnp.where(sb_ab, cvx.vert_radius[ia], cvx.vert_radius[ib])
+        b_pos = jnp.where(sb_ab[:, None], pos_b, pos_a)
+        b_rot = jnp.where(sb_ab[:, None, None], rot_b, rot_a)
+        b_half = jnp.where(sb_ab[:, None], state.shapes.params[ib],
+                           state.shapes.params[ia])
+        loc = jnp.einsum("pji,pj->pi", b_rot, s_pos - b_pos)   # box frame
+        clamped = jnp.clip(loc, -b_half, b_half)
+        diff = loc - clamped
+        dist = jnp.linalg.norm(diff, axis=-1)
+        outside = dist > 1e-9
+        # outside: push along center→closest-point; inside: push out the
+        # face of least penetration
+        pen_ax = b_half - jnp.abs(loc)                         # [P,3] ≥ 0 in
+        ax = jnp.argmin(pen_ax, axis=-1)
+        ax_oh = jax.nn.one_hot(ax, 3, dtype=loc.dtype)
+        n_in = ax_oh * jnp.sign(
+            jnp.take_along_axis(loc, ax[:, None], -1))
+        n_loc = jnp.where(outside[:, None],
+                          diff / jnp.maximum(dist, 1e-9)[:, None], n_in)
+        sb_depth = jnp.where(
+            outside, s_r - dist,
+            s_r + jnp.take_along_axis(pen_ax, ax[:, None], -1)[:, 0])
+        surf = jnp.where(outside[:, None], clamped,
+                         clamped + n_loc * pen_ax)
+        n_w_raw = jnp.einsum("pij,pj->pi", b_rot, n_loc)
+        # world normal box→sphere; flip when the sphere is body B
+        n_w = jnp.where(sb_ab[:, None], n_w_raw, -n_w_raw)
+        # contact point: halfway between the two surfaces (matches the
+        # sphere-sphere convention)
+        p_w = (b_pos + jnp.einsum("pij,pj->pi", b_rot, surf)
+               + n_w_raw * (0.5 * sb_depth)[:, None])
+        depth = depth.at[:, 1].set(
+            jnp.where(sb_any, sb_depth, depth[:, 1]))
+        normal = normal.at[:, 1].set(
+            jnp.where(sb_any[:, None], n_w, normal[:, 1]))
+        point = point.at[:, 1].set(
+            jnp.where(sb_any[:, None], p_w, point[:, 1]))
+        # a sphere touches a convex at exactly one point; kill the
+        # vertex-face duplicates for sphere-box pairs
+        sb_kill = sb_any[:, None] & (
+            jnp.arange(depth.shape[1])[None, :] != 1)
+        depth = jnp.where(sb_kill, 0.0, depth)
 
         # sphere-sphere analytic contact replaces slot 0 for sphere pairs
         both_sphere = cvx.is_sphere[ia] & cvx.is_sphere[ib]

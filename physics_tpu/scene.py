@@ -256,10 +256,33 @@ def _pack_hulls(hulls: Sequence) -> HullSet:
             fverts[i, f, : len(poly)] = poly
             fverts[i, f, len(poly):] = poly[0]  # pad by repeating
             fvcount[i, f] = len(poly)
+
+    # unique (up to sign) unit edge directions per hull — the edge-edge
+    # separating-axis candidates for the hull-hull SAT (ops/hullhull.py)
+    dir_lists = []
+    for v, fn, fo, polys in hulls:
+        dirs: list = []
+        for poly in polys:
+            for a, b in zip(poly, list(poly[1:]) + [poly[0]]):
+                d = v[b] - v[a]
+                nrm = np.linalg.norm(d)
+                if nrm < 1e-9:
+                    continue
+                d = d / nrm
+                if not any(abs(float(d @ e)) > 1.0 - 1e-5 for e in dirs):
+                    dirs.append(d)
+        dir_lists.append(np.asarray(dirs, np.float32).reshape(-1, 3))
+    dmax = max((d.shape[0] for d in dir_lists), default=1) or 1
+    edirs = np.zeros((hcount, dmax, 3), np.float32)
+    edcount = np.zeros(hcount, np.int32)
+    for i, d in enumerate(dir_lists):
+        edirs[i, : d.shape[0]] = d
+        edcount[i] = d.shape[0]
+
     return HullSet(
         verts=verts, vert_count=vcount, face_normals=normals,
         face_offsets=offsets, face_count=fcount, face_verts=fverts,
-        face_vert_count=fvcount,
+        face_vert_count=fvcount, edge_dirs=edirs, edge_dir_count=edcount,
     )
 
 

@@ -85,6 +85,7 @@ class ContactGeom(NamedTuple):
     relax: Array
     actf: Array
     has_bf: Array
+    v_n0: Array             # pre-solve normal approach velocity
 
 
 def contact_geometry(
@@ -125,17 +126,23 @@ def contact_geometry(
 
     # ---- packed body table: ONE lane gather per endpoint ----
     # rows: pos(0:3) | world inv-inertia row-major (3:12) | inv_mass(12) |
-    # deg(13) | pad(14:16)
+    # deg(13) | vel(14:17) | omega(17:20) | pad(20:24). Gather cost is
+    # payload-width independent, so the velocities ride along free — they
+    # feed the pre-solve approach velocity (restitution target) that
+    # otherwise costs four dedicated gathers.
     r9 = v3.quat_to_mat(state.quat)                  # 9 x [N]
     iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))  # world I^-1
+    zn = jnp.zeros((n,), jnp.float32)
     table = jnp.stack(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
         + list(iw9)
-        + [state.inv_mass, deg, jnp.zeros((n,), jnp.float32),
-           jnp.zeros((n,), jnp.float32)]
-    )                                                 # [16, N]
-    ta = lane_gather(table, a)                        # [16, C]
-    tb = lane_gather(table, b)                        # [16, C]
+        + [state.inv_mass, deg,
+           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+           state.omega[:, 0], state.omega[:, 1], state.omega[:, 2],
+           zn, zn, zn, zn]
+    )                                                 # [24, N]
+    ta = lane_gather(table, a)                        # [24, C]
+    tb = lane_gather(table, b)                        # [24, C]
 
     inv_m_a = ta[12] * actf
     inv_m_b = tb[12] * has_bf
@@ -162,11 +169,21 @@ def contact_geometry(
                         1.0)
     relax = jnp.float32(cfg.contact_relaxation) / deg_c
 
+    # pre-solve normal approach velocity (restitution reference)
+    va0 = v3.add((ta[14], ta[15], ta[16]),
+                 v3.cross((ta[17], ta[18], ta[19]), r_a))
+    vb0 = v3.scale(
+        v3.add((tb[14], tb[15], tb[16]),
+               v3.cross((tb[17], tb[18], tb[19]), r_b)),
+        has_bf,
+    )
+    v_n0 = v3.dot(nrm, v3.sub(va0, vb0))
+
     return ContactGeom(
         seg_ids=seg_ids, inv_m_a=inv_m_a, inv_m_b=inv_m_b,
         iw_a=iw_a, iw_b=iw_b, r_a=r_a, r_b=r_b, nrm=nrm, t1=t1, t2=t2,
         k_n=k_n, k_t1=k_t1, k_t2=k_t2, relax=relax, actf=actf,
-        has_bf=has_bf,
+        has_bf=has_bf, v_n0=v_n0,
     )
 
 
@@ -324,8 +341,7 @@ def solve_impulses(
     # the velocity solve targets restitution only -- penetration is fixed by
     # the parallel pseudo-velocity position rows, so the cached real
     # impulses contain no Baumgarte energy (safe to warm start).
-    ga0, gb0 = lane_gather(vw0, a), lane_gather(vw0, b)
-    v_n0 = v3.dot(nrm, rel_vel_from(ga0, gb0))
+    v_n0 = g.v_n0   # pre-solve approach velocity (rides the geometry table)
     bias = (
         jnp.float32(cfg.baumgarte)
         / dt
@@ -427,35 +443,44 @@ _VEC_FIELDS = ("point", "normal")  # [3, C] fields of Contacts
 def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
     """Reorder every Contacts field by `idx` with ONE packed lane gather.
 
-    Gather cost on TPU is per-op × per-index (docs/PERFORMANCE.md), so the
-    9 float rows ride one [9, C] table and the 4 int fields (body ids, key,
-    active) another — two packed gathers instead of nine. Ints stay int32:
-    bit-casting them through f32 is NOT safe (negative ids / large keys form
-    NaN payloads, which the TPU may canonicalize in transit).
+    Gather cost on TPU is per-op × per-index (docs/PERFORMANCE.md), so all
+    14 logical rows ride ONE [14, C] f32 table. Int fields are encoded as
+    exact-in-f32 non-negative values (body ids < 2²⁴, +1 bias for the −1
+    ghost id; the key's uint32 bits split into two 16-bit halves) — NOT
+    bit-cast, which would form NaN payloads the TPU may canonicalize in
+    transit, and NOT a second same-index gather, which XLA's TPU fusion
+    pass miscompiles into an unsupported variadic gather.
     """
+    key_u = jax.lax.bitcast_convert_type(contacts.key, jnp.uint32)
+    f32 = lambda x: x.astype(jnp.float32)
     packed = jnp.stack([
         contacts.point[0], contacts.point[1], contacts.point[2],
         contacts.normal[0], contacts.normal[1], contacts.normal[2],
         contacts.depth,
         contacts.friction,
         contacts.restitution,
-    ])[:, idx]                                   # ONE [9, C] lane gather
-    ipacked = jnp.stack([
-        contacts.body_a,
-        contacts.body_b,
-        contacts.active.astype(jnp.int32),
-        contacts.key,
-    ])[:, idx]                                   # ONE [4, C] int gather
+        f32(contacts.body_a + 1),
+        f32(contacts.body_b + 1),
+        f32(contacts.active),
+        f32(key_u & jnp.uint32(0xFFFF)),
+        f32(key_u >> 16),
+    ])[:, idx]                                   # ONE [14, C] lane gather
+    i32 = lambda r: r.astype(jnp.int32)
+    key = jax.lax.bitcast_convert_type(
+        (i32(packed[13]).astype(jnp.uint32) << 16)
+        | i32(packed[12]).astype(jnp.uint32),
+        jnp.int32,
+    )
     return Contacts(
-        body_a=ipacked[0],
-        body_b=ipacked[1],
+        body_a=i32(packed[9]) - 1,
+        body_b=i32(packed[10]) - 1,
         point=packed[0:3],
         normal=packed[3:6],
         depth=packed[6],
-        active=ipacked[2] != 0,
+        active=packed[11] != 0,
         friction=packed[7],
         restitution=packed[8],
-        key=ipacked[3],
+        key=key,
     )
 
 
@@ -596,10 +621,13 @@ def resolve_contacts(
                 "contact_solver='pallas_banded' does not support sharded "
                 "solves; use contact_solver='jacobi' with shard="
             )
-        if cfg.pair_collisions and cfg.broadphase != "sweep":
+        if cfg.pair_collisions and cfg.broadphase not in (
+            "sweep", "env_blocks"
+        ):
             raise ValueError(
                 "contact_solver='pallas_banded' requires broadphase='sweep' "
-                "(its band guarantee comes from the sweep's rank window)"
+                "or 'env_blocks' (its band guarantee comes from their rank "
+                "windows)"
             )
         from physics_tpu.ops.broadphase import body_aabbs, sweep_order
         from physics_tpu.solver.contacts_pallas import (
@@ -610,7 +638,11 @@ def resolve_contacts(
         cp = padded_contact_count(state.num_bodies, c_total, cfg)
         use_warm = state.contact_key.shape[0] == cp and c_total > 0
         warm = (state.contact_key, state.contact_lam) if use_warm else None
-        body_order = sweep_order(state, body_aabbs(state))
+        if cfg.pair_collisions and cfg.broadphase == "sweep":
+            body_order = sweep_order(state, body_aabbs(state))
+        else:
+            # env_blocks / ground-only: identity order is already banded
+            body_order = None
         # NOTE: returns the rank-sorted, tile-padded contacts struct — the
         # returned lam3 aligns with IT, so warm bookkeeping below must too
         vel, omega, pvel, pomega, lam3, solve_metrics, contacts = (

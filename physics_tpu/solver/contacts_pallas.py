@@ -343,14 +343,16 @@ def solve_impulses_banded(
     state: SimState,
     contacts: Contacts,
     cfg: SimConfig,
-    order: Array,
+    order: Array | None,
     warm: Tuple[Array, Array] | None = None,
 ):
     """Drop-in replacement for `solve_impulses` using the fused kernel.
 
     `order` is the broad-phase sweep's body sort order (original body id per
     rank); the solve runs in rank space so pair endpoints are within
-    `sweep_window` of each other. Returns the same tuple as
+    `sweep_window` of each other. `order=None` means the identity order
+    (env_blocks packing / ground-only scenes — already banded), which skips
+    the rank indirection entirely. Returns the same tuple as
     `solve_impulses` plus a reordered `contacts` (sorted by rank, padded to
     the kernel tile) whose slots align with the returned lam3 — the caller
     must use THAT struct for warm-start bookkeeping.
@@ -361,33 +363,45 @@ def solve_impulses_banded(
     tile, wtot, npad = solve_shape(n, c0, cfg)
     cp = padded_contact_count(n, c0, cfg)
 
-    # rank of each body in sweep order: rank[order[i]] = i
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
-
-    # sort contacts by their lowest endpoint rank, then pad to the tile;
-    # the endpoint ranks ride one packed [2, C] gather through the sort
-    # instead of being re-looked-up afterwards
     has_b0 = contacts.body_b >= 0
-    both = rank[None, :][
-        :, jnp.stack([contacts.body_a,
-                      jnp.clip(contacts.body_b, 0, n - 1)])
-    ][0]                                       # ONE [2, C] rank lookup
-    ra0 = both[0]
-    rb0 = jnp.where(has_b0, both[1], ra0)
+    if order is None:
+        rank = None
+        ra0 = contacts.body_a
+        rb0 = jnp.where(has_b0, contacts.body_b, ra0)
+    else:
+        # rank of each body in sweep order: rank[order[i]] = i
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        # the endpoint ranks ride one packed [2, C] gather through the
+        # sort instead of being re-looked-up afterwards
+        both = rank[None, :][
+            :, jnp.stack([contacts.body_a,
+                          jnp.clip(contacts.body_b, 0, n - 1)])
+        ][0]                                   # ONE [2, C] rank lookup
+        ra0 = both[0]
+        rb0 = jnp.where(has_b0, both[1], ra0)
+    # sort contacts by their lowest endpoint rank, then pad to the tile
     lo = jnp.where(contacts.active, jnp.minimum(ra0, rb0), n + npad)
     sort_idx = jnp.argsort(lo).astype(jnp.int32)
-    rr = jnp.stack([ra0, jnp.where(has_b0, rb0, -1)])[:, sort_idx]
+    if order is None:
+        rr = None        # identity order: ranks ARE the sorted body ids
+    else:
+        rr = jnp.stack([ra0, jnp.where(has_b0, rb0, -1)])[:, sort_idx]
+        rr = jnp.pad(rr, ((0, 0), (0, cp - rr.shape[1])),
+                     constant_values=-1)
     contacts = _field_gather(contacts, sort_idx)
     contacts = _pad_contacts(contacts, cp)
-    rr = jnp.pad(rr, ((0, 0), (0, cp - rr.shape[1])), constant_values=-1)
 
     # need_deg=False: the kernel's degree pre-pass replaces the XLA scatter
     g = contact_geometry(state, contacts, cfg, need_deg=False)
 
     has_b = contacts.body_b >= 0
-    ra = rr[0]
-    rb = rr[1]
+    if order is None:
+        ra = contacts.body_a
+        rb = jnp.where(has_b, contacts.body_b, -1)
+    else:
+        ra = rr[0]
+        rb = rr[1]
     lo_s = jnp.where(contacts.active, jnp.minimum(ra, jnp.where(
         has_b, rb, ra)), npad - 1)
 
@@ -407,22 +421,16 @@ def solve_impulses_banded(
     lb = jnp.where(in_band & contacts.active & has_b, lb, -1)
 
     # ---- velocity-solve targets (same math as solve_impulses) ----
-    vel_r = state.vel[order]                                  # rank space
-    omega_r = state.omega[order]
+    if order is None:
+        vel_r, omega_r = state.vel, state.omega
+    else:
+        vel_r = state.vel[order]                              # rank space
+        omega_r = state.omega[order]
     z0 = jnp.zeros((Z_ROWS, npad), jnp.float32)
     z0 = z0.at[0:3, :n].set(vel_r.T).at[3:6, :n].set(omega_r.T)
 
-    # pre-solve approach velocity (from state, NOT the z table — cheaper
-    # as a direct gather of the original [N, 3] arrays)
-    va0 = v3.add(v3.unpack(state.vel[contacts.body_a], -1),
-                 v3.cross(v3.unpack(state.omega[contacts.body_a], -1),
-                          g.r_a))
-    bsafe = jnp.clip(contacts.body_b, 0, n - 1)
-    vb0 = v3.scale(
-        v3.add(v3.unpack(state.vel[bsafe], -1),
-               v3.cross(v3.unpack(state.omega[bsafe], -1), g.r_b)),
-        g.has_bf)
-    v_n0 = v3.dot(g.nrm, v3.sub(va0, vb0))
+    # pre-solve approach velocity rides the geometry's packed body table
+    v_n0 = g.v_n0
     bias = (jnp.float32(cfg.baumgarte) / dt
             * jnp.maximum(contacts.depth - jnp.float32(cfg.penetration_slop),
                           0.0))
@@ -455,7 +463,7 @@ def solve_impulses_banded(
         warm_sweep=use_split,
     )
 
-    zz = z[:, rank]                                           # [16, N]
+    zz = z[:, :n] if order is None else z[:, rank]            # [16, N]
     vel = zz[0:3].T
     omega = zz[3:6].T
     pvel = zz[8:11].T

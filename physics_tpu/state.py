@@ -112,6 +112,9 @@ class HullSet:
                  counter-clockwise seen from outside (padding repeats the
                  first vertex)
     face_vert_count: [H, Fmax] int32
+    edge_dirs:   [H, Dmax, 3] unique (up to sign) unit edge directions —
+                 the edge-edge separating-axis candidates (padded zeros)
+    edge_dir_count: [H] int32
     """
 
     verts: Array
@@ -121,6 +124,8 @@ class HullSet:
     face_count: Array
     face_verts: Array
     face_vert_count: Array
+    edge_dirs: Array
+    edge_dir_count: Array
 
     @classmethod
     def empty(cls) -> "HullSet":
@@ -132,6 +137,8 @@ class HullSet:
             face_count=jnp.zeros((1,), jnp.int32),
             face_verts=jnp.zeros((1, 1, 1), jnp.int32),
             face_vert_count=jnp.zeros((1, 1), jnp.int32),
+            edge_dirs=jnp.zeros((1, 1, 3), jnp.float32),
+            edge_dir_count=jnp.zeros((1,), jnp.int32),
         )
 
 

@@ -21,6 +21,14 @@ def make_hull_data(verts):
         fverts[i, : len(p)] = p
         fverts[i, len(p):] = p[0]
         fcnt[i] = len(p)
+    dirs = []
+    for p in polys:
+        for a, b in zip(p, list(p[1:]) + [p[0]]):
+            d = verts[b] - verts[a]
+            d = d / max(np.linalg.norm(d), 1e-9)
+            if not any(abs(float(d @ e)) > 1 - 1e-5 for e in dirs):
+                dirs.append(d)
+    dirs = np.asarray(dirs, np.float32)
     return HullData(
         verts=jnp.asarray(verts),
         vert_mask=jnp.ones(len(verts), jnp.float32),
@@ -29,6 +37,8 @@ def make_hull_data(verts):
         face_mask=jnp.ones(f, jnp.float32),
         face_verts=jnp.asarray(fverts),
         face_vert_count=jnp.asarray(fcnt),
+        edge_dirs=jnp.asarray(dirs),
+        edge_dir_mask=jnp.ones(len(dirs), jnp.float32),
     )
 
 
@@ -46,6 +56,49 @@ def test_cube_hulls_stacked_manifold():
     np.testing.assert_allclose(np.asarray(n)[v], [[0, 1, 0]] * 4, atol=1e-5)
     xs = sorted(p[0] for p in np.asarray(pts)[v])
     np.testing.assert_allclose(xs, [-0.5, -0.5, 0.5, 0.5], atol=1e-4)
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return jnp.asarray(
+        np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32))
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return jnp.asarray(
+        np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32))
+
+
+def test_edge_edge_crossed_cubes():
+    """A rotated 45° about x over B rotated 45° about z: the true contact
+    normal (+y) is the cross of the two supporting edge directions and is
+    NOT any face normal of either cube — requires the edge-edge SAT."""
+    h = make_hull_data(box_mesh((0.5, 0.5, 0.5))[0])
+    r = 0.5 * np.sqrt(2.0)
+    depth_want = 0.05
+    pos_a = jnp.array([0.0, 2 * r - depth_want, 0.0])
+    pts, n, d, v = hull_hull_manifold(
+        pos_a, _rot_x(np.pi / 4), h, jnp.zeros(3), _rot_z(np.pi / 4), h
+    )
+    v = np.asarray(v)
+    assert v.sum() == 1, v.sum()
+    k = int(np.argmax(v))
+    np.testing.assert_allclose(np.asarray(d)[k], depth_want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n)[k], [0, 1, 0], atol=1e-5)
+    p = np.asarray(pts)[k]
+    np.testing.assert_allclose(p[0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(p[2], 0.0, atol=1e-5)
+    np.testing.assert_allclose(p[1], r - 0.5 * depth_want, atol=1e-3)
+
+
+def test_face_case_unchanged_by_edge_axes():
+    """Resting face contact still returns the 4-point clipped manifold."""
+    h = make_hull_data(box_mesh((0.5, 0.5, 0.5))[0])
+    pts, n, d, v = hull_hull_manifold(
+        jnp.array([0.0, 0.98, 0.0]), I3, h, jnp.zeros(3), I3, h
+    )
+    assert np.asarray(v).sum() == 4
 
 
 def test_separated_hulls_no_manifold():
