@@ -92,6 +92,22 @@ def to_matrix(q: Array) -> Array:
     return jnp.stack([r0, r1, r2], axis=-2)
 
 
+def to_matrix_np(q) -> "np.ndarray":
+    """NumPy twin of `to_matrix` for host-side tooling (viewer playback)."""
+    import numpy as np
+
+    q = np.asarray(q, np.float32)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    xy, wz = 2 * x * y, 2 * w * z
+    wy, xz = 2 * w * y, 2 * x * z
+    yz, wx = 2 * y * z, 2 * w * x
+    r0 = np.stack([ww + xx - yy - zz, xy - wz, wy + xz], axis=-1)
+    r1 = np.stack([wz + xy, ww - xx + yy - zz, yz - wx], axis=-1)
+    r2 = np.stack([xz - wy, wx + yz, ww - xx - yy + zz], axis=-1)
+    return np.stack([r0, r1, r2], axis=-2)
+
+
 def from_euler(roll: Array, pitch: Array, yaw: Array) -> Array:
     """Quaternion from roll-pitch-yaw (R = Rz(yaw)·Ry(pitch)·Rx(roll)).
 
