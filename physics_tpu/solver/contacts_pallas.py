@@ -299,6 +299,18 @@ def banded_sweeps(
             pltpu.VMEM((4, cp), jnp.float32),
         ],
     )
+    # scratch demand: two z tables + the λ table + streamed blocks. The
+    # default 16 MB scoped-vmem limit caps packed-env solves at ~4k envs;
+    # v5e physically has more — lift the cap ONLY when the shapes need it
+    # (a raised limit measurably degrades scheduling for solves that fit:
+    # E=8192 packed runs, but at worse per-body throughput than E=4096).
+    scratch_bytes = (2 * Z_ROWS * npad + 4 * cp) * 4
+    block_bytes = (2 * 8 * tile + R_CONST * tile + 3 * wtot * tile) * 4 * 2
+    needed = int((scratch_bytes + block_bytes) * 1.25)
+    params = {}
+    if needed > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=needed)
     return pl.pallas_call(
         kernel,
         out_shape=[
@@ -307,6 +319,7 @@ def banded_sweeps(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        **params,
     )(bases, la3, lb3, consts, z0)
 
 
@@ -372,14 +385,11 @@ def solve_impulses_banded(
         # rank of each body in sweep order: rank[order[i]] = i
         rank = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
-        # the endpoint ranks ride one packed [2, C] gather through the
-        # sort instead of being re-looked-up afterwards
-        both = rank[None, :][
-            :, jnp.stack([contacts.body_a,
-                          jnp.clip(contacts.body_b, 0, n - 1)])
-        ][0]                                   # ONE [2, C] rank lookup
-        ra0 = both[0]
-        rb0 = jnp.where(has_b0, both[1], ra0)
+        # two plain [C] rank lookups (a combined [2, C]-index gather form
+        # measured 2× slower than two flat gathers here)
+        ra0 = rank[contacts.body_a]
+        rb0 = jnp.where(has_b0,
+                        rank[jnp.clip(contacts.body_b, 0, n - 1)], ra0)
     # sort contacts by their lowest endpoint rank, then pad to the tile
     lo = jnp.where(contacts.active, jnp.minimum(ra0, rb0), n + npad)
     sort_idx = jnp.argsort(lo).astype(jnp.int32)
