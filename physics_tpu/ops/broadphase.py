@@ -34,6 +34,12 @@ class PairCandidates(NamedTuple):
     body_b: Array   # [P] int32
     mask: Array     # [P] bool
     overflow: Array # [] int32 — pairs potentially missed (sweep window)
+    # broad-phase ranks of the endpoints (sweep: sorted-by-min-x position;
+    # env_blocks: the body id itself). rank_a < rank_b for every emitted
+    # pair — the banded contact solver consumes these instead of re-deriving
+    # them with per-contact gathers. Meaningless (= body ids) for allpairs.
+    rank_a: Array   # [P] int32
+    rank_b: Array   # [P] int32
 
 
 def body_aabbs(state: SimState) -> Array:
@@ -87,7 +93,7 @@ def allpairs_candidates(state: SimState, aabbs: Array) -> PairCandidates:
     ia, ib = _upper_tri_pairs(n)
     collidable = state.shapes.stype != SHAPE_NONE
     mask = _aabb_overlap(aabbs, ia, ib) & collidable[ia] & collidable[ib]
-    return PairCandidates(ia, ib, mask, jnp.int32(0))
+    return PairCandidates(ia, ib, mask, jnp.int32(0), ia, ib)
 
 
 def sweep_order(state: SimState, aabbs: Array) -> Array:
@@ -169,11 +175,17 @@ def sweep_candidates(
 
     ia_f = jnp.broadcast_to(order[:, None], (n, k)).reshape(-1)
     ib_f = nb_order.reshape(-1)
+    ranks = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rank_a = jnp.broadcast_to(ranks, (n, k)).reshape(-1)
+    rank_b = jnp.minimum(
+        ranks + jnp.arange(1, k + 1, dtype=jnp.int32)[None, :], n - 1
+    ).reshape(-1)
 
     # overflow: window neighbor k (the furthest we look) still x-overlaps →
     # there may be pairs beyond the window.
     overflow = jnp.sum(last_overlap.astype(jnp.int32))
-    return PairCandidates(ia_f, ib_f, mask.reshape(-1), overflow)
+    return PairCandidates(ia_f, ib_f, mask.reshape(-1), overflow,
+                          rank_a, rank_b)
 
 
 def env_block_candidates(
@@ -209,7 +221,8 @@ def env_block_candidates(
     base = (jnp.arange(e, dtype=jnp.int32) * k)[:, None]
     ia = (base + jnp.asarray(oi)[None, :]).reshape(-1)
     ib = (base + jnp.asarray(oj)[None, :]).reshape(-1)
-    return PairCandidates(ia, ib, mask, jnp.int32(0))
+    # identity order: the body id IS the rank
+    return PairCandidates(ia, ib, mask, jnp.int32(0), ia, ib)
 
 
 def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
@@ -232,13 +245,16 @@ def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
         jnp.sum(cand.mask.astype(jnp.int32)) - max_pairs, 0
     )
     packed = jnp.stack(
-        [cand.body_a, cand.body_b, cand.mask.astype(jnp.int32)]
+        [cand.body_a, cand.body_b, cand.mask.astype(jnp.int32),
+         cand.rank_a, cand.rank_b]
     )[:, idx]
     return PairCandidates(
         body_a=packed[0],
         body_b=packed[1],
         mask=packed[2] != 0,
         overflow=cand.overflow + dropped,
+        rank_a=packed[3],
+        rank_b=packed[4],
     )
 
 

@@ -440,8 +440,11 @@ def solve_impulses(
 _VEC_FIELDS = ("point", "normal")  # [3, C] fields of Contacts
 
 
-def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
+def _field_gather(contacts: Contacts, idx: Array, extra: Array | None = None):
     """Reorder every Contacts field by `idx` with ONE packed lane gather.
+
+    `extra` ([R, C] f32) rides the same gather (the values must be exactly
+    representable in f32); when given, returns (contacts, extra_gathered).
 
     Gather cost on TPU is per-op × per-index (docs/PERFORMANCE.md), so all
     14 logical rows ride ONE [14, C] f32 table. Int fields are encoded as
@@ -453,7 +456,7 @@ def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
     """
     key_u = jax.lax.bitcast_convert_type(contacts.key, jnp.uint32)
     f32 = lambda x: x.astype(jnp.float32)
-    packed = jnp.stack([
+    rows = [
         contacts.point[0], contacts.point[1], contacts.point[2],
         contacts.normal[0], contacts.normal[1], contacts.normal[2],
         contacts.depth,
@@ -464,14 +467,19 @@ def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
         f32(contacts.active),
         f32(key_u & jnp.uint32(0xFFFF)),
         f32(key_u >> 16),
-    ])[:, idx]                                   # ONE [14, C] lane gather
+    ]
+    n_extra = 0
+    if extra is not None:
+        n_extra = extra.shape[0]
+        rows += [extra[r] for r in range(n_extra)]
+    packed = jnp.stack(rows)[:, idx]             # ONE [14+R, C] lane gather
     i32 = lambda r: r.astype(jnp.int32)
     key = jax.lax.bitcast_convert_type(
         (i32(packed[13]).astype(jnp.uint32) << 16)
         | i32(packed[12]).astype(jnp.uint32),
         jnp.int32,
     )
-    return Contacts(
+    out = Contacts(
         body_a=i32(packed[9]) - 1,
         body_b=i32(packed[10]) - 1,
         point=packed[0:3],
@@ -482,6 +490,9 @@ def _field_gather(contacts: Contacts, idx: Array) -> Contacts:
         restitution=packed[8],
         key=key,
     )
+    if extra is not None:
+        return out, packed[14:14 + n_extra]
+    return out
 
 
 def compact_contacts(
@@ -576,46 +587,9 @@ def resolve_contacts(
     the mesh axis; the Jacobi solve psums impulse deltas each sweep so the
     result matches the single-device solve.
     """
-    cvx = convex_data(state)
-    groups = []
-    metrics: Dict = {}
-    axis_name = shard[0] if shard else None
-
-    if cfg.ground_plane:
-        gc = ground_contacts(state, cvx, cfg)
-        if shard:
-            gc = _chunk_contacts(gc, *shard)
-        groups.append(gc)
-    if cfg.pair_collisions and state.num_bodies > 1:
-        cand = pair_candidates(state, cfg)
-        if shard:
-            from physics_tpu.ops.broadphase import PairCandidates
-
-            cand = PairCandidates(
-                _chunk(cand.body_a, *shard),
-                _chunk(cand.body_b, *shard),
-                _chunk(cand.mask, *shard),
-                cand.overflow,
-            )
-        groups.append(pair_contacts(state, cvx, cand, cfg))
-        metrics["pair_overflow"] = cand.overflow
-
-    if not groups:
-        return state, metrics
-
-    contacts = concat_contacts(*groups)
-    max_c = cfg.max_contacts // (shard[1] if shard else 1)
-    contacts, dropped = compact_contacts(contacts, max_c)
-    if cfg.max_contacts > 0:
-        if axis_name:
-            dropped = jax.lax.psum(dropped, axis_name)
-        metrics["contact_overflow"] = dropped
-
-    # warm start: enabled when the state's warm buffers were allocated at
-    # this config's contact capacity (engine.prepare_contacts); sharded
-    # solves skip it (per-shard key tables are not maintained)
-    c_total = contacts.key.shape[0]
-    if cfg.contact_solver == "pallas_banded":
+    n = state.num_bodies
+    use_pallas = cfg.contact_solver == "pallas_banded"
+    if use_pallas:
         if shard is not None:
             raise ValueError(
                 "contact_solver='pallas_banded' does not support sharded "
@@ -629,28 +603,115 @@ def resolve_contacts(
                 "or 'env_blocks' (its band guarantee comes from their rank "
                 "windows)"
             )
-        from physics_tpu.ops.broadphase import body_aabbs, sweep_order
+
+    cvx = convex_data(state)
+    groups = []
+    lo_rows, rb_rows = [], []
+    metrics: Dict = {}
+    axis_name = shard[0] if shard else None
+    boxes_fast = cfg.boxes_only and jax.default_backend() == "tpu"
+
+    # body rank table for the banded solver's rank-row carries: sweep order
+    # when pair collisions use the sweep, identity otherwise. Zero
+    # per-contact gathers: group layouts are mirrored below.
+    body_order = None
+    rank_arr = None
+    if use_pallas:
+        if cfg.pair_collisions and cfg.broadphase == "sweep" and n > 1:
+            from physics_tpu.ops.broadphase import body_aabbs, sweep_order
+
+            body_order = sweep_order(state, body_aabbs(state))
+            rank_arr = jnp.zeros((n,), jnp.int32).at[body_order].set(
+                jnp.arange(n, dtype=jnp.int32))
+        else:
+            rank_arr = jnp.arange(n, dtype=jnp.int32)
+
+    if cfg.ground_plane:
+        gc = ground_contacts(state, cvx, cfg)
+        if shard:
+            gc = _chunk_contacts(gc, *shard)
+        groups.append(gc)
+        if use_pallas:
+            cg = gc.body_a.shape[0]
+            kg = cg // n
+            if boxes_fast:
+                # _ground_contacts_boxes: slot-major [k·N], body = iota
+                lo_g = jnp.concatenate([rank_arr] * kg)
+            else:
+                # generic ground_contacts: body-major [N, k]
+                lo_g = jnp.broadcast_to(
+                    rank_arr[:, None], (n, kg)).reshape(-1)
+            lo_rows.append(lo_g)
+            rb_rows.append(jnp.full((cg,), -1, jnp.int32))
+    if cfg.pair_collisions and state.num_bodies > 1:
+        cand = pair_candidates(state, cfg)
+        if shard:
+            from physics_tpu.ops.broadphase import PairCandidates
+
+            cand = PairCandidates(
+                _chunk(cand.body_a, *shard),
+                _chunk(cand.body_b, *shard),
+                _chunk(cand.mask, *shard),
+                cand.overflow,
+                _chunk(cand.rank_a, *shard),
+                _chunk(cand.rank_b, *shard),
+            )
+        pc = pair_contacts(state, cvx, cand, cfg)
+        groups.append(pc)
+        metrics["pair_overflow"] = cand.overflow
+        if use_pallas:
+            cpair = pc.body_a.shape[0]
+            p = cand.body_a.shape[0]
+            kk = cpair // p
+            if boxes_fast:
+                # _pair_contacts_boxes: slot-major concat([x]*kk)
+                lo_p = jnp.concatenate([cand.rank_a] * kk)
+                rb_p = jnp.concatenate([cand.rank_b] * kk)
+            else:
+                # generic pair_contacts: pair-major [P, kk] broadcast
+                lo_p = jnp.broadcast_to(
+                    cand.rank_a[:, None], (p, kk)).reshape(-1)
+                rb_p = jnp.broadcast_to(
+                    cand.rank_b[:, None], (p, kk)).reshape(-1)
+            lo_rows.append(lo_p)
+            rb_rows.append(rb_p)
+
+    if not groups:
+        return state, metrics
+
+    contacts = concat_contacts(*groups)
+    c_total = contacts.key.shape[0]
+
+    if use_pallas:
+        # contact compaction folds into the banded solver's rank sort (by
+        # LOWEST RANK on overflow, not deepest — overflow is still counted)
         from physics_tpu.solver.contacts_pallas import (
             padded_contact_count,
             solve_impulses_banded,
         )
 
-        cp = padded_contact_count(state.num_bodies, c_total, cfg)
-        use_warm = state.contact_key.shape[0] == cp and c_total > 0
+        c_eff = (min(c_total, cfg.max_contacts) if cfg.max_contacts > 0
+                 else c_total)
+        cp = padded_contact_count(n, c_eff, cfg)
+        use_warm = state.contact_key.shape[0] == cp and c_eff > 0
         warm = (state.contact_key, state.contact_lam) if use_warm else None
-        if cfg.pair_collisions and cfg.broadphase == "sweep":
-            body_order = sweep_order(state, body_aabbs(state))
-        else:
-            # env_blocks / ground-only: identity order is already banded
-            body_order = None
         # NOTE: returns the rank-sorted, tile-padded contacts struct — the
         # returned lam3 aligns with IT, so warm bookkeeping below must too
         vel, omega, pvel, pomega, lam3, solve_metrics, contacts = (
             solve_impulses_banded(
-                state, contacts, cfg, body_order, warm=warm
+                state, contacts, cfg, body_order, warm=warm,
+                ranks=(jnp.concatenate(lo_rows), jnp.concatenate(rb_rows)),
+                capacity=cp,
             )
         )
     else:
+        max_c = cfg.max_contacts // (shard[1] if shard else 1)
+        contacts, dropped = compact_contacts(contacts, max_c)
+        if cfg.max_contacts > 0:
+            if axis_name:
+                dropped = jax.lax.psum(dropped, axis_name)
+            metrics["contact_overflow"] = dropped
+        c_total = contacts.key.shape[0]
         use_warm = (
             shard is None
             and state.contact_key.shape[0] == c_total

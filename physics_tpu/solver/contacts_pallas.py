@@ -48,7 +48,6 @@ from physics_tpu.maths import vec3c as v3
 from physics_tpu.ops.narrowphase import Contacts
 from physics_tpu.solver.contacts import (
     _field_gather,
-    contact_geometry,
     warm_start_lambda,
 )
 from physics_tpu.state import SimState
@@ -323,6 +322,157 @@ def banded_sweeps(
     )(bases, la3, lb3, consts, z0)
 
 
+# geometry body-table rows (prep kernel input):
+# pos(0:3) | world inv-inertia row-major (3:12) | inv_mass(12) |
+# vel(13:16) | omega(16:19) | pad(19:24)
+GEOM_ROWS = 24
+
+# per-contact narrow-phase input rows (prep kernel input):
+# point(0:3) | normal(3:6) | depth(6) | friction(7) | restitution(8) |
+# actf(9) | lam0 λn λt1 λt2 (10:13) | has_bf(13) | pad(14:16)
+CIN_ROWS = 16
+
+
+def _make_prep_kernel(tile, wtot, baum_over_dt, slop, relaxation,
+                      use_split):
+    """Geometry → solve-constants kernel (one pass over contact tiles).
+
+    Fuses what used to be ~0.7 ms of XLA per-contact work (endpoint body
+    gathers, contact frames, effective masses, solve targets, the [45, C]
+    consts stack) into banded one-hot MXU gathers from a VMEM-resident
+    body table — the same machinery as the solve kernel's sweeps.
+    """
+
+    def kernel(base_ref, la_ref, lb_ref, cin_ref, geom_ref, consts_ref):
+        t = pl.program_id(0)
+        start = pl.multiple_of(base_ref[t], 128)
+        win = geom_ref[:, pl.ds(start, wtot)]            # [24, WTOT]
+        w_hi, w_lo = _split(win)
+        la = la_ref[0, 0, :]
+        lb = lb_ref[0, 0, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
+        oh_a = (row == la[None, :]).astype(jnp.bfloat16)
+        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+
+        def bgather(oh):
+            g1 = jax.lax.dot_general(
+                w_hi, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return g1 + jax.lax.dot_general(
+                w_lo, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [24, TILE]
+
+        ga = bgather(oh_a)
+        gb = bgather(oh_b)          # ghost endpoints: all-zero columns
+
+        ci = cin_ref[:]                                  # [16, TILE]
+        p = (ci[0], ci[1], ci[2])
+        nrm = (ci[3], ci[4], ci[5])
+        depth, fric, rest = ci[6], ci[7], ci[8]
+        actf = ci[9]
+        lam0 = (ci[10], ci[11], ci[12])
+        has_bf = ci[13]
+
+        inv_m_a = ga[12] * actf
+        inv_m_b = gb[12] * has_bf
+        iw_a = tuple(ga[3 + k] * actf for k in range(9))
+        iw_b = tuple(gb[3 + k] * has_bf for k in range(9))
+        r_a = v3.sub(p, (ga[0], ga[1], ga[2]))
+        r_b = v3.sub(p, (gb[0], gb[1], gb[2]))
+
+        # branchless orthonormal tangent basis (solver/contacts.py
+        # _tangent_basis, component form)
+        ax, ay, az = jnp.abs(nrm[0]), jnp.abs(nrm[1]), jnp.abs(nrm[2])
+        use_x = (ax <= ay) & (ax <= az)
+        use_y = (~use_x) & (ay <= az)
+        f = lambda m: m.astype(jnp.float32)
+        e = (f(use_x), f(use_y), f(~(use_x | use_y)))
+        t1 = v3.cross(nrm, e)
+        t1 = v3.scale(t1, 1.0 / jnp.maximum(v3.norm(t1), 1e-9))
+        t2 = v3.cross(nrm, t1)
+
+        def eff_mass(d):
+            term_a = v3.dot(
+                d, v3.cross(v3.mat_vec(iw_a, v3.cross(r_a, d)), r_a))
+            term_b = v3.dot(
+                d, v3.cross(v3.mat_vec(iw_b, v3.cross(r_b, d)), r_b))
+            return inv_m_a + inv_m_b + term_a + term_b
+
+        inv_k_n = 1.0 / jnp.maximum(eff_mass(nrm), 1e-9)
+        inv_k_t1 = 1.0 / jnp.maximum(eff_mass(t1), 1e-9)
+        inv_k_t2 = 1.0 / jnp.maximum(eff_mass(t2), 1e-9)
+
+        va0 = v3.add((ga[13], ga[14], ga[15]),
+                     v3.cross((ga[16], ga[17], ga[18]), r_a))
+        vb0 = v3.scale(
+            v3.add((gb[13], gb[14], gb[15]),
+                   v3.cross((gb[16], gb[17], gb[18]), r_b)),
+            has_bf)
+        v_n0 = v3.dot(nrm, v3.sub(va0, vb0))
+        bias = jnp.float32(baum_over_dt) * jnp.maximum(
+            depth - jnp.float32(slop), 0.0)
+        bounce = rest * jnp.maximum(-v_n0, 0.0)
+        if use_split:
+            v_target = bounce
+        else:
+            v_target = jnp.maximum(bias, bounce)
+        relax = jnp.float32(relaxation) * actf
+
+        zero = jnp.zeros((tile,), jnp.float32)
+        consts_ref[:] = jnp.stack(
+            list(r_a) + list(r_b) + list(nrm) + list(t1) + list(t2)
+            + [inv_k_n, inv_k_t1, inv_k_t2, v_target, bias, fric,
+               relax, inv_m_a, inv_m_b]
+            + list(iw_a) + list(iw_b)
+            + list(lam0)
+            + [zero] * (R_CONST - 45)
+        )                                                # [48, TILE]
+
+    return kernel
+
+
+def prep_consts(
+    geom: Array,          # [24, NPAD] rank-space body table
+    bases: Array,
+    la: Array,
+    lb: Array,
+    cin: Array,           # [16, Cp] narrow-phase rows
+    cfg: SimConfig,
+    *,
+    tile: int,
+    wtot: int,
+    use_split: bool,
+    interpret: bool | None = None,
+) -> Array:
+    """Run the geometry/constants kernel; returns consts [R_CONST, Cp]."""
+    cp = la.shape[0]
+    ntiles = cp // tile
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    la3 = jnp.broadcast_to(la.reshape(ntiles, 1, tile), (ntiles, 8, tile))
+    lb3 = jnp.broadcast_to(lb.reshape(ntiles, 1, tile), (ntiles, 8, tile))
+    kernel = _make_prep_kernel(
+        tile, wtot, cfg.baumgarte / cfg.dt, cfg.penetration_slop,
+        cfg.contact_relaxation, use_split)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, tile), lambda t, b: (t, 0, 0)),
+            pl.BlockSpec((1, 8, tile), lambda t, b: (t, 0, 0)),
+            pl.BlockSpec((CIN_ROWS, tile), lambda t, b: (0, t)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_CONST, tile), lambda t, b: (0, t)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_CONST, cp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bases, la3, lb3, cin, geom)
+
+
 def solve_shape(n: int, c: int, cfg: SimConfig) -> Tuple[int, int, int]:
     """(tile, wtot, npad) for a solve of c contacts over n bodies."""
     cp128 = max(_round_up(c, 128), 128)
@@ -358,6 +508,8 @@ def solve_impulses_banded(
     cfg: SimConfig,
     order: Array | None,
     warm: Tuple[Array, Array] | None = None,
+    ranks: Tuple[Array, Array] | None = None,
+    capacity: int | None = None,
 ):
     """Drop-in replacement for `solve_impulses` using the fused kernel.
 
@@ -365,55 +517,89 @@ def solve_impulses_banded(
     rank); the solve runs in rank space so pair endpoints are within
     `sweep_window` of each other. `order=None` means the identity order
     (env_blocks packing / ground-only scenes — already banded), which skips
-    the rank indirection entirely. Returns the same tuple as
-    `solve_impulses` plus a reordered `contacts` (sorted by rank, padded to
-    the kernel tile) whose slots align with the returned lam3 — the caller
-    must use THAT struct for warm-start bookkeeping.
+    the rank indirection entirely.
+
+    `ranks=(lo, rank_b)` supplies the per-contact endpoint ranks carried
+    from the broad phase (lo = rank of endpoint a, always the lower one;
+    rank_b = -1 for ghost/world contacts), so the prologue needs NO rank
+    lookups; with `capacity` it also folds contact compaction into the
+    same sort: the `capacity` lowest-rank active contacts are kept (the
+    rest are counted into `contact_overflow`) — the caller must NOT
+    compact beforehand. Without `ranks` the ranks are derived here with
+    per-contact gathers.
+
+    Returns the same tuple as `solve_impulses` plus a reordered `contacts`
+    (sorted by rank, padded to the kernel tile) whose slots align with the
+    returned lam3 — the caller must use THAT struct for warm-start
+    bookkeeping.
     """
     n = state.num_bodies
     c0 = contacts.body_a.shape[0]
-    dt = jnp.float32(cfg.dt)
-    tile, wtot, npad = solve_shape(n, c0, cfg)
-    cp = padded_contact_count(n, c0, cfg)
-
-    has_b0 = contacts.body_b >= 0
-    if order is None:
-        rank = None
-        ra0 = contacts.body_a
-        rb0 = jnp.where(has_b0, contacts.body_b, ra0)
+    cap_overflow = jnp.int32(0)
+    if ranks is not None:
+        assert capacity is not None
+        cp = capacity
+        tile, wtot, npad = solve_shape(n, cp, cfg)
+        lo_all, rb_all = ranks
+        key = jnp.where(contacts.active, lo_all, npad - 1)
+        sort_idx = jnp.argsort(key).astype(jnp.int32)
+        if c0 > cp:
+            cap_overflow = jnp.maximum(
+                jnp.sum(contacts.active.astype(jnp.int32)) - cp, 0)
+            sort_idx = sort_idx[:cp]
+        extra = jnp.stack([key.astype(jnp.float32),
+                           (rb_all + 1).astype(jnp.float32)])
+        contacts, ex = _field_gather(contacts, sort_idx, extra=extra)
+        if contacts.body_a.shape[0] < cp:
+            pad = cp - contacts.body_a.shape[0]
+            contacts = _pad_contacts(contacts, cp)
+            ex = jnp.pad(ex, ((0, 0), (0, pad)),
+                         constant_values=0.0).at[0, cp - pad:].set(
+                             jnp.float32(npad - 1))
+        lo_s = ex[0].astype(jnp.int32)
+        ra = lo_s
+        rb = ex[1].astype(jnp.int32) - 1
+        has_b = contacts.body_b >= 0
     else:
-        # rank of each body in sweep order: rank[order[i]] = i
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.arange(n, dtype=jnp.int32))
-        # two plain [C] rank lookups (a combined [2, C]-index gather form
-        # measured 2× slower than two flat gathers here)
-        ra0 = rank[contacts.body_a]
-        rb0 = jnp.where(has_b0,
-                        rank[jnp.clip(contacts.body_b, 0, n - 1)], ra0)
-    # sort contacts by their lowest endpoint rank, then pad to the tile
-    lo = jnp.where(contacts.active, jnp.minimum(ra0, rb0), n + npad)
-    sort_idx = jnp.argsort(lo).astype(jnp.int32)
-    if order is None:
-        rr = None        # identity order: ranks ARE the sorted body ids
-    else:
-        rr = jnp.stack([ra0, jnp.where(has_b0, rb0, -1)])[:, sort_idx]
-        rr = jnp.pad(rr, ((0, 0), (0, cp - rr.shape[1])),
-                     constant_values=-1)
-    contacts = _field_gather(contacts, sort_idx)
-    contacts = _pad_contacts(contacts, cp)
+        cp = padded_contact_count(n, c0, cfg)
+        tile, wtot, npad = solve_shape(n, c0, cfg)
 
-    # need_deg=False: the kernel's degree pre-pass replaces the XLA scatter
-    g = contact_geometry(state, contacts, cfg, need_deg=False)
+        has_b0 = contacts.body_b >= 0
+        if order is None:
+            ra0 = contacts.body_a
+            rb0 = jnp.where(has_b0, contacts.body_b, ra0)
+        else:
+            # rank of each body in sweep order: rank[order[i]] = i
+            rank_l = jnp.zeros((n,), jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32))
+            # two plain [C] rank lookups (a combined [2, C]-index gather
+            # form measured 2× slower than two flat gathers here)
+            ra0 = rank_l[contacts.body_a]
+            rb0 = jnp.where(has_b0,
+                            rank_l[jnp.clip(contacts.body_b, 0, n - 1)],
+                            ra0)
+        # sort contacts by their lowest endpoint rank, then pad to the tile
+        lo = jnp.where(contacts.active, jnp.minimum(ra0, rb0), n + npad)
+        sort_idx = jnp.argsort(lo).astype(jnp.int32)
+        if order is None:
+            rr = None    # identity order: ranks ARE the sorted body ids
+        else:
+            rr = jnp.stack(
+                [ra0, jnp.where(has_b0, rb0, -1)])[:, sort_idx]
+            rr = jnp.pad(rr, ((0, 0), (0, cp - rr.shape[1])),
+                         constant_values=-1)
+        contacts = _field_gather(contacts, sort_idx)
+        contacts = _pad_contacts(contacts, cp)
 
-    has_b = contacts.body_b >= 0
-    if order is None:
-        ra = contacts.body_a
-        rb = jnp.where(has_b, contacts.body_b, -1)
-    else:
-        ra = rr[0]
-        rb = rr[1]
-    lo_s = jnp.where(contacts.active, jnp.minimum(ra, jnp.where(
-        has_b, rb, ra)), npad - 1)
+        has_b = contacts.body_b >= 0
+        if order is None:
+            ra = contacts.body_a
+            rb = jnp.where(has_b, contacts.body_b, -1)
+        else:
+            ra = rr[0]
+            rb = rr[1]
+        lo_s = jnp.where(contacts.active, jnp.minimum(ra, jnp.where(
+            has_b, rb, ra)), npad - 1)
 
     ntiles = cp // tile
     tile_min = jnp.min(lo_s.reshape(ntiles, tile), axis=1)
@@ -430,23 +616,27 @@ def solve_impulses_banded(
     la = jnp.where(in_band & contacts.active, la, -1)
     lb = jnp.where(in_band & contacts.active & has_b, lb, -1)
 
-    # ---- velocity-solve targets (same math as solve_impulses) ----
-    if order is None:
-        vel_r, omega_r = state.vel, state.omega
-    else:
-        vel_r = state.vel[order]                              # rank space
-        omega_r = state.omega[order]
+    # ---- rank-space body tables: one for the solve (z0: velocities),
+    # one for the prep kernel (geometry + velocities) ----
+    r9 = v3.quat_to_mat(state.quat)                       # 9 × [N]
+    iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))
+    zn = jnp.zeros((n,), jnp.float32)
+    geom_rows = jnp.stack(
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+        + list(iw9)
+        + [state.inv_mass,
+           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+           state.omega[:, 0], state.omega[:, 1], state.omega[:, 2]]
+        + [zn] * (GEOM_ROWS - 19)
+    )                                                     # [24, N]
+    if order is not None:
+        geom_rows = geom_rows[:, order]
+    geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(
+        geom_rows)
     z0 = jnp.zeros((Z_ROWS, npad), jnp.float32)
-    z0 = z0.at[0:3, :n].set(vel_r.T).at[3:6, :n].set(omega_r.T)
+    z0 = z0.at[0:6, :n].set(geom_rows[13:19])
 
-    # pre-solve approach velocity rides the geometry's packed body table
-    v_n0 = g.v_n0
-    bias = (jnp.float32(cfg.baumgarte) / dt
-            * jnp.maximum(contacts.depth - jnp.float32(cfg.penetration_slop),
-                          0.0))
-    bounce = contacts.restitution * jnp.maximum(-v_n0, 0.0)
     use_split = warm is not None
-    v_target = bounce if use_split else jnp.maximum(bias, bounce)
     n_pos_iters = cfg.position_iters if use_split else 0
 
     lam0_n = lam0_t1 = lam0_t2 = jnp.zeros((cp,), jnp.float32)
@@ -455,16 +645,20 @@ def solve_impulses_banded(
         lam0_n, lam0_t1, lam0_t2 = (lam0_n * actf, lam0_t1 * actf,
                                     lam0_t2 * actf)
 
-    consts = jnp.concatenate([
-        jnp.stack(list(g.r_a) + list(g.r_b) + list(g.nrm) + list(g.t1)
-                  + list(g.t2)
-                  + [1.0 / g.k_n, 1.0 / g.k_t1, 1.0 / g.k_t2,
-                     v_target, bias, contacts.friction,
-                     g.relax * actf, g.inv_m_a, g.inv_m_b]
-                  + list(g.iw_a) + list(g.iw_b)
-                  + [lam0_n, lam0_t1, lam0_t2]),
-        jnp.zeros((R_CONST - 45, cp), jnp.float32),
-    ])                                                        # [R_CONST, Cp]
+    has_bf = (has_b & contacts.active).astype(jnp.float32) * (
+        lb >= 0).astype(jnp.float32)
+    cin = jnp.stack([
+        contacts.point[0], contacts.point[1], contacts.point[2],
+        contacts.normal[0], contacts.normal[1], contacts.normal[2],
+        contacts.depth, contacts.friction, contacts.restitution,
+        actf, lam0_n, lam0_t1, lam0_t2, has_bf,
+        jnp.zeros((cp,), jnp.float32), jnp.zeros((cp,), jnp.float32),
+    ])                                                    # [16, Cp]
+
+    consts = prep_consts(
+        geom, bases, la, lb, cin, cfg,
+        tile=tile, wtot=wtot, use_split=use_split,
+    )                                                     # [R_CONST, Cp]
 
     z, lam4 = banded_sweeps(
         z0, bases, la, lb, consts,
@@ -473,7 +667,13 @@ def solve_impulses_banded(
         warm_sweep=use_split,
     )
 
-    zz = z[:, :n] if order is None else z[:, rank]            # [16, N]
+    if order is None:
+        zz = z[:, :n]                                         # [16, N]
+    else:
+        # un-permute: body b's solved rows live at column rank[b]
+        rank_inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        zz = z[:, rank_inv]
     vel = zz[0:3].T
     omega = zz[3:6].T
     pvel = zz[8:11].T
@@ -489,4 +689,6 @@ def solve_impulses_banded(
         "normal_impulse_sum": jnp.sum(lam3[0]),
         "band_overflow": overflow,
     }
+    if ranks is not None:
+        metrics["contact_overflow"] = cap_overflow
     return vel, omega, pvel, pomega, lam3, metrics, contacts
