@@ -81,6 +81,74 @@ def stack_states(state: SimState, n_envs: int) -> SimState:
     )
 
 
+def packed_env_ok(state: SimState, env_size: int,
+                  max_abs: float = 1e6) -> Array:
+    """Per-env health mask ([E] bool) for a block-diagonal packed state."""
+    k = env_size
+    e = state.num_bodies // k
+
+    def field_ok(x: Array) -> Array:
+        xe = x.reshape((e, k) + x.shape[1:])
+        axes = tuple(range(1, xe.ndim))
+        return (jnp.all(jnp.isfinite(xe), axis=axes)
+                & jnp.all(jnp.abs(xe) < max_abs, axis=axes))
+
+    return (field_ok(state.pos) & field_ok(state.vel)
+            & field_ok(state.omega) & field_ok(state.quat))
+
+
+def auto_reset_step_packed(
+    cfg: SimConfig,
+    env_size: int,
+    step_fn: Callable[[SimState, SimConfig], SimState] = _step,
+    max_abs: float = 1e6,
+) -> Callable[[SimState, SimState], Tuple[SimState, Dict]]:
+    """Divergence auto-reset for the block-diagonal packed-env layout.
+
+    Returns f(packed_state, packed_initial) -> (packed_state, metrics).
+    The whole batch steps as ONE scene (see pack_envs); diverged envs'
+    body slices are restored from `packed_initial`. Solver warm-start
+    buffers are left as-is: their slots key to contact features, and keys
+    of a reset env's contacts simply stop matching.
+
+    The health check runs BEFORE the step (unlike the vmapped
+    `auto_reset_step`): in packed mode the solver's one-hot contractions
+    share matmuls across envs, and a NaN that survives into a matmul
+    poisons every env in its band (NaN·0 = NaN). Divergence normally
+    crosses the `max_abs` bound while still finite, so the pre-step reset
+    catches it before NaNs can form; an env that jumps straight to
+    NaN/Inf within one step can still contaminate its band for that one
+    step — those envs reset together on the next call.
+    """
+    k = env_size
+
+    def stepped(packed: SimState, initial: SimState):
+        ok = packed_env_ok(packed, k, max_abs)       # [E] pre-step health
+        okb = jnp.repeat(ok, k)                      # [E·K] per-body mask
+
+        def sel(la, lb):
+            if (la.ndim >= 1 and la.shape[:1] == okb.shape
+                    and la is not lb):
+                m = okb.reshape(okb.shape + (1,) * (la.ndim - 1))
+                return jnp.where(m, la, lb)
+            return la
+
+        body_fields = dict(
+            pos=sel(packed.pos, initial.pos),
+            quat=sel(packed.quat, initial.quat),
+            vel=sel(packed.vel, initial.vel),
+            omega=sel(packed.omega, initial.omega),
+            force=sel(packed.force, initial.force),
+            torque=sel(packed.torque, initial.torque),
+        )
+        out = step_fn(packed.replace(**body_fields), cfg)
+        return out, {
+            "resets": jnp.sum(jnp.logical_not(ok).astype(jnp.int32))
+        }
+
+    return stepped
+
+
 def pack_envs(batched: SimState) -> SimState:
     """Flatten a vmapped [E, K, ...] state into ONE [E·K]-body scene.
 

@@ -236,11 +236,15 @@ def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
     p = cand.body_a.shape[0]
     if max_pairs <= 0 or p <= max_pairs:
         return cand
-    # full argsort + slice: lax.top_k is O(n·k) on TPU and k here is
-    # thousands — a single XLA sort is orders of magnitude faster. The three
-    # fields ride ONE packed [3, P] gather (per-op gather cost dominates).
-    score = cand.mask.astype(jnp.float32)
-    idx = jnp.argsort(-score)[:max_pairs]
+    # selection by ONE single-operand uint32 sort: the mask rides bit 31,
+    # the candidate index the low bits — cheaper than argsort (which sorts
+    # a key+payload pair) and stable by construction, so surviving actives
+    # keep emission order (the sweep's rank-major order, which the banded
+    # contact solver's windows rely on). lax.top_k would be O(n·k) here.
+    p_idx = jnp.arange(p, dtype=jnp.uint32)
+    keyu = jnp.where(cand.mask, p_idx, p_idx | jnp.uint32(1) << 31)
+    idx = (jax.lax.sort(keyu)[:max_pairs]
+           & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     dropped = jnp.maximum(
         jnp.sum(cand.mask.astype(jnp.int32)) - max_pairs, 0
     )

@@ -42,6 +42,32 @@ def test_packed_matches_vmapped_jacobi():
         np.asarray(up.pos), np.asarray(sp.pos).reshape(e, k, 3))
 
 
+def test_packed_auto_reset():
+    from physics_tpu.envs import auto_reset_step_packed, packed_env_ok
+
+    e, k = 4, 4
+    batched = _batched(e, k)
+    cfg = SimConfig(ground_plane=True, pair_collisions=True,
+                    boxes_only=True, contact_iters=4,
+                    broadphase="env_blocks", env_block_size=k)
+    packed = pack_envs(batched)
+    stepped = auto_reset_step_packed(cfg, k)
+
+    # poison env 2 with a diverged (huge but finite) velocity: it resets
+    # pre-step (see auto_reset_step_packed docstring), others are untouched
+    bad_vel = packed.vel.at[2 * k:3 * k].set(1e8)
+    poisoned = packed.replace(vel=bad_vel)
+    ok = packed_env_ok(poisoned, k)
+    assert not bool(ok[2]) and bool(ok[0])
+    out, m = stepped(poisoned, packed)
+    assert int(m["resets"]) == 1
+    assert np.all(np.isfinite(np.asarray(out.vel)))
+    assert np.all(np.abs(np.asarray(out.vel)) < 1e3)
+    # a healthy reference env is unaffected by env 2's divergence
+    ref, _ = stepped(packed, packed)
+    np.testing.assert_allclose(out.pos[:k], ref.pos[:k], atol=1e-6)
+
+
 def test_packed_pallas_solver():
     e, k = 4, 4
     batched = _batched(e, k)
