@@ -73,7 +73,7 @@ def _select(idx, items):
     return out
 
 
-def _clip(pu, pv, ps, m, cu, cv, d):
+def _clip(pu, pv, ps, m, cu, cv, d, mosaic=False):
     """One Sutherland–Hodgman half-plane clip on the 8-slot polygon.
 
     pu/pv/ps: [CAP, P] slot-major (2-D face coords + interpolated
@@ -91,7 +91,12 @@ def _clip(pu, pv, ps, m, cu, cv, d):
 
     # cyclic next slot: i+1, wrapping to slot 0 at i+1 == m
     wrap = (slots + 1) == m[None, :]
-    nxt = lambda x: jnp.where(wrap, x[0][None, :], jnp.roll(x, -1, axis=0))
+    if mosaic:
+        # concat instead of jnp.roll (sublane roll is not Mosaic-lowerable)
+        shift = lambda x: jnp.concatenate([x[1:], x[:1]], axis=0)
+    else:
+        shift = lambda x: jnp.roll(x, -1, axis=0)
+    nxt = lambda x: jnp.where(wrap, x[0][None, :], shift(x))
     g_nxt = nxt(g)
     u_nxt, v_nxt, s_nxt = nxt(pu), nxt(pv), nxt(ps)
 
@@ -104,22 +109,55 @@ def _clip(pu, pv, ps, m, cu, cv, d):
     is_ = ps + t * (s_nxt - ps)
 
     emit = inside.astype(jnp.int32) + crossing.astype(jnp.int32)
-    start = jnp.cumsum(emit, axis=0) - emit                   # exclusive
+    # exclusive prefix sum over the static CAP axis, unrolled (the axis is
+    # 8 long; an unrolled chain also keeps this Mosaic-lowerable — Pallas
+    # TPU has no cumsum primitive)
+    parts = [jnp.zeros_like(emit[0])]
+    for s in range(emit.shape[0] - 1):
+        parts.append(parts[-1] + emit[s])
+    start = jnp.stack(parts)
     pos_cur = jnp.where(inside, start, _CAP)
     pos_int = jnp.where(crossing, start + inside.astype(jnp.int32), _CAP)
 
     # ordered emission: out[j] = Σ_i (pos_cur[i]==j)·cur[i] + (pos_int[i]==j)·int[i]
-    out_slot = jnp.arange(_CAP, dtype=jnp.int32)[:, None, None]  # [CAP(j),1,1]
-    oh_c = (pos_cur[None, :, :] == out_slot).astype(jnp.float32)  # [j, i, P]
-    oh_i = (pos_int[None, :, :] == out_slot).astype(jnp.float32)
-    ou = jnp.sum(oh_c * pu[None], axis=1) + jnp.sum(oh_i * iu[None], axis=1)
-    ov = jnp.sum(oh_c * pv[None], axis=1) + jnp.sum(oh_i * iv[None], axis=1)
-    os_ = jnp.sum(oh_c * ps[None], axis=1) + jnp.sum(oh_i * is_[None], axis=1)
+    if mosaic:
+        # Pallas/Mosaic path: no 3-D [CAP, CAP, P] tensors (the Mosaic
+        # emitter dies on them) — static 8×8 unrolled select-accumulate on
+        # [P] vectors. Too many tiny HLO ops for the XLA path (below), but
+        # inside a kernel Mosaic schedules them fine.
+        zero = jnp.zeros_like(pu[0])
+        ou_l, ov_l, os_l = [], [], []
+        for j in range(_CAP):
+            au, av, as2 = zero, zero, zero
+            for i in range(_CAP):
+                mc = pos_cur[i] == j
+                mi = pos_int[i] == j
+                au = au + jnp.where(mc, pu[i], 0.0) + jnp.where(mi, iu[i], 0.0)
+                av = av + jnp.where(mc, pv[i], 0.0) + jnp.where(mi, iv[i], 0.0)
+                as2 = (as2 + jnp.where(mc, ps[i], 0.0)
+                       + jnp.where(mi, is_[i], 0.0))
+            ou_l.append(au)
+            ov_l.append(av)
+            os_l.append(as2)
+        ou = jnp.stack(ou_l)
+        ov = jnp.stack(ov_l)
+        os_ = jnp.stack(os_l)
+    else:
+        out_slot = jnp.arange(_CAP, dtype=jnp.int32)[:, None, None]
+        oh_c = (pos_cur[None, :, :] == out_slot).astype(jnp.float32)
+        oh_i = (pos_int[None, :, :] == out_slot).astype(jnp.float32)
+        ou = (jnp.sum(oh_c * pu[None], axis=1)
+              + jnp.sum(oh_i * iu[None], axis=1))
+        ov = (jnp.sum(oh_c * pv[None], axis=1)
+              + jnp.sum(oh_i * iv[None], axis=1))
+        os_ = (jnp.sum(oh_c * ps[None], axis=1)
+               + jnp.sum(oh_i * is_[None], axis=1))
     new_m = jnp.minimum(jnp.sum(emit, axis=0), _CAP)
     return ou, ov, os_, new_m
 
 
-def box_box_manifold_batched(pa, ra9, ha, pb, rb9, hb) -> Manifold:
+def box_box_manifold_batched(pa, ra9, ha, pb, rb9, hb,
+                             mosaic=False) -> Manifold:
     """SAT + clipping manifolds for a batch of box pairs, component form.
 
     pa/pb: v3 of [P] (positions); ra9/rb9: row-major 9-tuples of [P]
@@ -227,10 +265,10 @@ def box_box_manifold_batched(pa, ra9, ha, pb, rb9, hb) -> Manifold:
     pu, pv, ps = jnp.stack(su), jnp.stack(sv), jnp.stack(ss)   # [CAP, P]
 
     one = jnp.float32(1.0)
-    pu, pv, ps, m = _clip(pu, pv, ps, m, one, 0.0, h_p)
-    pu, pv, ps, m = _clip(pu, pv, ps, m, -one, 0.0, h_p)
-    pu, pv, ps, m = _clip(pu, pv, ps, m, 0.0, one, h_q)
-    pu, pv, ps, m = _clip(pu, pv, ps, m, 0.0, -one, h_q)
+    pu, pv, ps, m = _clip(pu, pv, ps, m, one, 0.0, h_p, mosaic)
+    pu, pv, ps, m = _clip(pu, pv, ps, m, -one, 0.0, h_p, mosaic)
+    pu, pv, ps, m = _clip(pu, pv, ps, m, 0.0, one, h_q, mosaic)
+    pu, pv, ps, m = _clip(pu, pv, ps, m, 0.0, -one, h_q, mosaic)
 
     face_points, face_depth, face_valid = [], [], []
     for k in range(_CAP):
