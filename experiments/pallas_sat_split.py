@@ -215,12 +215,13 @@ def kernel_b(sa_ref, out_ref):
             v3.scale(ref_n, ps[k])))
         d = -ps[k]
         if COMBINE >= 1:
-            valid = (k < m) & (d > 0.0) & ~separated
+            # Mosaic-safe: no bool-dtype jnp.where, no python-int compare
+            valid = (jnp.int32(k) < m) & (d > 0.0) & ~separated
             if k == 0:
                 pt = v3.where(use_edge, edge_point, pt)
                 d = jnp.where(use_edge, edge_depth, d)
-                valid = jnp.where(use_edge,
-                                  (edge_depth > 0.0) & ~separated, valid)
+                valid = ((use_edge & (edge_depth > 0.0) & ~separated)
+                         | (~use_edge & valid))
             else:
                 d = jnp.where(use_edge, 0.0, d)
                 valid = valid & ~use_edge

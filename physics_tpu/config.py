@@ -80,6 +80,12 @@ class SimConfig:
     contact_solver: str = "jacobi"
     pallas_tile: int = 1024             # contacts per kernel grid step
     pallas_window: int = 512            # body-rank window per tile (mult 128)
+    # EXPERIMENTAL: banded Pallas narrow phase (ops/narrowphase_pallas.py).
+    # Correct only when active pairs are dense in rank space (≥ ~2 active
+    # pairs per body rank — settled piles); sparse states silently lose
+    # out-of-window contacts. Off until the rank-block bucket layout lands
+    # (docs/ROADMAP.md).
+    narrowphase_pallas: bool = False
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

@@ -281,7 +281,7 @@ def box_box_manifold_batched(pa, ra9, ha, pb, rb9, hb,
         )
         face_points.append(pt)
         face_depth.append(-ps[k])
-        face_valid.append((k < m) & (-ps[k] > 0.0))
+        face_valid.append((jnp.int32(k) < m) & (-ps[k] > 0.0))
 
     # ---------------- edge-contact point ----------------
     ei = best_edge // 3
@@ -309,13 +309,17 @@ def box_box_manifold_batched(pa, ra9, ha, pb, rb9, hb,
     edge_depth = -_select(best_edge, sep[6:])
 
     # ---------------- combine ----------------
+    # NOTE: no bool-dtype jnp.where here — Mosaic's select lowering crashes
+    # the TPU compile helper on bool operands (pinpointed by
+    # experiments/pallas_sat_split.py); logical ops lower fine everywhere.
     points, depth, valid = [], [], []
     for k in range(_CAP):
         if k == 0:
             points.append(v3.where(use_edge, edge_point, face_points[k]))
             depth.append(jnp.where(use_edge, edge_depth, face_depth[k]))
             valid.append(
-                jnp.where(use_edge, edge_depth > 0.0, face_valid[k])
+                ((use_edge & (edge_depth > 0.0))
+                 | (~use_edge & face_valid[k]))
                 & ~separated
             )
         else:

@@ -394,9 +394,69 @@ def _pair_contacts_boxes(state: SimState, cand: PairCandidates,
     )
 
 
+def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
+                                cfg: SimConfig) -> Contacts:
+    """Banded-kernel fast path: the SAT manifolds come from ONE Pallas
+    kernel reading a VMEM body table (ops/narrowphase_pallas.py); this
+    wrapper only reshapes its rows into the slot-major Contacts layout
+    (identical to `_pair_contacts_boxes`)."""
+    from physics_tpu.ops.boxbox_batched import _CAP as _BB_CAP
+    from physics_tpu.ops.broadphase import body_aabbs, sweep_order
+    from physics_tpu.ops.narrowphase_pallas import pair_manifolds_banded
+
+    n = state.num_bodies
+    ia, ib = cand.body_a, cand.body_b
+    p0 = ia.shape[0]
+    order = (sweep_order(state, body_aabbs(state))
+             if cfg.broadphase == "sweep" else None)
+    rows, pp, kk = pair_manifolds_banded(state, cand, cfg, order)
+
+    point_c, depth_c, act_c, key_c = [[], [], []], [], [], []
+    amin = jnp.minimum(ia, ib)
+    amax = jnp.maximum(ia, ib)
+    has_key = n * n * _BB_CAP < 2**31 - 1
+    base_key = (amin * n + amax) * _BB_CAP if has_key else None
+    for s in range(kk):
+        for c in range(3):
+            point_c[c].append(rows[5 * s + c][:p0])
+        d = rows[5 * s + 3][:p0]
+        depth_c.append(d)
+        active = d > 0.0
+        act_c.append(active)
+        if has_key:
+            bidx = rows[5 * s + 4][:p0].astype(jnp.int32)
+            key_c.append(jnp.where(active, base_key + bidx, 0))
+        else:
+            key_c.append(jnp.zeros((p0,), jnp.int32))
+    nrm = [rows[5 * kk + c][:p0] for c in range(3)]
+    mu = rows[5 * kk + 3][:p0]
+    rest = rows[5 * kk + 4][:p0]
+
+    cat = lambda xs: jnp.concatenate(xs)                 # slot-major [kk·P]
+    rep = lambda x: jnp.concatenate([x] * kk)
+    return Contacts(
+        body_a=rep(ia),
+        body_b=rep(ib),
+        point=jnp.stack([cat(point_c[c]) for c in range(3)]),
+        normal=jnp.stack([rep(nrm[c]) for c in range(3)]),
+        depth=cat(depth_c),
+        active=cat(act_c),
+        friction=rep(mu),
+        restitution=rep(rest),
+        key=cat(key_c),
+    )
+
+
 def pair_contacts(state: SimState, cvx: ConvexData,
                   cand: PairCandidates, cfg: SimConfig) -> Contacts:
     """Contacts for the broad-phase candidate pairs (fixed [P·K] output)."""
+    if cfg.boxes_only and cfg.narrowphase_pallas and (
+        cfg.broadphase in ("sweep", "env_blocks")
+    ):
+        # EXPERIMENTAL banded Pallas manifolds (see the config flag's
+        # correctness caveat); interpreted off-TPU, so CPU tests exercise
+        # the same code path as the TPU step
+        return _pair_contacts_boxes_pallas(state, cand, cfg)
     if cfg.boxes_only and jax.default_backend() == "tpu":
         # The batched component-form SAT is a TPU-layout optimization. On
         # the CPU backend of this image's jaxlib, executing its
