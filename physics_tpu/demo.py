@@ -65,8 +65,26 @@ def main(argv=None) -> None:
         from physics_tpu.render.texture import checkerboard
 
         if args.textured:
-            verts, uvs, tris = box_mesh_uv((1.0, 1.0, 1.0))
-            mesh = (verts, tris, uvs, checkerboard(128))
+            # prefer the REAL reference assets (res/cube.obj +
+            # cube-diffuse.jpg, reference src/lib.rs:39 + resources.rs:58);
+            # procedural equivalents keep the demo standalone without them
+            mesh = None
+            try:
+                from physics_tpu.io.assets import load_cube_asset
+                from physics_tpu.render.texture import load_texture
+
+                asset = load_cube_asset()
+                m0 = asset.model.meshes[0]
+                tex = (load_texture(asset.diffuse_texture)
+                       if asset.diffuse_texture else checkerboard(128))
+                mesh = (m0.positions, m0.triangles, m0.tex_coords, tex)
+                print(f"textured demo: real assets "
+                      f"({m0.positions.shape[0]} verts)")
+            except Exception as e:  # missing res/ or PIL
+                print(f"real assets unavailable ({e}); procedural fallback")
+            if mesh is None:
+                verts, uvs, tris = box_mesh_uv((1.0, 1.0, 1.0))
+                mesh = (verts, tris, uvs, checkerboard(128))
         else:
             v, t = beveled_cube_mesh(1.0, 0.1)
             mesh = (v, t, None, None)

@@ -183,6 +183,28 @@ def mesh_inertia(verts: np.ndarray, faces: np.ndarray, density: float = 1.0):
     )
 
 
+def support_decimate(points: np.ndarray, n_dirs: int = 256) -> np.ndarray:
+    """Reduce a convex point cloud to its support set over a direction fan.
+
+    Collision hulls only ever enter the pipeline through their support
+    function (SAT extents, GJK), so the right decimation keeps the argmax
+    vertex of max(d·x) for a dense fan of directions `d` (Fibonacci
+    sphere) plus the 6 axis directions. For smooth-beveled meshes (e.g.
+    the reference's 216-vert multi-segment bevel cube, res/cube.obj) this
+    collapses near-coplanar bevel facets to a few-dozen-vertex hull whose
+    support function matches the original to the facet sag.
+    """
+    pts = np.asarray(points, np.float64)
+    k = np.arange(n_dirs, dtype=np.float64)
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    z = 1.0 - 2.0 * (k + 0.5) / n_dirs
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    dirs = np.stack([r * np.cos(golden * k), r * np.sin(golden * k), z], 1)
+    dirs = np.concatenate([dirs, np.eye(3), -np.eye(3)], axis=0)
+    idx = np.unique(np.argmax(dirs @ pts.T, axis=1))
+    return pts[idx].astype(np.float32)
+
+
 def box_inertia(half_extents, mass: float) -> np.ndarray:
     """Solid-box inertia tensor about its COM."""
     hx, hy, hz = [float(h) for h in half_extents]

@@ -117,15 +117,36 @@ def random_env(seed: int, n_bodies: int = 8) -> SimState:
 
 
 def mesh_rain(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
-              bevel: float = 0.1) -> SimState:
+              bevel: float = 0.1, real_assets: bool | None = None
+              ) -> SimState:
     """Convex-hull meshes raining onto the ground (the mesh-rain config,
     SURVEY.md §7 M2): every body is the reference demo's bevel-edged cube
-    as a convex hull (26 faces), randomly oriented, falling from a column.
+    as a convex hull, randomly oriented, falling from a column.
+
+    real_assets: derive the hull + inertia from the actual reference
+    res/cube.obj (reference src/resources.rs:32-120) scaled to `size`,
+    instead of the procedural bevel approximation. None = auto (use the
+    real files when the asset directory resolves, else procedural).
     """
     from physics_tpu.io.primitives import beveled_cube_mesh
 
+    asset = None
+    if real_assets is not False:
+        try:
+            from physics_tpu.io.assets import load_cube_asset
+
+            asset = load_cube_asset()
+        except FileNotFoundError:
+            if real_assets:
+                raise
+
     rng = np.random.default_rng(seed)
-    verts, _ = beveled_cube_mesh(size=size, bevel=bevel)
+    if asset is not None:
+        verts = asset.collision_verts * size          # file cube spans ±1
+        inertia = asset.inertia * size**2             # I ∝ m·L² at fixed m
+    else:
+        verts, _ = beveled_cube_mesh(size=size, bevel=bevel)
+        inertia = box_inertia((size,) * 3, 1.0)
     b = SceneBuilder()
     hull = b.add_hull(verts)
     side = max(1, int(np.ceil(np.sqrt(n_bodies / 4))))
@@ -145,7 +166,7 @@ def mesh_rain(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
                         (gz - side / 2) * 2.5 * size + jitter[2],
                     ),
                     euler=rng.uniform(-1.5, 1.5, 3),
-                    inertia=box_inertia((size,) * 3, 1.0),
+                    inertia=inertia,
                 )
                 b.set_hull(i, hull, friction=0.4, restitution=0.05)
                 count += 1
