@@ -71,6 +71,16 @@ class SimConfig:
     sweep_window: int = 32              # neighbor window for 'sweep'
     max_pair_candidates: int = 0        # 0 → derived from N
     env_block_size: int = 0             # bodies per env for 'env_blocks'
+    # rank-block bucketed candidate compaction (sweep only): candidates are
+    # compacted per block of `bucket_block` consecutive body ranks (capacity
+    # per bucket derives from max_pair_candidates, or bucket_cap pins it,
+    # rounded to a multiple of 128). Bounds the rank span of every
+    # fixed-size candidate tile BY CONSTRUCTION — required for the banded
+    # Pallas narrow phase to be safe at any pair density, and replaces the
+    # full-list compact_pairs sort+gather. See ops/broadphase.py.
+    pair_buckets: bool = False
+    bucket_block: int = 64              # body ranks per bucket
+    bucket_cap: int = 0                 # candidates kept per bucket (0=auto)
 
     # --- contact solver backend ---
     # 'jacobi'        — packed-table XLA projected Jacobi (any backend)
@@ -80,12 +90,13 @@ class SimConfig:
     contact_solver: str = "jacobi"
     pallas_tile: int = 1024             # contacts per kernel grid step
     pallas_window: int = 512            # body-rank window per tile (mult 128)
-    # EXPERIMENTAL: banded Pallas narrow phase (ops/narrowphase_pallas.py).
-    # Correct only when active pairs are dense in rank space (≥ ~2 active
-    # pairs per body rank — settled piles); sparse states silently lose
-    # out-of-window contacts. Off until the rank-block bucket layout lands
-    # (docs/ROADMAP.md).
-    narrowphase_pallas: bool = False
+    # banded Pallas narrow phase (ops/narrowphase_pallas.py): the box-box
+    # SAT manifolds run in one TPU kernel over a VMEM body table. Engages
+    # only for boxes_only scenes with broadphase='sweep' AND
+    # pair_buckets=True — the bucketed layout bounds every candidate
+    # tile's rank span by construction, which is what makes the kernel's
+    # fixed window safe at any pair density (round-1 gating bug fixed).
+    narrowphase_pallas: bool = True
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

@@ -16,7 +16,7 @@ New capability — the reference has no collision detection at all
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 import jax
@@ -109,33 +109,21 @@ def sweep_order(state: SimState, aabbs: Array) -> Array:
     return jnp.argsort(sort_key).astype(jnp.int32)
 
 
-def sweep_candidates(
-    state: SimState, aabbs: Array, window: int
-) -> PairCandidates:
-    """Sort-by-x sweep-and-prune with a fixed neighbor window.
+def _sweep_masks(state: SimState, aabbs: Array, k: int):
+    """Shared sweep-mask computation: sort by min-x, test each body against
+    its next `k` sorted neighbors.
 
-    TPU-shaped: bodies are sorted by AABB min-x once (one gather), then the
-    window-neighbor AABBs are obtained by STATIC shifted slices of the
-    sorted arrays — zero dynamic gathers in the [N·window] candidate
-    emission (dynamic gathers of the full candidate set were the broad
-    phase's dominant cost). The candidate tensor is [N·window, 2]
-    regardless of scene density.
+    Returns (order [N], mask [N, k] bool, last_overlap [N]) where
+    mask[i, d-1] ⇔ sorted bodies (i, i+d) AABB-overlap and are collidable,
+    and last_overlap flags bodies whose furthest window neighbor still
+    x-overlaps (⇒ pairs may exist beyond the window).
     """
     n = state.num_bodies
-    k = min(window, n - 1)
     collidable = state.shapes.stype != SHAPE_NONE
     # non-collidable bodies are pushed to the end of the sorted order
     order = sweep_order(state, aabbs)                      # [N]
-
     aabb_s = aabbs[order]                                  # [N,2,3] (1 gather)
     coll_s = collidable[order]
-
-    pad_order = jnp.concatenate(
-        [order, jnp.zeros((k,), jnp.int32)], axis=0
-    )
-    nb_order = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(pad_order, d, n, 0)
-         for d in range(1, k + 1)], axis=1)                # [N,k]
 
     if jax.default_backend() == "tpu":
         # ONE Pallas kernel: AABBs stay in VMEM for the whole window loop
@@ -143,7 +131,7 @@ def sweep_candidates(
         from physics_tpu.ops.sweep_pallas import sweep_window_masks
 
         x_t, full_t = sweep_window_masks(aabb_s, coll_s, k)  # [k, N]
-        mask = full_t.T                                       # [N, k]
+        mask = full_t.T != 0                                  # [N, k]
         last_overlap = x_t[k - 1]
     else:
         # neighbor j = i+d in sorted order, d = 1..k, shifted padded slices
@@ -172,6 +160,31 @@ def sweep_candidates(
             & coll_s[:, None] & nb_coll
         )
         last_overlap = x_overlap[:, -1] & valid[:, -1] & coll_s
+    return order, mask, last_overlap
+
+
+def sweep_candidates(
+    state: SimState, aabbs: Array, window: int
+) -> PairCandidates:
+    """Sort-by-x sweep-and-prune with a fixed neighbor window.
+
+    TPU-shaped: bodies are sorted by AABB min-x once (one gather), then the
+    window-neighbor AABBs are obtained by STATIC shifted slices of the
+    sorted arrays — zero dynamic gathers in the [N·window] candidate
+    emission (dynamic gathers of the full candidate set were the broad
+    phase's dominant cost). The candidate tensor is [N·window, 2]
+    regardless of scene density.
+    """
+    n = state.num_bodies
+    k = min(window, n - 1)
+    order, mask, last_overlap = _sweep_masks(state, aabbs, k)
+
+    pad_order = jnp.concatenate(
+        [order, jnp.zeros((k,), jnp.int32)], axis=0
+    )
+    nb_order = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(pad_order, d, n, 0)
+         for d in range(1, k + 1)], axis=1)                # [N,k]
 
     ia_f = jnp.broadcast_to(order[:, None], (n, k)).reshape(-1)
     ib_f = nb_order.reshape(-1)
@@ -185,6 +198,85 @@ def sweep_candidates(
     # there may be pairs beyond the window.
     overflow = jnp.sum(last_overlap.astype(jnp.int32))
     return PairCandidates(ia_f, ib_f, mask.reshape(-1), overflow,
+                          rank_a, rank_b)
+
+
+def bucket_shape(n: int, cfg: SimConfig) -> Tuple[int, int, int]:
+    """(block, cap, n_blocks) of the rank-block bucket layout for N bodies.
+
+    `block` ranks per bucket; each bucket keeps at most `cap` candidates
+    (cap is forced to a multiple of 128 so banded-kernel tiles align with
+    bucket boundaries). cap derives from max_pair_candidates (total
+    candidate budget spread evenly over buckets) unless cfg.bucket_cap
+    pins it."""
+    block = max(cfg.bucket_block, 1)
+    n_blocks = -(-n // block)
+    if cfg.bucket_cap > 0:
+        cap = cfg.bucket_cap
+    else:
+        total = cfg.max_pair_candidates if cfg.max_pair_candidates > 0 \
+            else 8 * n
+        cap = max(total // n_blocks, 128)
+    cap = _round_up128(cap)
+    k = min(cfg.sweep_window, n - 1)
+    cap = min(cap, _round_up128(block * k))
+    return block, cap, n_blocks
+
+
+def _round_up128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def sweep_candidates_bucketed(
+    state: SimState, aabbs: Array, cfg: SimConfig
+) -> PairCandidates:
+    """Sweep broad phase with rank-block bucketed candidate compaction.
+
+    The flat sweep emits [N·K] candidates; compacting them into one
+    contiguous list (compact_pairs) destroys the bound on how many body
+    ranks a fixed-size tile can span, which is what forced the banded
+    Pallas narrow phase off by default (docs/ROADMAP.md round-1 item 1).
+    Here compaction happens PER RANK BLOCK: ranks are grouped into buckets
+    of `cfg.bucket_block` consecutive ranks, and each bucket keeps its
+    first `cap` active candidates (one segmented single-operand uint32
+    sort — the mask rides bit 31, the rank-major slot index the low bits,
+    so surviving candidates stay rank-sorted by construction). A tile of
+    T = m·cap candidates therefore spans at most m·block + sweep_window
+    ranks REGARDLESS of pair density — the banded kernels' windows are
+    bounded by construction, and their tile bases are static.
+
+    Per-bucket drops are counted into `overflow` (never silent).
+    """
+    n = state.num_bodies
+    k = min(cfg.sweep_window, n - 1)
+    block, cap, n_blocks = bucket_shape(n, cfg)
+    order, mask, last_overlap = _sweep_masks(state, aabbs, k)
+
+    npad_b = n_blocks * block
+    if npad_b != n:
+        mask = jnp.pad(mask, ((0, npad_b - n), (0, 0)))
+    m2 = mask.reshape(n_blocks, block * k)
+    slot = jax.lax.broadcasted_iota(jnp.uint32, (n_blocks, block * k), 1)
+    keyu = jnp.where(m2, slot, slot | jnp.uint32(1) << 31)
+    kept = jax.lax.sort(keyu, dimension=1)[:, :min(cap, block * k)]
+    if kept.shape[1] < cap:     # tiny blocks: pad to the 128-aligned cap
+        kept = jnp.pad(kept, ((0, 0), (0, cap - kept.shape[1])),
+                       constant_values=np.uint32(1 << 31))
+    live = kept < jnp.uint32(1) << 31
+    slot_s = (kept & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    blk_base = (jnp.arange(n_blocks, dtype=jnp.int32) * block)[:, None]
+    rank_a = jnp.minimum(blk_base + slot_s // k, n - 1)    # [NB, cap]
+    rank_b = jnp.minimum(rank_a + 1 + slot_s % k, n - 1)
+    rank_a = rank_a.reshape(-1)
+    rank_b = rank_b.reshape(-1)
+    body_a = order[rank_a]
+    body_b = order[rank_b]
+
+    dropped = jnp.sum(jnp.maximum(
+        jnp.sum(m2.astype(jnp.int32), axis=1) - cap, 0))
+    overflow = jnp.sum(last_overlap.astype(jnp.int32)) + dropped
+    return PairCandidates(body_a, body_b, live.reshape(-1), overflow,
                           rank_a, rank_b)
 
 
@@ -265,6 +357,10 @@ def compact_pairs(cand: PairCandidates, max_pairs: int) -> PairCandidates:
 def pair_candidates(state: SimState, cfg: SimConfig) -> PairCandidates:
     aabbs = body_aabbs(state)
     if cfg.broadphase == "sweep":
+        if cfg.pair_buckets:
+            # already compacted per rank block; compact_pairs would destroy
+            # the bucket layout the banded kernels' static bases rely on
+            return sweep_candidates_bucketed(state, aabbs, cfg)
         cand = sweep_candidates(state, aabbs, cfg.sweep_window)
     elif cfg.broadphase == "env_blocks":
         cand = env_block_candidates(state, aabbs, cfg.env_block_size)

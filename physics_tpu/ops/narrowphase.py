@@ -402,14 +402,26 @@ def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
     (identical to `_pair_contacts_boxes`)."""
     from physics_tpu.ops.boxbox_batched import _CAP as _BB_CAP
     from physics_tpu.ops.broadphase import body_aabbs, sweep_order
-    from physics_tpu.ops.narrowphase_pallas import pair_manifolds_banded
+    from physics_tpu.ops.narrowphase_pallas import (
+        NP_ID_EXACT_MAX,
+        pair_manifolds_banded,
+    )
 
     n = state.num_bodies
-    ia, ib = cand.body_a, cand.body_b
-    p0 = ia.shape[0]
+    p0 = cand.body_a.shape[0]
     order = (sweep_order(state, body_aabbs(state))
              if cfg.broadphase == "sweep" else None)
     rows, pp, kk = pair_manifolds_banded(state, cand, cfg, order)
+    if n < NP_ID_EXACT_MAX:
+        # endpoint body ids rode the kernel's one-hot gather (geom row 18)
+        # — the broad-phase id arrays go unused and DCE away, which matters
+        # for the bucketed sweep (its ids would otherwise need 2 gathers)
+        ia = rows[5 * kk + 5][:p0].astype(jnp.int32)
+        ib = rows[5 * kk + 6][:p0].astype(jnp.int32)
+        ia = jnp.where(cand.mask, ia, 0)
+        ib = jnp.where(cand.mask, ib, 0)
+    else:
+        ia, ib = cand.body_a, cand.body_b
 
     point_c, depth_c, act_c, key_c = [[], [], []], [], [], []
     amin = jnp.minimum(ia, ib)
@@ -451,11 +463,12 @@ def pair_contacts(state: SimState, cvx: ConvexData,
                   cand: PairCandidates, cfg: SimConfig) -> Contacts:
     """Contacts for the broad-phase candidate pairs (fixed [P·K] output)."""
     if cfg.boxes_only and cfg.narrowphase_pallas and (
-        cfg.broadphase in ("sweep", "env_blocks")
+        cfg.broadphase == "sweep" and cfg.pair_buckets
     ):
-        # EXPERIMENTAL banded Pallas manifolds (see the config flag's
-        # correctness caveat); interpreted off-TPU, so CPU tests exercise
-        # the same code path as the TPU step
+        # banded Pallas manifolds — safe at any pair density because the
+        # bucketed sweep bounds every tile's rank span by construction;
+        # interpreted off-TPU, so CPU tests exercise the same code path as
+        # the TPU step
         return _pair_contacts_boxes_pallas(state, cand, cfg)
     if cfg.boxes_only and jax.default_backend() == "tpu":
         # The batched component-form SAT is a TPU-layout optimization. On

@@ -38,8 +38,12 @@ from physics_tpu.state import SHAPE_BOX, SimState
 Array = jnp.ndarray
 
 # body-table rows: pos(0:3) | world R row-major (3:12) | half(12:15) |
-# friction(15) | restitution(16) | movable(17) | pad(18:24)
+# friction(15) | restitution(16) | movable(17) | body id(18) | pad(19:24)
+# The body-id row rides the same one-hot gather so the wrapper needs zero
+# XLA-side id gathers; ids are exact through the hi/lo bf16 split for
+# n < 2^16 (residual ≤ 128, exactly representable in bf16).
 NP_GEOM_ROWS = 24
+NP_ID_EXACT_MAX = 1 << 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,7 +116,8 @@ def _make_np_kernel(tile, wtot, kk, mosaic=True):
                 jnp.where(bidx == jnp.int32(s), big_neg, score[s])
                 for s in range(_CAP)
             ]
-        rows += [man.normal[0], man.normal[1], man.normal[2], mu, rest]
+        rows += [man.normal[0], man.normal[1], man.normal[2], mu, rest,
+                 ga[18], gb[18]]
         pad = _round_up(len(rows), 8) - len(rows)
         rows += [jnp.zeros((tile,), jnp.float32)] * pad
         out_ref[:] = jnp.stack(rows)
@@ -150,8 +155,9 @@ def pair_manifolds_banded(
         + list(r9)
         + [state.shapes.params[:, 0], state.shapes.params[:, 1],
            state.shapes.params[:, 2], state.shapes.friction,
-           state.shapes.restitution, movable * is_box]
-        + [jnp.zeros((n,), jnp.float32)] * (NP_GEOM_ROWS - 18)
+           state.shapes.restitution, movable * is_box,
+           jnp.arange(n, dtype=jnp.float32)]
+        + [jnp.zeros((n,), jnp.float32)] * (NP_GEOM_ROWS - 19)
     )                                                     # [24, N]
     if order is not None:
         rows = rows[:, order]
@@ -163,10 +169,37 @@ def pair_manifolds_banded(
     maskp = jnp.pad(mask, (0, pp - p0))
 
     ntiles = pp // tile
-    lo_key = jnp.where(maskp, ra, npad - 1)
-    tile_min = jnp.min(lo_key.reshape(ntiles, tile), axis=1)
-    bases = jnp.clip((tile_min // 128) * 128, 0, npad - wtot).astype(
-        jnp.int32)
+    if cfg.pair_buckets:
+        # bucketed candidates: tile t covers candidate slots
+        # [t·tile, (t+1)·tile) = buckets [t·tile/cap, …], whose rank span
+        # is bounded by construction — bases are STATIC (no device-side
+        # tile_min reduction), and a span > window is a config error
+        # caught here at trace time, never a silent drop.
+        import numpy as onp
+
+        from physics_tpu.ops.broadphase import bucket_shape
+
+        block, cap, _ = bucket_shape(n, cfg)
+        k_sweep = min(cfg.sweep_window, n - 1)
+        t_arr = onp.arange(ntiles)
+        lo_blk = (t_arr * tile) // cap
+        hi_blk = ((t_arr + 1) * tile - 1) // cap
+        min_rank = lo_blk * block
+        max_rank = onp.minimum(hi_blk * block + block - 1 + k_sweep, n - 1)
+        bases_np = onp.clip((min_rank // 128) * 128, 0, npad - wtot)
+        span = int((max_rank - bases_np).max()) + 1
+        if span > wtot:
+            raise ValueError(
+                f"narrowphase_pallas: bucketed tile rank span {span} > "
+                f"pallas_window {wtot}; raise pallas_window or lower "
+                f"bucket_block/pallas_tile"
+            )
+        bases = jnp.asarray(bases_np, jnp.int32)
+    else:
+        lo_key = jnp.where(maskp, ra, npad - 1)
+        tile_min = jnp.min(lo_key.reshape(ntiles, tile), axis=1)
+        bases = jnp.clip((tile_min // 128) * 128, 0, npad - wtot).astype(
+            jnp.int32)
     base_per = jnp.repeat(bases, tile)
     la = jnp.where(maskp, ra - base_per, -1)
     lb = jnp.where(maskp, rb - base_per, -1)

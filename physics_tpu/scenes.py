@@ -76,6 +76,10 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         broadphase="sweep",
         sweep_window=48,   # measured: overflow-free on the settled pile (32 overflows)
         max_pair_candidates=8 * n_bodies,
+        # rank-block buckets: per-64-rank candidate compaction (cap 512 at
+        # the 8·N budget) — bounds every banded-kernel tile's rank span by
+        # construction and enables the Pallas narrow phase (default-on)
+        pair_buckets=True,
         max_contacts_per_pair=4,
         max_contacts=6 * n_bodies,
         contact_iters=16,
@@ -85,6 +89,51 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # overflow counter guards regressions (metrics, never silent).
         pallas_window=384,
         dt=dt,
+    )
+
+
+def cube_drop(height: float = 2.0, size: float = 0.5,
+              real_assets: bool | None = None) -> SimState:
+    """BASELINE config 1: a single cube.obj hull dropped onto the ground
+    plane under gravity (distinct from the reference's swinging-cube demo
+    scene, which is jointed and has no ground — reference src/lib.rs:20-42
+    has no collision at all; this is the new-capability drop config).
+
+    The hull and inertia come from the real reference res/cube.obj when
+    the asset directory resolves (io/assets.py), mirroring how the
+    reference derives its render mesh from that file
+    (src/resources.rs:32-120); otherwise the procedural bevel-cube stands
+    in. `size` scales the file's ±1 extent."""
+    from physics_tpu.io.primitives import beveled_cube_mesh
+
+    asset = None
+    if real_assets is not False:
+        try:
+            from physics_tpu.io.assets import load_cube_asset
+
+            asset = load_cube_asset()
+        except FileNotFoundError:
+            if real_assets:
+                raise
+    if asset is not None:
+        verts = asset.collision_verts * size
+        inertia = asset.inertia * size**2
+    else:
+        verts, _ = beveled_cube_mesh(size=size, bevel=0.1 * size / 0.5)
+        inertia = box_inertia((size,) * 3, 1.0)
+    b = SceneBuilder()
+    hull = b.add_hull(verts)
+    i = b.add_body(pos=(0.0, height, 0.0), euler=(0.4, 0.2, 0.1),
+                   inertia=inertia)
+    b.set_hull(i, hull, friction=0.5, restitution=0.05)
+    return b.build()
+
+
+def drop_config(dt: float = 1.0 / 120.0) -> SimConfig:
+    """Solver config for the single-hull drop (BASELINE config 1)."""
+    return SimConfig(
+        compat=False, ground_plane=True, pair_collisions=True,
+        contact_iters=16, dt=dt,
     )
 
 

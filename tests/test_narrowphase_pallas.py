@@ -50,10 +50,13 @@ def test_dense_stack_manifolds():
     assert len(np.unique(keys)) == len(keys)
 
 
-def test_flag_off_by_default():
+def test_kernel_gated_on_pair_buckets():
+    # narrowphase_pallas defaults ON but engages only with the bucketed
+    # sweep (whose layout makes the kernel's fixed window safe); a plain
+    # sweep keeps the XLA fast path and still steps fine
     cfg = SimConfig(ground_plane=True, pair_collisions=True,
                     boxes_only=True, broadphase="sweep", sweep_window=4)
-    assert not cfg.narrowphase_pallas
+    assert cfg.narrowphase_pallas and not cfg.pair_buckets
     s = _stack_state(3)
     out = step(s, cfg)
     assert np.all(np.isfinite(np.asarray(out.pos)))
