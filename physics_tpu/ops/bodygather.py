@@ -12,6 +12,13 @@ Two regimes on TPU (v5e, trace-measured):
 
 The threshold is static (shapes), so the choice is made at trace time and
 both paths stay jit/vmap/shard_map-compatible.
+
+PRECISION: the one-hot contractions run with precision=HIGHEST. At default
+precision the TPU MXU silently downcasts f32 operands to bf16, turning the
+"gather" into a value-quantizing op (~2⁻⁸ relative — 0.5 absolute for a
+body at x≈150, which is larger than a typical contact depth). HIGHEST
+keeps full f32 semantics — a 0/1 one-hot contraction is then an exact
+gather — and costs nothing at the ≤64-wide shapes this path handles.
 """
 
 from __future__ import annotations
@@ -29,7 +36,8 @@ def lane_gather(table: Array, idx: Array) -> Array:
     n = table.shape[-1]
     if n <= DENSE_MAX_N:
         oh = jax.nn.one_hot(idx, n, dtype=table.dtype)      # [C, N]
-        return jnp.einsum("rn,cn->rc", table, oh)
+        return jnp.einsum("rn,cn->rc", table, oh,
+                          precision=jax.lax.Precision.HIGHEST)
     return table[:, idx]
 
 
@@ -40,7 +48,8 @@ def lane_scatter_add(contrib: Array, ids: Array, n: int) -> Array:
     """
     if n + 1 <= DENSE_MAX_N:
         oh = jax.nn.one_hot(ids, n + 1, dtype=contrib.dtype)  # [C, n+1]
-        return jnp.einsum("rc,cn->rn", contrib, oh)[:, :n]
+        return jnp.einsum("rc,cn->rn", contrib, oh,
+                          precision=jax.lax.Precision.HIGHEST)[:, :n]
     return jnp.zeros(
         (contrib.shape[0], n + 1), contrib.dtype
     ).at[:, ids].add(contrib)[:, :n]
@@ -54,5 +63,6 @@ def scatter_add_1d(contrib: Array, ids: Array, n: int) -> Array:
     """
     if n + 1 <= DENSE_MAX_N:
         oh = jax.nn.one_hot(ids, n + 1, dtype=contrib.dtype)
-        return jnp.einsum("c,cn->n", contrib, oh)[:n]
+        return jnp.einsum("c,cn->n", contrib, oh,
+                          precision=jax.lax.Precision.HIGHEST)[:n]
     return lane_scatter_add(contrib[None, :], ids, n)[0]
