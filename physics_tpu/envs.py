@@ -160,14 +160,18 @@ def pack_envs(batched: SimState) -> SimState:
     times. The physics is identical to the vmapped step: envs cannot
     interact (candidate pairs never cross env boundaries).
 
-    Joints are not yet supported in packed mode (their body indices would
-    need per-env offsetting); env-invariant leaves (hulls, step counter)
-    are taken from env 0. Warm-start buffers are reset — call
-    engine.prepare_contacts on the packed state.
+    Joints pack too (the reference's whole demo is jointed, src/lib.rs:20-42):
+    each env's joint slots concatenate with their body indices offset by
+    e·K, so the packed scene's ONE CG solve covers every env — J·W·Jᵀ is
+    block-diagonal across envs (joints never cross env boundaries), so the
+    math matches the vmapped per-env solves exactly; only the convergence
+    test (max-residual over ALL envs' rows) and the shared iteration count
+    differ, which can only make results more converged. Env-invariant
+    leaves (hulls, step counter) are taken from env 0. Contact warm-start
+    buffers are reset — call engine.prepare_contacts on the packed state;
+    joint warm starts (`lam_joint`) pack slot-aligned.
     """
     e, k = batched.pos.shape[:2]
-    if batched.joints.capacity > 0:
-        raise ValueError("pack_envs: joints unsupported in packed mode")
 
     def flat(a):
         return a.reshape((e * k,) + a.shape[2:])
@@ -175,13 +179,30 @@ def pack_envs(batched: SimState) -> SimState:
     def take0(tree):
         return jax.tree_util.tree_map(lambda a: a[0], tree)
 
+    jn = batched.joints.capacity
+    if jn > 0:
+        js = batched.joints
+        off = (jnp.arange(e, dtype=jnp.int32) * k)[:, None]    # [E, 1]
+        joints = js.replace(
+            jtype=flat(js.jtype),
+            body_a=flat(js.body_a + off),
+            body_b=flat(jnp.where(js.body_b >= 0, js.body_b + off, -1)),
+            params=flat(js.params),
+            ks=flat(js.ks),
+            kd=flat(js.kd),
+        )
+        lam_joint = batched.lam_joint.reshape(-1)   # [E·J·MAX_ROWS]
+    else:
+        joints = take0(batched.joints)
+        lam_joint = batched.lam_joint[0]
+
     return batched.replace(
         pos=flat(batched.pos), quat=flat(batched.quat),
         vel=flat(batched.vel), omega=flat(batched.omega),
         force=flat(batched.force), torque=flat(batched.torque),
         mass=flat(batched.mass), inv_mass=flat(batched.inv_mass),
         inertia=flat(batched.inertia), inv_inertia=flat(batched.inv_inertia),
-        joints=take0(batched.joints), lam_joint=batched.lam_joint[0],
+        joints=joints, lam_joint=lam_joint,
         shapes=jax.tree_util.tree_map(flat, batched.shapes),
         hulls=take0(batched.hulls),
         contact_key=jnp.zeros((0,), jnp.int32),
