@@ -26,9 +26,20 @@ def save(path: str, state: SimState) -> None:
 
 
 def load(path: str, like: SimState) -> SimState:
-    """Load a checkpoint into the structure of `like` (same scene shapes)."""
+    """Load a checkpoint into the structure of `like` (same scene shapes).
+
+    The stored treedef repr is validated against `like`'s treedef so a
+    checkpoint cannot silently load into a structurally different (but
+    same-shaped) scene."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in data:
+        stored = bytes(data["__treedef__"]).decode()
+        if stored != repr(treedef):
+            raise ValueError(
+                "checkpoint treedef does not match the target scene structure:\n"
+                f"  stored: {stored[:200]}...\n  target: {repr(treedef)[:200]}..."
+            )
     new_leaves = []
     for i, leaf in enumerate(leaves):
         arr = data[f"leaf_{i}"]
