@@ -159,3 +159,20 @@ def test_beveled_hull_stack_stable():
     gaps = np.diff(y)
     assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.01
+
+
+def test_cube_drop_rests_on_ground():
+    """BASELINE config 1: single cube.obj hull dropped onto the ground
+    (scenes.cube_drop — real res/cube.obj hull when mounted, procedural
+    bevel cube otherwise). It must come to rest with its lowest face on
+    the plane: resting height ≈ size (bevel shaves a few mm) and
+    negligible residual velocity."""
+    from physics_tpu.engine import rollout
+    from physics_tpu.scenes import cube_drop, drop_config
+
+    final, _ = rollout(cube_drop(height=1.5, size=0.5), drop_config(),
+                       num_steps=480)
+    y = float(final.pos[0, 1])
+    assert 0.40 < y < 0.55, y
+    assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
+    assert np.all(np.isfinite(np.asarray(final.quat)))
