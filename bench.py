@@ -71,9 +71,19 @@ def _fence(arr) -> float:
     return float(jax.device_get(jnp.sum(arr)))
 
 
-def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
+def bench_pile(n_bodies: int, settle_chunks: int = 1,
+               timed_chunks: int = 10):
+    """Returns (body_steps_per_sec, wall_ms_per_step, trace_ms_per_step).
+
+    timed_chunks=10 (~20 s window) because the tunnel's wall clock has
+    large per-call variance (docs/ROADMAP.md) — a long fenced window is
+    the only trustworthy wall number. The device-trace ms/step (one traced
+    chunk, summed device_duration by source line) is reported alongside;
+    trust it over wall clock when they disagree. BENCH_CHUNKS overrides
+    for quick iteration; BENCH_TRACE=0 skips the trace capture."""
     from physics_tpu.engine import prepare_contacts
 
+    timed_chunks = int(os.environ.get("BENCH_CHUNKS", timed_chunks))
     state = box_pile(n_bodies)
     # warm-started split-impulse solve: 8 sweeps suffice (see solver docs);
     # the fused banded Pallas kernel runs the whole sweep loop in VMEM
@@ -97,13 +107,35 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1, timed_chunks: int = 2):
     _fence(state.pos)
     dt = time.perf_counter() - t0
     sps = timed_chunks * CHUNK / dt
+    wall_ms = 1e3 / sps
+
+    trace_ms = None
+    if os.environ.get("BENCH_TRACE", "1") == "1":
+        try:
+            import tempfile
+
+            from physics_tpu.utils.profiling import summarize_trace, trace
+
+            with tempfile.TemporaryDirectory() as td:
+                with trace(td):
+                    state = run(state)
+                    _fence(state.pos)
+                summary = summarize_trace(td, top=1 << 20)
+            dev_ms = sum(ms for ms, _ in summary.values())
+            if dev_ms > 0:
+                trace_ms = dev_ms / CHUNK
+        except Exception as e:  # tracing is best-effort on the tunnel
+            log(f"trace capture failed: {e}")
 
     finite = bool(np.all(np.isfinite(np.asarray(state.pos))))
     log(
         f"pile[{n_bodies}]: {sps:.1f} steps/s, "
-        f"{n_bodies * sps / 1e6:.2f}M body-steps/s, finite={finite}"
+        f"{n_bodies * sps / 1e6:.2f}M body-steps/s, "
+        f"wall {wall_ms:.2f} ms/step, "
+        f"trace {trace_ms if trace_ms is None else round(trace_ms, 3)} "
+        f"ms/step, finite={finite}"
     )
-    return n_bodies * sps
+    return n_bodies * sps, wall_ms, trace_ms
 
 
 def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
@@ -143,7 +175,7 @@ def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
 def main() -> None:
     log(f"devices: {jax.devices()}")
 
-    value = bench_pile(4096)
+    value, wall_ms, trace_ms = bench_pile(4096)
     print(
         json.dumps(
             {
@@ -151,6 +183,9 @@ def main() -> None:
                 "value": round(float(value), 1),
                 "unit": "body-steps/sec/chip",
                 "vs_baseline": round(float(value) / TARGET_BODY_STEPS, 4),
+                "wall_ms_per_step": round(float(wall_ms), 3),
+                "trace_ms_per_step": (None if trace_ms is None
+                                      else round(float(trace_ms), 3)),
             }
         ),
         flush=True,

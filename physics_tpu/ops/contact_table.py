@@ -1,0 +1,392 @@
+"""Fused bucket-aligned contact table: narrow phase + ground contacts +
+per-bucket compaction in ONE Pallas kernel.
+
+This replaces, for boxes_only bucketed-sweep scenes, the whole XLA span
+between the broad phase and the contact solver:
+
+    pair SAT manifolds      (ops/narrowphase_pallas.py kernel)   ~0.25 ms
+    ground corner contacts  (_ground_contacts_boxes XLA)         ~0.1  ms
+    contact compaction      (argsort + [18, C] field gather)     ~0.3  ms
+    rank sort for the banded solver (argsort + gather)           ~0.27 ms
+
+with one kernel whose grid steps each own ONE rank bucket (128 body ranks,
+matching the bucketed sweep with bucket_block=128): SAT manifolds for the
+bucket's candidates, ground contacts for the bucket's own ranks, then an
+in-kernel compaction of the active contacts into a fixed `ccap`-slot
+output segment. Because buckets are processed independently and each
+bucket's contacts involve ranks [b·128, b·128 + 128 + sweep_window), the
+resulting contact table is rank-banded BY CONSTRUCTION with STATIC solver
+tile bases (b·128) — the banded solve consumes it with zero sorts, zero
+gathers, zero padding ops.
+
+In-kernel compaction (no cumsum — unsupported; no gathers — rejected):
+  * exclusive prefix-sum of the activity mask via two triangular matmuls
+    (within-sublane over lanes, then sublane offsets), precision=HIGHEST
+    so counts are exact in f32;
+  * chunked one-hot scatter: oh[j, slot_j] contracted against the payload
+    rows with hi/lo bf16 splits — f32 payloads exact to ~2⁻¹⁹ relative,
+    integer payloads < 2¹⁶ exact (validated in experiments/compact_proto.py).
+
+Feature keys are computed in-kernel in int32 and shipped as three exact
+rows (|key| split 16/16 + sign) — pair keys (min·n + max)·8 + slot match
+the other narrow-phase paths; ground keys are the negative range
+−(body·8 + corner + 1) (see ops/narrowphase.py `_ground_contacts_boxes`,
+reference has no contacts at all — SURVEY.md §0).
+
+New capability vs reference (no collision detection in the reference,
+SURVEY.md §0); the TPU-shaping rules it follows are docs/PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as onp
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from physics_tpu.config import SimConfig
+from physics_tpu.maths import vec3c as v3
+from physics_tpu.ops.boxbox_batched import (
+    _CAP,
+    _argmax_unrolled,
+    _select,
+    box_box_manifold_batched,
+)
+from physics_tpu.ops.broadphase import PairCandidates, bucket_shape
+from physics_tpu.state import SHAPE_BOX, SimState
+
+Array = jnp.ndarray
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+# contact-table rows (f32 [CT_ROWS, NB·ccap])
+CT_PT = 0        # 0:3  contact point
+CT_N = 3         # 3:6  normal (B→A)
+CT_D = 6         # depth
+CT_MU = 7        # friction
+CT_REST = 8      # restitution
+CT_ACT = 9       # 1.0 = active
+CT_KL = 10       # |key| & 0xFFFF
+CT_KH = 11       # |key| >> 16
+CT_KSGN = 12     # 1.0 ⇒ key < 0 (ground contact)
+CT_RA = 13       # global body rank of endpoint a (lower rank)
+CT_RB1 = 14      # global rank of endpoint b + 1 (0 = ghost/world)
+CT_ROWS = 16
+
+# geometry body-table rows — identical to ops/narrowphase_pallas.py:
+# pos(0:3) | world R row-major (3:12) | half(12:15) | friction(15) |
+# restitution(16) | movable·is_box(17) | body id(18) | pad(19:24)
+GEOM_ROWS = 24
+
+BLOCK = 128      # ranks per bucket — fixed: ground slice + bases stay
+                 # 128-aligned with zero scalar prefetch
+
+_BOX_SIGNS = [
+    (sx, sy, sz)
+    for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _split(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _exclusive_prefix(mask):
+    """mask [SUB, 128] 0/1 f32 → exclusive prefix counts, row-major order."""
+    sub = mask.shape[0]
+    ci = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 0)
+    cj = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 1)
+    t_l = (ci < cj).astype(jnp.float32)
+    within = jax.lax.dot_general(
+        mask, t_l, (((1,), (0,)), ((), ())), precision=HIGHEST)
+    totals = jnp.sum(mask, axis=1, keepdims=True)
+    ri = jax.lax.broadcasted_iota(jnp.float32, (sub, sub), 0)
+    rj = jax.lax.broadcasted_iota(jnp.float32, (sub, sub), 1)
+    t_r = (ri < rj).astype(jnp.float32)
+    offs = jax.lax.dot_general(
+        totals.reshape(1, sub), t_r, (((1,), (0,)), ((), ())),
+        precision=HIGHEST)
+    return within + offs.reshape(sub, 1)
+
+
+def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True):
+    """One grid step = one rank bucket: SAT + ground + compaction."""
+    sub_pair = kk * (cap // 128)
+    sub = sub_pair + kg
+    m = sub * 128
+    chunk_rows = 4                       # scatter chunk: 512 contacts
+
+    def kernel(la_ref, lb_ref, geom_ref, out_ref, meta_ref):
+        b = pl.program_id(0)
+        start = pl.multiple_of(b * BLOCK, 128)
+        win = geom_ref[:, pl.ds(start, wtot)]             # [24, WTOT]
+        w_hi, w_lo = _split(win)
+        la = la_ref[0, 0, :]
+        lb = lb_ref[0, 0, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, cap), 0)
+        oh_a = (row == la[None, :]).astype(jnp.bfloat16)
+        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+
+        def bgather(oh):
+            g1 = jax.lax.dot_general(
+                w_hi, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return g1 + jax.lax.dot_general(
+                w_lo, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [24, CAP]
+
+        ga = bgather(oh_a)
+        gb = bgather(oh_b)        # inactive (la = −1): all-zero columns
+
+        man = box_box_manifold_batched(
+            (ga[0], ga[1], ga[2]), tuple(ga[3 + k] for k in range(9)),
+            (ga[12], ga[13], ga[14]),
+            (gb[0], gb[1], gb[2]), tuple(gb[3 + k] for k in range(9)),
+            (gb[12], gb[13], gb[14]),
+            mosaic=mosaic,
+        )
+
+        movable = (ga[17] > 0.0) | (gb[17] > 0.0)
+        mu_p = jnp.sqrt(ga[15] * gb[15])
+        rest_p = jnp.maximum(ga[16], gb[16])
+        ia = ga[18].astype(jnp.int32)
+        ib = gb[18].astype(jnp.int32)
+        mn = jnp.minimum(ia, ib)
+        mx = jnp.maximum(ia, ib)
+        pair_base = (mn * n + mx) * _CAP                   # int32 exact
+
+        big_neg = jnp.float32(-1e30)
+        score = [
+            jnp.where(man.valid[s] & movable, man.depth[s], big_neg)
+            for s in range(_CAP)
+        ]
+        # rank rows for pair contacts: global ranks from la/lb + base
+        ra_p = (start + la).astype(jnp.float32)
+        rb1_p = (start + lb + 1).astype(jnp.float32)
+        live = (la >= 0).astype(jnp.float32)
+        ra_p = ra_p * live
+        rb1_p = rb1_p * live
+
+        rows = [[] for _ in range(CT_ROWS)]
+
+        def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
+                 kl, kh, ksgn, ra, rb1):
+            af = act.astype(jnp.float32)
+            for r, v in enumerate([
+                ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
+                kl * af, kh * af, ksgn * af, ra * af, rb1 * af,
+                jnp.zeros_like(af),
+            ]):
+                rows[r].append(v)
+
+        for _ in range(kk):
+            best, bidx = _argmax_unrolled(score)
+            act = best > 0.0
+            pt = _select(bidx, man.points)
+            key = pair_base + bidx                         # int32
+            kl = (key & 0xFFFF).astype(jnp.float32)
+            kh = ((key >> 16) & 0x7FFF).astype(jnp.float32)
+            emit(pt[0], pt[1], pt[2],
+                 man.normal[0], man.normal[1], man.normal[2],
+                 jnp.where(act, best, 0.0), act, mu_p, rest_p,
+                 kl, kh, jnp.zeros_like(kl), ra_p, rb1_p)
+            if mosaic:
+                score = [
+                    jnp.where(
+                        (bidx == jnp.int32(s)), big_neg, score[s])
+                    for s in range(_CAP)
+                ]
+            else:
+                score = [
+                    jnp.where(bidx == s, big_neg, score[s])
+                    for s in range(_CAP)
+                ]
+
+        # ---- ground contacts for the bucket's own 128 ranks ----
+        if kg > 0:
+            gl = win[:, 0:BLOCK]                           # [24, 128]
+            px, py, pz = gl[0], gl[1], gl[2]
+            r9 = tuple(gl[3 + k] for k in range(9))
+            hx, hy, hz = gl[12], gl[13], gl[14]
+            mv = gl[17] > 0.0
+            pts_g, dep_g = [], []
+            for (sx, sy, sz) in _BOX_SIGNS:
+                wx, wy, wz = sx * hx, sy * hy, sz * hz
+                cx = px + r9[0] * wx + r9[1] * wy + r9[2] * wz
+                cy = py + r9[3] * wx + r9[4] * wy + r9[5] * wz
+                cz = pz + r9[6] * wx + r9[7] * wy + r9[8] * wz
+                pts_g.append((cx, cy, cz))
+                dep_g.append(jnp.float32(gh) - cy)
+            gsc = [jnp.where(mv & (d > 0.0), d, big_neg) for d in dep_g]
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, BLOCK), 1)[0]
+            body_id = gl[18].astype(jnp.int32)
+            ra_g = (start + lane).astype(jnp.float32)
+            one_g = jnp.ones((BLOCK,), jnp.float32)
+            for _ in range(kg):
+                best, bidx = _argmax_unrolled(gsc)
+                act = best > 0.0
+                pt = _select(bidx, pts_g)
+                mag = body_id * 8 + bidx + 1               # |key|, int32
+                kl = (mag & 0xFFFF).astype(jnp.float32)
+                kh = ((mag >> 16) & 0x7FFF).astype(jnp.float32)
+                emit(pt[0], pt[1], pt[2],
+                     jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
+                     jnp.where(act, best, 0.0), act, gl[15], gl[16],
+                     kl, kh, one_g, ra_g, jnp.zeros_like(one_g))
+                if mosaic:
+                    gsc = [
+                        jnp.where((bidx == jnp.int32(s)), big_neg, gsc[s])
+                        for s in range(8)
+                    ]
+                else:
+                    gsc = [
+                        jnp.where(bidx == s, big_neg, gsc[s])
+                        for s in range(8)
+                    ]
+
+        payload = jnp.stack(
+            [jnp.concatenate(r) for r in rows])            # [CT_ROWS, m]
+
+        # ---- per-bucket compaction (order-preserving) ----
+        mask = payload[CT_ACT].reshape(sub, 128)
+        slot = _exclusive_prefix(mask)
+        slot = slot * mask + (1.0 - mask) * jnp.float32(ccap)
+
+        acc = jnp.zeros((CT_ROWS, ccap), jnp.float32)
+        cw = chunk_rows * 128
+        oh_col = jax.lax.broadcasted_iota(jnp.float32, (cw, ccap), 1)
+        for r0 in range(0, sub, chunk_rows):
+            cr = min(chunk_rows, sub - r0)
+            cwr = cr * 128
+            sl = slot[r0:r0 + cr].reshape(1, cwr)
+            oh = (oh_col[:cwr] == sl.reshape(cwr, 1)).astype(jnp.bfloat16)
+            pay = payload[:, r0 * 128:r0 * 128 + cwr]
+            p_hi, p_lo = _split(pay)
+            acc += jax.lax.dot_general(
+                p_hi, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(
+                p_lo, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+        n_act = jnp.sum(mask)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        at00 = ((r_i == 0) & (c_i == 0)).astype(jnp.float32)
+        at01 = ((r_i == 0) & (c_i == 1)).astype(jnp.float32)
+        dropped = jnp.maximum(n_act - jnp.float32(ccap), 0.0)
+        meta_ref[:] = at00 * dropped + at01 * n_act
+
+    return kernel
+
+
+def table_shape(n: int, cfg: SimConfig) -> Tuple[int, int, int]:
+    """(nb, ccap, cp) of the contact table for an n-body scene."""
+    nb = -(-n // BLOCK)
+    if cfg.bucket_ccap > 0:
+        ccap = _round_up(cfg.bucket_ccap, 128)
+    else:
+        total = cfg.max_contacts if cfg.max_contacts > 0 else 6 * n
+        ccap = _round_up(max(total // nb, 128), 128)
+    return nb, ccap, nb * ccap
+
+
+def bucket_contact_table(
+    state: SimState,
+    cand: PairCandidates,
+    cfg: SimConfig,
+    order: Array | None,
+) -> Tuple[Array, Array]:
+    """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
+    meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
+    meta[0, b·128+1] = active count).
+
+    `order` is the sweep's body order (body id per rank); None = identity.
+    Requires cfg.pair_buckets with bucket_block == 128 (the kernel's
+    ground slice and window bases assume it) and n < 2¹⁶ (body ids ride
+    the geometry table through the hi/lo bf16 split).
+    """
+    n = state.num_bodies
+    assert n < (1 << 16), "contact_table: body ids exceed exact-f32 range"
+    block, cap, nb_cand = bucket_shape(n, cfg)
+    if block != BLOCK:
+        raise ValueError(
+            f"contact_table requires bucket_block == {BLOCK} (got {block})")
+    nb, ccap, cp = table_shape(n, cfg)
+    assert nb == nb_cand, (nb, nb_cand)
+    kk = min(cfg.max_contacts_per_pair, _CAP)
+    kg = min(cfg.max_contacts_per_pair, 8) if cfg.ground_plane else 0
+    wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
+    npad = _round_up(n + wtot, 128)
+    npad = max(npad, nb * BLOCK + wtot)
+
+    movable = (state.inv_mass > 0.0).astype(jnp.float32)
+    is_box = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
+    r9 = v3.quat_to_mat(state.quat)
+    rows = jnp.stack(
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+        + list(r9)
+        + [state.shapes.params[:, 0], state.shapes.params[:, 1],
+           state.shapes.params[:, 2], state.shapes.friction,
+           state.shapes.restitution, movable * is_box,
+           jnp.arange(n, dtype=jnp.float32)]
+        + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 19)
+    )                                                     # [24, N]
+    if order is not None:
+        rows = rows[:, order]
+    geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(rows)
+
+    # candidate locals: bucket-major [NB·cap] ranks → local to b·128
+    p = cand.rank_a.shape[0]
+    assert p == nb * cap, (p, nb, cap)
+    bucket_of = jnp.arange(p, dtype=jnp.int32) // cap
+    base_per = bucket_of * BLOCK
+    la = jnp.where(cand.mask, cand.rank_a - base_per, -1)
+    lb = jnp.where(cand.mask, cand.rank_b - base_per, -1)
+    la3 = jnp.broadcast_to(la.reshape(nb, 1, cap), (nb, 8, cap))
+    lb3 = jnp.broadcast_to(lb.reshape(nb, 1, cap), (nb, 8, cap))
+
+    interpret = jax.default_backend() != "tpu"
+    kernel = _make_ct_kernel(
+        cap, wtot, kk, kg, ccap, n, cfg.ground_height,
+        mosaic=not interpret)
+    out, meta = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CT_ROWS, ccap), lambda b: (0, b)),
+            pl.BlockSpec((8, 128), lambda b: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((CT_ROWS, cp), jnp.float32),
+            jax.ShapeDtypeStruct((8, nb * 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(la3, lb3, geom)
+    return out, meta
+
+
+def table_keys(table: Array) -> Array:
+    """Reassemble the int32 feature keys from the split rows (0 = inactive)."""
+    mag = (table[CT_KL].astype(jnp.int32)
+           + table[CT_KH].astype(jnp.int32) * 65536)
+    sgn = table[CT_KSGN] > 0.0
+    act = table[CT_ACT] > 0.0
+    return jnp.where(act, jnp.where(sgn, -mag, mag), 0)
