@@ -49,15 +49,15 @@ def exclusive_prefix(mask):
     row-major order (j = r*128 + c), via triangular matmuls."""
     sub = mask.shape[0]
     # strict lower-tri over lanes: T[c', c] = 1 if c' < c
-    ci = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 0)
-    cj = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     t_l = (ci < cj).astype(jnp.float32)
     within = jax.lax.dot_general(
         mask, t_l, (((1,), (0,)), ((), ())), precision=HIGHEST)  # [SUB,128]
     totals = jnp.sum(mask, axis=1, keepdims=True)                # [SUB,1]
     # row offsets: strict lower-tri over sublanes, via [1,SUB]@[SUB,SUB]
-    ri = jax.lax.broadcasted_iota(jnp.float32, (sub, sub), 0)
-    rj = jax.lax.broadcasted_iota(jnp.float32, (sub, sub), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     t_r = (ri < rj).astype(jnp.float32)
     offs = jax.lax.dot_general(
         totals.reshape(1, sub), t_r, (((1,), (0,)), ((), ())),
@@ -77,18 +77,20 @@ def make_kernel(rp, sub, ccap, chunk_rows):
 
         acc = jnp.zeros((rp, ccap), jnp.float32)
         cw = chunk_rows * 128
-        oh_col = jax.lax.broadcasted_iota(jnp.float32, (cw, ccap), 1)
+        # transposed one-hot: Mosaic accepts the sublanes->lanes flatten
+        # [CR,128]->[1,CW] but not a lane-vector -> column reshape
+        oh_row = jax.lax.broadcasted_iota(jnp.int32, (ccap, cw), 0)
         for r0 in range(0, sub, chunk_rows):
             sl = slot[r0:r0 + chunk_rows]                 # [CR, 128]
-            sl_flat = sl.reshape(1, cw)                   # sublanes->lanes
-            oh = (oh_col == sl_flat.reshape(cw, 1)).astype(jnp.bfloat16)
+            sl_i = sl.reshape(1, cw).astype(jnp.int32)    # sublanes->lanes
+            oht = (oh_row == sl_i).astype(jnp.bfloat16)   # [ccap, CW]
             pay = pay_ref[:, r0 * 128:(r0 + chunk_rows) * 128]  # [RP, CW]
             p_hi, p_lo = _split(pay)
             acc += jax.lax.dot_general(
-                p_hi, oh, (((1,), (0,)), ((), ())),
+                p_hi, oht, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc += jax.lax.dot_general(
-                p_lo, oh, (((1,), (0,)), ((), ())),
+                p_lo, oht, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
         out_ref[:] = acc
         meta = jnp.zeros((8, 128), jnp.float32)

@@ -97,6 +97,15 @@ class SimConfig:
     # tile's rank span by construction, which is what makes the kernel's
     # fixed window safe at any pair density (round-1 gating bug fixed).
     narrowphase_pallas: bool = True
+    # fused bucket-aligned contact table (ops/contact_table.py): narrow
+    # phase + ground contacts + per-bucket contact compaction in ONE
+    # kernel, yielding a rank-banded contact list with STATIC solver tile
+    # bases (no sorts/gathers between broad phase and solve). Engages for
+    # contact_solver='pallas_banded' + boxes_only + bucketed sweep with
+    # bucket_block=128. bucket_ccap pins the per-bucket contact capacity
+    # (0 = max_contacts spread over buckets, 128-aligned).
+    contact_table: bool = False
+    bucket_ccap: int = 0
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

@@ -104,14 +104,14 @@ def _split(x):
 def _exclusive_prefix(mask):
     """mask [SUB, 128] 0/1 f32 → exclusive prefix counts, row-major order."""
     sub = mask.shape[0]
-    ci = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 0)
-    cj = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     t_l = (ci < cj).astype(jnp.float32)
     within = jax.lax.dot_general(
         mask, t_l, (((1,), (0,)), ((), ())), precision=HIGHEST)
     totals = jnp.sum(mask, axis=1, keepdims=True)
-    ri = jax.lax.broadcasted_iota(jnp.float32, (sub, sub), 0)
-    rj = jax.lax.broadcasted_iota(jnp.float32, (sub, sub), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     t_r = (ri < rj).astype(jnp.float32)
     offs = jax.lax.dot_general(
         totals.reshape(1, sub), t_r, (((1,), (0,)), ((), ())),
@@ -177,6 +177,14 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True):
         ra_p = ra_p * live
         rb1_p = rb1_p * live
 
+        # payload rows are built as lists of [128] lane vectors (one per
+        # output sublane) and stacked to [sub, 128] — a 1-D lane
+        # concatenate to [sub·128] crashes Mosaic's layout assignment
+        # (layout.h offsets<tiling check; bisected in
+        # experiments/ct_bisect.py stage 18), while 128-aligned static
+        # lane slices + jnp.stack are proven safe. Interpret mode keeps
+        # the single-concatenate form (fewer ops for XLA:CPU's
+        # superlinear compile on unrolled graphs).
         rows = [[] for _ in range(CT_ROWS)]
 
         def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
@@ -187,7 +195,12 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True):
                 kl * af, kh * af, ksgn * af, ra * af, rb1 * af,
                 jnp.zeros_like(af),
             ]):
-                rows[r].append(v)
+                if not mosaic:
+                    rows[r].append(v)
+                    continue
+                for j in range(v.shape[0] // 128):
+                    rows[r].append(
+                        jax.lax.slice_in_dim(v, j * 128, (j + 1) * 128))
 
         for _ in range(kk):
             best, bidx = _argmax_unrolled(score)
@@ -255,29 +268,38 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True):
                         for s in range(8)
                     ]
 
-        payload = jnp.stack(
-            [jnp.concatenate(r) for r in rows])            # [CT_ROWS, m]
+        if mosaic:
+            pay2 = [jnp.stack(r) for r in rows]            # 16 × [sub, 128]
+        else:
+            pay2 = [jnp.concatenate(r).reshape(sub, 128) for r in rows]
 
         # ---- per-bucket compaction (order-preserving) ----
-        mask = payload[CT_ACT].reshape(sub, 128)
+        mask = pay2[CT_ACT]                                # [sub, 128]
         slot = _exclusive_prefix(mask)
         slot = slot * mask + (1.0 - mask) * jnp.float32(ccap)
 
+        # chunked one-hot scatter. The one-hot is built TRANSPOSED
+        # ([ccap, cw]: sublane iota vs the flattened slot lane-vector
+        # broadcast along sublanes) because Mosaic accepts the
+        # sublanes→lanes flatten [CR,128]→[1,CW] but not a lane-vector →
+        # column reshape; the dot then contracts both dim-1s.
         acc = jnp.zeros((CT_ROWS, ccap), jnp.float32)
-        cw = chunk_rows * 128
-        oh_col = jax.lax.broadcasted_iota(jnp.float32, (cw, ccap), 1)
+        oh_row = jax.lax.broadcasted_iota(
+            jnp.int32, (ccap, chunk_rows * 128), 0)
         for r0 in range(0, sub, chunk_rows):
             cr = min(chunk_rows, sub - r0)
             cwr = cr * 128
-            sl = slot[r0:r0 + cr].reshape(1, cwr)
-            oh = (oh_col[:cwr] == sl.reshape(cwr, 1)).astype(jnp.bfloat16)
-            pay = payload[:, r0 * 128:r0 * 128 + cwr]
+            sl = slot[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
+            oht = (oh_row[:, :cwr] == sl).astype(jnp.bfloat16)
+            pay = jnp.stack(
+                [pay2[r][r0:r0 + cr].reshape(1, cwr)[0]
+                 for r in range(CT_ROWS)])                 # [16, CWR]
             p_hi, p_lo = _split(pay)
             acc += jax.lax.dot_general(
-                p_hi, oh, (((1,), (0,)), ((), ())),
+                p_hi, oht, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc += jax.lax.dot_general(
-                p_lo, oh, (((1,), (0,)), ((), ())),
+                p_lo, oht, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
         out_ref[:] = acc
 

@@ -190,7 +190,15 @@ def contact_geometry(
 def warm_start_lambda(
     contacts: Contacts, warm: Tuple[Array, Array], c: int
 ) -> Tuple[Array, Array, Array]:
-    """Match previous-step impulses to this step's contacts by feature key.
+    """Match previous-step impulses to this step's contacts by feature key
+    (see `warm_start_lambda_keys` for the mechanics)."""
+    return warm_start_lambda_keys(contacts.key, contacts.active, warm, c)
+
+
+def warm_start_lambda_keys(
+    keys: Array, active: Array, warm: Tuple[Array, Array], c: int
+) -> Tuple[Array, Array, Array]:
+    """Match previous-step impulses to this step's contact keys.
 
     sort-merge key matching: ONE argsort + one gather + one scatter.
     (jnp.searchsorted lowers to a ~15-iteration binary-search while
@@ -204,7 +212,7 @@ def warm_start_lambda(
     """
     prev_keys, prev_lam = warm
     kp = prev_keys.shape[0]
-    comb = jnp.concatenate([prev_keys, contacts.key])
+    comb = jnp.concatenate([prev_keys, keys])
     tag = jnp.concatenate([
         jnp.zeros((kp,), jnp.int32), jnp.ones((c,), jnp.int32)
     ])
@@ -235,7 +243,7 @@ def warm_start_lambda(
     dkey = jnp.where(st == 1, sslot, kp + c)
     _, l0, l1, l2 = jax.lax.sort(
         (dkey, pred(pl0), pred(pl1), pred(pl2)), num_keys=1)
-    actf3 = (contacts.active & (contacts.key != 0)).astype(jnp.float32)
+    actf3 = (active & (keys != 0)).astype(jnp.float32)
     return l0[:c] * actf3, l1[:c] * actf3, l2[:c] * actf3
 
 
@@ -522,6 +530,15 @@ def contact_capacity(state: SimState, cfg: SimConfig) -> int:
     """Total contact-slot count of one step under `cfg` (static), via
     eval_shape on the generation pipeline — used to size the warm-start
     buffers (engine.prepare_contacts)."""
+    if (
+        cfg.contact_solver == "pallas_banded" and cfg.contact_table
+        and cfg.boxes_only and cfg.pair_collisions
+        and cfg.broadphase == "sweep" and cfg.pair_buckets
+        and state.num_bodies > 1
+    ):
+        from physics_tpu.ops.contact_table import table_shape
+
+        return table_shape(state.num_bodies, cfg)[2]
 
     def gen(s):
         cvx = convex_data(s)
@@ -604,6 +621,16 @@ def resolve_contacts(
                 "windows)"
             )
 
+    # fused bucket-aligned contact table: broad phase → ONE kernel (SAT +
+    # ground + per-bucket compaction) → banded solve with static bases —
+    # no XLA narrow phase, no contact sort/gather/pad (ops/contact_table.py)
+    if (
+        use_pallas and cfg.contact_table and cfg.boxes_only
+        and cfg.pair_collisions and cfg.broadphase == "sweep"
+        and cfg.pair_buckets and n > 1
+    ):
+        return _resolve_contacts_table(state, cfg)
+
     cvx = convex_data(state)
     groups = []
     lo_rows, rb_rows = [], []
@@ -663,8 +690,18 @@ def resolve_contacts(
             cpair = pc.body_a.shape[0]
             p = cand.body_a.shape[0]
             kk = cpair // p
-            if boxes_fast:
-                # _pair_contacts_boxes: slot-major concat([x]*kk)
+            # layout must mirror pair_contacts' ACTUAL dispatch: the
+            # banded Pallas narrow phase emits slot-major on EVERY
+            # backend (it is interpreted off-TPU), while the XLA fast
+            # path is TPU-gated — keying this off the backend alone
+            # misaligned ranks with contacts on CPU (impulses landed on
+            # the wrong bodies; caught by experiments/table_diff.py)
+            pallas_pairs = (
+                cfg.narrowphase_pallas and cfg.boxes_only
+                and cfg.broadphase == "sweep" and cfg.pair_buckets
+            )
+            if boxes_fast or pallas_pairs:
+                # _pair_contacts_boxes[_pallas]: slot-major concat([x]*kk)
                 lo_p = jnp.concatenate([cand.rank_a] * kk)
                 rb_p = jnp.concatenate([cand.rank_b] * kk)
             else:
@@ -740,3 +777,52 @@ def resolve_contacts(
             contact_lam=jnp.stack([l0, l1, l2]),
         )
     return state, {**metrics, **solve_metrics}
+
+
+def _resolve_contacts_table(state: SimState, cfg: SimConfig
+                            ) -> Tuple[SimState, Dict]:
+    """Contact resolution through the fused bucket-aligned contact table
+    (cfg.contact_table): broad phase emits bucketed candidates, ONE Pallas
+    kernel produces the compacted rank-banded contact table (SAT manifolds
+    + ground corners + per-bucket compaction), and the banded solver
+    consumes it with static tile bases. See ops/contact_table.py."""
+    from physics_tpu.ops.broadphase import body_aabbs, sweep_order
+    from physics_tpu.ops.contact_table import (
+        bucket_contact_table,
+        table_shape,
+    )
+    from physics_tpu.solver.contacts_pallas import solve_impulses_table
+
+    n = state.num_bodies
+    body_order = sweep_order(state, body_aabbs(state))
+    cand = pair_candidates(state, cfg)
+    table, meta = bucket_contact_table(state, cand, cfg, body_order)
+    nb, ccap, cp = table_shape(n, cfg)
+
+    use_warm = state.contact_key.shape[0] == cp
+    warm = (state.contact_key, state.contact_lam) if use_warm else None
+    vel, omega, pvel, pomega, lam3, solve_metrics, keys = (
+        solve_impulses_table(state, table, cfg, body_order, warm=warm)
+    )
+    metrics: Dict = {
+        "pair_overflow": cand.overflow,
+        # per-bucket dropped counts live at meta[0, b·128]
+        "contact_overflow": jnp.sum(
+            meta[0].reshape(nb, 128)[:, 0]).astype(jnp.int32),
+        **solve_metrics,
+    }
+
+    dt = jnp.float32(cfg.dt)
+    new_pos = state.pos + pvel * dt
+    dq = quat.exp_map(pomega * dt)
+    new_quat = quat.normalize(quat.mul(dq, state.quat))
+    state = state.replace(vel=vel, omega=omega, pos=new_pos, quat=new_quat)
+    if use_warm:
+        key_s, l0, l1, l2 = jax.lax.sort(
+            (keys, lam3[0], lam3[1], lam3[2]), num_keys=1
+        )
+        state = state.replace(
+            contact_key=key_s,
+            contact_lam=jnp.stack([l0, l1, l2]),
+        )
+    return state, metrics

@@ -692,3 +692,124 @@ def solve_impulses_banded(
     if ranks is not None:
         metrics["contact_overflow"] = cap_overflow
     return vel, omega, pvel, pomega, lam3, metrics, contacts
+
+
+def solve_impulses_table(
+    state: SimState,
+    table: Array,          # [CT_ROWS, NB·ccap] from ops/contact_table.py
+    cfg: SimConfig,
+    order: Array | None,
+    warm: Tuple[Array, Array] | None = None,
+):
+    """Banded solve over the bucket-aligned contact table.
+
+    The table is rank-banded BY CONSTRUCTION (bucket b's contacts touch
+    ranks [b·128, b·128 + 128 + sweep_window)), so — unlike
+    `solve_impulses_banded` — there is NO contact sort, NO field gather,
+    NO padding: solver tile = one bucket (ccap contacts), window bases are
+    the static b·128, and `cin` stacks straight off the table rows. The
+    only remaining XLA work between narrow phase and kernels is the
+    warm-start key match.
+
+    Returns (vel, omega, pvel, pomega, lam3, metrics, keys): `keys` are
+    the per-slot int32 feature keys the caller sorts for next step's
+    warm start.
+    """
+    import numpy as onp
+
+    from physics_tpu.ops.contact_table import (
+        BLOCK,
+        CT_ACT,
+        CT_D,
+        CT_MU,
+        CT_N,
+        CT_PT,
+        CT_RA,
+        CT_RB1,
+        CT_REST,
+        table_keys,
+        table_shape,
+    )
+    from physics_tpu.solver.contacts import warm_start_lambda_keys
+
+    n = state.num_bodies
+    nb, ccap, cp = table_shape(n, cfg)
+    assert table.shape == (table.shape[0], cp), (table.shape, cp)
+    tile = ccap
+    wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
+    npad = max(_round_up(n + wtot, 128), nb * BLOCK + wtot)
+
+    bases_np = onp.clip(onp.arange(nb) * BLOCK, 0, npad - wtot)
+    bases = jnp.asarray(bases_np, jnp.int32)
+    base_per = jnp.asarray(onp.repeat(bases_np, ccap), jnp.int32)
+
+    act = table[CT_ACT] > 0.0
+    actf = table[CT_ACT]
+    ra = table[CT_RA].astype(jnp.int32)
+    rb1 = table[CT_RB1].astype(jnp.int32)
+    has_b = act & (rb1 > 0)
+    has_bf = has_b.astype(jnp.float32)
+    la = jnp.where(act, ra - base_per, -1)
+    lb = jnp.where(has_b, rb1 - 1 - base_per, -1)
+
+    keys = table_keys(table)
+    use_split = warm is not None
+    n_pos_iters = cfg.position_iters if use_split else 0
+    lam0_n = lam0_t1 = lam0_t2 = jnp.zeros((cp,), jnp.float32)
+    if warm is not None:
+        lam0_n, lam0_t1, lam0_t2 = warm_start_lambda_keys(
+            keys, act, warm, cp)
+
+    cin = jnp.stack([
+        table[CT_PT], table[CT_PT + 1], table[CT_PT + 2],
+        table[CT_N], table[CT_N + 1], table[CT_N + 2],
+        table[CT_D], table[CT_MU], table[CT_REST],
+        actf, lam0_n, lam0_t1, lam0_t2, has_bf,
+        jnp.zeros((cp,), jnp.float32), jnp.zeros((cp,), jnp.float32),
+    ])                                                    # [16, Cp]
+
+    # rank-space solve tables (same construction as solve_impulses_banded)
+    r9 = v3.quat_to_mat(state.quat)
+    iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))
+    geom_rows = jnp.stack(
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+        + list(iw9)
+        + [state.inv_mass,
+           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+           state.omega[:, 0], state.omega[:, 1], state.omega[:, 2]]
+        + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 19)
+    )                                                     # [24, N]
+    if order is not None:
+        geom_rows = geom_rows[:, order]
+    geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(
+        geom_rows)
+    z0 = jnp.zeros((Z_ROWS, npad), jnp.float32)
+    z0 = z0.at[0:6, :n].set(geom_rows[13:19])
+
+    consts = prep_consts(
+        geom, bases, la, lb, cin, cfg,
+        tile=tile, wtot=wtot, use_split=use_split,
+    )
+    z, lam4 = banded_sweeps(
+        z0, bases, la, lb, consts,
+        tile=tile, wtot=wtot,
+        vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
+        warm_sweep=use_split,
+    )
+
+    if order is None:
+        zz = z[:, :n]
+    else:
+        rank_inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        zz = z[:, rank_inv]
+    lam3 = lam4[:3]
+    metrics = {
+        "contact_count": jnp.sum(act.astype(jnp.int32)),
+        "max_penetration": jnp.max(jnp.where(act, table[CT_D], 0.0),
+                                   initial=0.0),
+        "normal_impulse_sum": jnp.sum(lam3[0]),
+        "band_overflow": jnp.int32(0),   # structural: bases are static
+    }
+    return (zz[0:3].T, zz[3:6].T, zz[8:11].T, zz[11:14].T, lam3,
+            metrics, keys)

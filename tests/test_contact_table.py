@@ -1,0 +1,90 @@
+"""Fused bucket-aligned contact table (ops/contact_table.py +
+solver/contacts_pallas.solve_impulses_table, cfg.contact_table).
+
+Interpret-mode on CPU exercises the identical kernel code path as TPU.
+Kept small-N: every distinct SimConfig is a new XLA program on one CPU
+core."""
+
+import numpy as np
+import jax
+
+from physics_tpu.config import SimConfig
+from physics_tpu.engine import prepare_contacts, rollout, step_with_metrics
+from physics_tpu.io.meshes import box_inertia
+from physics_tpu.scene import SceneBuilder
+
+
+def _cluster_state(n=24, seed=3, spacing=8.0):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    for k in range(n):
+        cluster = k % 4
+        base = np.array([cluster * spacing, 0.5, 0.0])
+        i = b.add_body(pos=base + rng.uniform(-0.6, 0.6, 3),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.5)
+    return b.build()
+
+
+CFG_TABLE = SimConfig(
+    ground_plane=True, pair_collisions=True, boxes_only=True,
+    broadphase="sweep", sweep_window=12, pair_buckets=True,
+    bucket_block=128, contact_solver="pallas_banded", contact_table=True,
+    contact_iters=8,
+    # the 24-body cluster state makes ~280 contacts; the default budget
+    # (6 per body) would overflow the single bucket
+    max_contacts=512,
+)
+
+
+def test_table_step_matches_np_pallas_path():
+    """One step through the fused table must match the two-kernel path
+    (bucketed Pallas narrow phase + sorted banded solve): same contact
+    count, same resulting state to split-error tolerance — both paths run
+    the SAME batched SAT, only the table's compaction/ordering differs
+    (Jacobi is order-independent up to f32 summation order)."""
+    state = _cluster_state(24)
+    cfg_t = CFG_TABLE
+    cfg_np = cfg_t.replace(contact_table=False, bucket_block=8,
+                           bucket_cap=128, pallas_tile=128,
+                           pallas_window=128)
+    out_t, m_t = jax.jit(step_with_metrics, static_argnums=1)(state, cfg_t)
+    out_n, m_n = jax.jit(step_with_metrics, static_argnums=1)(state, cfg_np)
+    assert int(m_t["band_overflow"]) == 0
+    assert int(m_t["contact_overflow"]) == 0
+    assert int(m_t["contact_count"]) == int(m_n["contact_count"]), (
+        int(m_t["contact_count"]), int(m_n["contact_count"]))
+    np.testing.assert_allclose(
+        np.asarray(out_t.pos), np.asarray(out_n.pos), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_t.vel), np.asarray(out_n.vel), atol=5e-3)
+
+
+def test_table_stack_rolls_out_stable():
+    """Warm-started rollout through the table path: a 3-box stack settles
+    (exercises the in-kernel feature keys through the sort-merge warm
+    matching across steps)."""
+    b = SceneBuilder()
+    for k in range(3):
+        i = b.add_body(pos=(0.0, 0.5 + 1.002 * k, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.6)
+    cfg = CFG_TABLE.replace(sweep_window=4, contact_iters=16,
+                            dt=1.0 / 120.0)
+    state = prepare_contacts(b.build(), cfg)
+    final, _ = rollout(state, cfg, num_steps=240)
+    y = np.sort(np.asarray(final.pos[:, 1]))
+    gaps = np.diff(y)
+    assert abs(y[0] - 0.5) < 0.03, y
+    assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
+    assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
+
+
+def test_table_overflow_counted():
+    """Per-bucket contact capacity overflow is counted, never silent."""
+    state = _cluster_state(24)
+    cfg = CFG_TABLE.replace(bucket_ccap=128)
+    _, m = jax.jit(step_with_metrics, static_argnums=1)(state, cfg)
+    # the 24-body cluster state makes > 128 contacts (ground + deep pairs)
+    assert int(m["contact_overflow"]) > 0
+    assert int(m["contact_count"]) <= 128
