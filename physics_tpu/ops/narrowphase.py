@@ -395,7 +395,8 @@ def _pair_contacts_boxes(state: SimState, cand: PairCandidates,
 
 
 def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
-                                cfg: SimConfig) -> Contacts:
+                                cfg: SimConfig,
+                                chunked: bool = False) -> Contacts:
     """Banded-kernel fast path: the SAT manifolds come from ONE Pallas
     kernel reading a VMEM body table (ops/narrowphase_pallas.py); this
     wrapper only reshapes its rows into the slot-major Contacts layout
@@ -411,7 +412,8 @@ def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
     p0 = cand.body_a.shape[0]
     order = (sweep_order(state, body_aabbs(state))
              if cfg.broadphase == "sweep" else None)
-    rows, pp, kk = pair_manifolds_banded(state, cand, cfg, order)
+    rows, pp, kk = pair_manifolds_banded(state, cand, cfg, order,
+                                         chunked=chunked)
     if n < NP_ID_EXACT_MAX:
         # endpoint body ids rode the kernel's one-hot gather (geom row 18)
         # — the broad-phase id arrays go unused and DCE away, which matters
@@ -460,8 +462,13 @@ def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
 
 
 def pair_contacts(state: SimState, cvx: ConvexData,
-                  cand: PairCandidates, cfg: SimConfig) -> Contacts:
-    """Contacts for the broad-phase candidate pairs (fixed [P·K] output)."""
+                  cand: PairCandidates, cfg: SimConfig,
+                  chunked: bool = False) -> Contacts:
+    """Contacts for the broad-phase candidate pairs (fixed [P·K] output).
+
+    `chunked=True`: `cand` is one shard's slice of the candidate array
+    (row-sharded narrow phase) — propagated to the banded Pallas kernel so
+    it derives tile bases dynamically instead of from bucket indices."""
     if cfg.boxes_only and cfg.narrowphase_pallas and (
         cfg.broadphase == "sweep" and cfg.pair_buckets
     ):
@@ -469,7 +476,8 @@ def pair_contacts(state: SimState, cvx: ConvexData,
         # bucketed sweep bounds every tile's rank span by construction;
         # interpreted off-TPU, so CPU tests exercise the same code path as
         # the TPU step
-        return _pair_contacts_boxes_pallas(state, cand, cfg)
+        return _pair_contacts_boxes_pallas(state, cand, cfg,
+                                           chunked=chunked)
     if cfg.boxes_only and jax.default_backend() == "tpu":
         # The batched component-form SAT is a TPU-layout optimization. On
         # the CPU backend of this image's jaxlib, executing its

@@ -130,11 +130,18 @@ def pair_manifolds_banded(
     cand: PairCandidates,
     cfg: SimConfig,
     order: Array | None,
+    chunked: bool = False,
 ) -> Tuple[Array, Array, int]:
     """Run the manifold kernel over all candidate pairs.
 
     Returns (rows [R, Pp], pad_to, kk): rows as laid out by
     `_make_np_kernel` with the pair axis padded to the kernel tile.
+
+    `chunked=True` means `cand` is a SHARD'S slice of the bucket-major
+    candidate array (row-sharded narrow phase): the static bucket-derived
+    bases assume the array starts at bucket 0, so chunked mode falls back
+    to the dynamic tile-min bases (correct for any contiguous slice; one
+    extra [ntiles]-reduction).
     """
     n = state.num_bodies
     p0 = cand.body_a.shape[0]
@@ -169,7 +176,7 @@ def pair_manifolds_banded(
     maskp = jnp.pad(mask, (0, pp - p0))
 
     ntiles = pp // tile
-    if cfg.pair_buckets:
+    if cfg.pair_buckets and not chunked:
         # bucketed candidates: tile t covers candidate slots
         # [t·tile, (t+1)·tile) = buckets [t·tile/cap, …], whose rank span
         # is bounded by construction — bases are STATIC (no device-side

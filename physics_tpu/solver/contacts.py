@@ -607,11 +607,6 @@ def resolve_contacts(
     n = state.num_bodies
     use_pallas = cfg.contact_solver == "pallas_banded"
     if use_pallas:
-        if shard is not None:
-            raise ValueError(
-                "contact_solver='pallas_banded' does not support sharded "
-                "solves; use contact_solver='jacobi' with shard="
-            )
         if cfg.pair_collisions and cfg.broadphase not in (
             "sweep", "env_blocks"
         ):
@@ -655,10 +650,9 @@ def resolve_contacts(
 
     if cfg.ground_plane:
         gc = ground_contacts(state, cvx, cfg)
-        if shard:
-            gc = _chunk_contacts(gc, *shard)
-        groups.append(gc)
         if use_pallas:
+            # rank rows are built on the FULL layout, then chunked in
+            # lockstep with the contacts
             cg = gc.body_a.shape[0]
             kg = cg // n
             if boxes_fast:
@@ -668,8 +662,15 @@ def resolve_contacts(
                 # generic ground_contacts: body-major [N, k]
                 lo_g = jnp.broadcast_to(
                     rank_arr[:, None], (n, kg)).reshape(-1)
+            rb_g = jnp.full((cg,), -1, jnp.int32)
+            if shard:
+                lo_g = _chunk(lo_g, *shard)
+                rb_g = _chunk(rb_g, *shard)
             lo_rows.append(lo_g)
-            rb_rows.append(jnp.full((cg,), -1, jnp.int32))
+            rb_rows.append(rb_g)
+        if shard:
+            gc = _chunk_contacts(gc, *shard)
+        groups.append(gc)
     if cfg.pair_collisions and state.num_bodies > 1:
         cand = pair_candidates(state, cfg)
         if shard:
@@ -683,7 +684,7 @@ def resolve_contacts(
                 _chunk(cand.rank_a, *shard),
                 _chunk(cand.rank_b, *shard),
             )
-        pc = pair_contacts(state, cvx, cand, cfg)
+        pc = pair_contacts(state, cvx, cand, cfg, chunked=shard is not None)
         groups.append(pc)
         metrics["pair_overflow"] = cand.overflow
         if use_pallas:
@@ -725,11 +726,40 @@ def resolve_contacts(
         from physics_tpu.solver.contacts_pallas import (
             padded_contact_count,
             solve_impulses_banded,
+            solve_shape,
         )
+
+        lo_all = jnp.concatenate(lo_rows)
+        rb_all = jnp.concatenate(rb_rows)
+        if shard:
+            # narrow phase ran sharded; reassemble the FULL contact list
+            # (cheap tiled all_gathers over ICI) for the replicated rank
+            # sort + prep, then the sweep tiles split across the axis
+            # (solve_impulses_banded shard=): per-sweep z-delta psums.
+            def _ag(x):
+                return jax.lax.all_gather(
+                    x, axis_name, axis=x.ndim - 1, tiled=True)
+
+            contacts = Contacts(
+                *[_ag(getattr(contacts, f)) for f in Contacts._fields])
+            lo_all = _ag(lo_all)
+            rb_all = _ag(rb_all)
+            c_total = contacts.key.shape[0]
 
         c_eff = (min(c_total, cfg.max_contacts) if cfg.max_contacts > 0
                  else c_total)
         cp = padded_contact_count(n, c_eff, cfg)
+        if shard:
+            # the sharded sweep splits whole tiles across the axis: round
+            # cp up to tile·n_shards. tile itself grows with cp (up to
+            # cfg.pallas_tile), so iterate to the fixed point.
+            for _ in range(3):
+                tile_sz, _, _ = solve_shape(n, cp, cfg)
+                cp_new = -(-cp // (tile_sz * shard[1])) * (
+                    tile_sz * shard[1])
+                if cp_new == cp:
+                    break
+                cp = cp_new
         use_warm = state.contact_key.shape[0] == cp and c_eff > 0
         warm = (state.contact_key, state.contact_lam) if use_warm else None
         # NOTE: returns the rank-sorted, tile-padded contacts struct — the
@@ -737,8 +767,9 @@ def resolve_contacts(
         vel, omega, pvel, pomega, lam3, solve_metrics, contacts = (
             solve_impulses_banded(
                 state, contacts, cfg, body_order, warm=warm,
-                ranks=(jnp.concatenate(lo_rows), jnp.concatenate(rb_rows)),
+                ranks=(lo_all, rb_all),
                 capacity=cp,
+                shard=shard,
             )
         )
     else:

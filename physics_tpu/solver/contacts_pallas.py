@@ -89,6 +89,119 @@ def _split(x):
     return hi, lo
 
 
+def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
+                     vel_on, pos_on, is_warm_f, degf):
+    """One Jacobi sweep over one contact tile — the shared math of the
+    fused multi-sweep kernel and the single-sweep (sharded) kernel.
+
+    `win` is the [16, WTOT] snapshot of the z table; `vel_on`/`pos_on`/
+    `is_warm_f`/`degf` are 0/1 floats (traced scalars in the fused kernel,
+    python constants in the single-sweep kernel). Returns
+    (lam_new [4, TILE], ca, cb, oh_a, oh_b) where ca/cb are the [16, TILE]
+    per-endpoint contribution stacks ready for the one-hot scatter.
+    """
+    w_hi, w_lo = _split(win)
+    row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
+    oh_a = (row == la[None, :]).astype(jnp.bfloat16)     # [WTOT, TILE]
+    oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+
+    def bgather(oh):
+        g1 = jax.lax.dot_general(
+            w_hi, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return g1 + jax.lax.dot_general(
+            w_lo, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [16, TILE]
+
+    ga = bgather(oh_a)
+    gb = bgather(oh_b)       # ghost endpoints (lb = -1): all-zero column
+
+    r_a = (cs[_R_RA], cs[_R_RA + 1], cs[_R_RA + 2])
+    r_b = (cs[_R_RB], cs[_R_RB + 1], cs[_R_RB + 2])
+    nrm = (cs[_R_N], cs[_R_N + 1], cs[_R_N + 2])
+    t1 = (cs[_R_T1], cs[_R_T1 + 1], cs[_R_T1 + 2])
+    t2 = (cs[_R_T2], cs[_R_T2 + 1], cs[_R_T2 + 2])
+    inv_k_n, inv_k_t1, inv_k_t2 = cs[_R_IKN], cs[_R_IKT1], cs[_R_IKT2]
+    v_target, bias = cs[_R_VTGT], cs[_R_BIAS]
+    friction, relax = cs[_R_FRIC], cs[_R_RELAX]
+    inv_m_a, inv_m_b = cs[_R_IMA], cs[_R_IMB]
+    iw_a = tuple(cs[_R_IWA + k] for k in range(9))
+    iw_b = tuple(cs[_R_IWB + k] for k in range(9))
+
+    def rel_vel(base):
+        va = v3.add((ga[base], ga[base + 1], ga[base + 2]),
+                    v3.cross((ga[base + 3], ga[base + 4], ga[base + 5]),
+                             r_a))
+        vb = v3.add((gb[base], gb[base + 1], gb[base + 2]),
+                    v3.cross((gb[base + 3], gb[base + 4], gb[base + 5]),
+                             r_b))
+        return v3.sub(va, vb)
+
+    # in-kernel Jacobi relaxation: deg rides z row 14
+    relax = relax / jnp.maximum(jnp.maximum(ga[14], gb[14]), 1.0)
+
+    lam_n, lam_t1, lam_t2, lam_b = lam4[0], lam4[1], lam4[2], lam4[3]
+
+    v = rel_vel(0)
+    v_n = v3.dot(nrm, v)
+    d_lam = (v_target - v_n) * inv_k_n * relax * vel_on
+    lam_n_new = jnp.maximum(lam_n + d_lam, 0.0)
+    lim = friction * lam_n_new
+    v_t1 = v3.dot(t1, v)
+    lam_t1_new = jnp.clip(lam_t1 - v_t1 * inv_k_t1 * relax * vel_on,
+                          -lim, lim)
+    v_t2 = v3.dot(t2, v)
+    lam_t2_new = jnp.clip(lam_t2 - v_t2 * inv_k_t2 * relax * vel_on,
+                          -lim, lim)
+
+    pv_n = v3.dot(nrm, rel_vel(8))
+    d_lam_b = (bias - pv_n) * inv_k_n * relax * pos_on
+    lam_b_new = jnp.maximum(lam_b + d_lam_b, 0.0)
+
+    if is_warm_f is not None:
+        # warm sweep applies the cached impulses: λ jumps 0 → λ₀
+        wf = is_warm_f
+        nf = 1.0 - wf
+        lam_n_new = wf * cs[_R_LAM0] + nf * lam_n_new
+        lam_t1_new = wf * cs[_R_LAM0 + 1] + nf * lam_t1_new
+        lam_t2_new = wf * cs[_R_LAM0 + 2] + nf * lam_t2_new
+        lam_b_new = nf * lam_b_new
+
+    imp = v3.add(
+        v3.add(v3.scale(nrm, lam_n_new - lam_n),
+               v3.scale(t1, lam_t1_new - lam_t1)),
+        v3.scale(t2, lam_t2_new - lam_t2))
+    pimp = v3.scale(nrm, lam_b_new - lam_b)
+
+    zero = jnp.zeros((tile,), jnp.float32)
+    deg_row = degf * jnp.ones((tile,), jnp.float32)
+
+    def contrib(im, pim, inv_m, iw, r, sign):
+        dv = v3.scale(im, sign * inv_m)
+        dw = v3.scale(v3.mat_vec(iw, v3.cross(r, im)), sign)
+        pdv = v3.scale(pim, sign * inv_m)
+        pdw = v3.scale(v3.mat_vec(iw, v3.cross(r, pim)), sign)
+        return jnp.stack(
+            [dv[0], dv[1], dv[2], dw[0], dw[1], dw[2], zero, zero,
+             pdv[0], pdv[1], pdv[2], pdw[0], pdw[1], pdw[2], deg_row,
+             zero])                                       # [16, TILE]
+
+    ca = contrib(imp, pimp, inv_m_a, iw_a, r_a, 1.0)
+    cb = contrib(imp, pimp, inv_m_b, iw_b, r_b, -1.0)
+    lam_new = jnp.stack([lam_n_new, lam_t1_new, lam_t2_new, lam_b_new])
+    return lam_new, ca, cb, oh_a, oh_b
+
+
+def _bscatter(cmat, oh):
+    c_hi, c_lo = _split(cmat)
+    d1 = jax.lax.dot_general(
+        c_hi, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [16, WTOT]
+    return d1 + jax.lax.dot_general(
+        c_lo, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
     """Kernel body closure over the static solve shape.
 
@@ -123,126 +236,25 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
 
         start = pl.multiple_of(base_ref[t], 128)
         win = tab_read[:, pl.ds(start, wtot)]                # [16, WTOT]
-        w_hi, w_lo = _split(win)
         la = la_ref[0, 0, :]
         lb = lb_ref[0, 0, :]
-        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
-        oh_a = (row == la[None, :]).astype(jnp.bfloat16)     # [WTOT, TILE]
-        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
-
-        def bgather(oh):
-            g1 = jax.lax.dot_general(
-                w_hi, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return g1 + jax.lax.dot_general(
-                w_lo, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [16, TILE]
-
-        ga = bgather(oh_a)
-        gb = bgather(oh_b)       # ghost endpoints (lb = -1): all-zero column
-
         cs = consts_ref[:]                                   # [R_CONST, TILE]
-        r_a = (cs[_R_RA], cs[_R_RA + 1], cs[_R_RA + 2])
-        r_b = (cs[_R_RB], cs[_R_RB + 1], cs[_R_RB + 2])
-        nrm = (cs[_R_N], cs[_R_N + 1], cs[_R_N + 2])
-        t1 = (cs[_R_T1], cs[_R_T1 + 1], cs[_R_T1 + 2])
-        t2 = (cs[_R_T2], cs[_R_T2 + 1], cs[_R_T2 + 2])
-        inv_k_n, inv_k_t1, inv_k_t2 = cs[_R_IKN], cs[_R_IKT1], cs[_R_IKT2]
-        v_target, bias = cs[_R_VTGT], cs[_R_BIAS]
-        friction, relax = cs[_R_FRIC], cs[_R_RELAX]
-        inv_m_a, inv_m_b = cs[_R_IMA], cs[_R_IMB]
-        iw_a = tuple(cs[_R_IWA + k] for k in range(9))
-        iw_b = tuple(cs[_R_IWB + k] for k in range(9))
-
-        def rel_vel(base):
-            va = v3.add((ga[base], ga[base + 1], ga[base + 2]),
-                        v3.cross((ga[base + 3], ga[base + 4], ga[base + 5]),
-                                 r_a))
-            vb = v3.add((gb[base], gb[base + 1], gb[base + 2]),
-                        v3.cross((gb[base + 3], gb[base + 4], gb[base + 5]),
-                                 r_b))
-            return v3.sub(va, vb)
-
-        # in-kernel Jacobi relaxation: deg rides z row 14 (deg pre-pass)
-        relax = relax / jnp.maximum(jnp.maximum(ga[14], gb[14]), 1.0)
 
         i = s - stage_off
         vel_on = jnp.where((i >= 0) & (i < vel_iters), 1.0, 0.0)
         pos_on = jnp.where((i >= 0) & (i < pos_iters), 1.0, 0.0)
-        is_warm = (s == 0) if warm_sweep else False
+        is_warm_f = (jnp.where(s == 0, 1.0, 0.0) if warm_sweep else None)
         degf = jnp.where(s == 0, 1.0, 0.0)
 
         lam4 = lam_s[:, pl.ds(coff, tile)]                   # [4, TILE]
-        lam_n, lam_t1, lam_t2, lam_b = lam4[0], lam4[1], lam4[2], lam4[3]
+        lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
+            win, la, lb, cs, lam4, tile=tile, wtot=wtot,
+            vel_on=vel_on, pos_on=pos_on, is_warm_f=is_warm_f, degf=degf)
 
-        v = rel_vel(0)
-        v_n = v3.dot(nrm, v)
-        d_lam = (v_target - v_n) * inv_k_n * relax * vel_on
-        lam_n_new = jnp.maximum(lam_n + d_lam, 0.0)
-        lim = friction * lam_n_new
-        v_t1 = v3.dot(t1, v)
-        lam_t1_new = jnp.clip(lam_t1 - v_t1 * inv_k_t1 * relax * vel_on,
-                              -lim, lim)
-        v_t2 = v3.dot(t2, v)
-        lam_t2_new = jnp.clip(lam_t2 - v_t2 * inv_k_t2 * relax * vel_on,
-                              -lim, lim)
-
-        pv_n = v3.dot(nrm, rel_vel(8))
-        d_lam_b = (bias - pv_n) * inv_k_n * relax * pos_on
-        lam_b_new = jnp.maximum(lam_b + d_lam_b, 0.0)
-
-        if warm_sweep:
-            # sweep 0 applies the cached impulses: λ jumps 0 → λ₀
-            wf = jnp.where(is_warm, 1.0, 0.0)
-            nf = 1.0 - wf
-            lam_n_new = wf * cs[_R_LAM0] + nf * lam_n_new
-            lam_t1_new = wf * cs[_R_LAM0 + 1] + nf * lam_t1_new
-            lam_t2_new = wf * cs[_R_LAM0 + 2] + nf * lam_t2_new
-            lam_b_new = nf * lam_b_new
-
-        imp = v3.add(
-            v3.add(v3.scale(nrm, lam_n_new - lam_n),
-                   v3.scale(t1, lam_t1_new - lam_t1)),
-            v3.scale(t2, lam_t2_new - lam_t2))
-        pimp = v3.scale(nrm, lam_b_new - lam_b)
-
-        lam_s[:, pl.ds(coff, tile)] = jnp.stack(
-            [lam_n_new, lam_t1_new, lam_t2_new, lam_b_new])
-
-        zero = jnp.zeros((tile,), jnp.float32)
-
-        # deg pre-pass contribution: one count per active in-band endpoint
-        # (inactive contacts have an all-zero one-hot column, so a plain
-        # broadcast suffices)
-        deg_row = degf * jnp.ones((tile,), jnp.float32)
-
-        def contrib(im, pim, inv_m, iw, r, sign):
-            dv = v3.scale(im, sign * inv_m)
-            dw = v3.scale(v3.mat_vec(iw, v3.cross(r, im)), sign)
-            pdv = v3.scale(pim, sign * inv_m)
-            pdw = v3.scale(v3.mat_vec(iw, v3.cross(r, pim)), sign)
-            return jnp.stack(
-                [dv[0], dv[1], dv[2], dw[0], dw[1], dw[2], zero, zero,
-                 pdv[0], pdv[1], pdv[2], pdw[0], pdw[1], pdw[2], deg_row,
-                 zero])                                       # [16, TILE]
-
-        ca = contrib(imp, pimp, inv_m_a, iw_a, r_a, 1.0)
-        cb = contrib(imp, pimp, inv_m_b, iw_b, r_b, -1.0)
-
-        def bscatter(cmat, oh):
-            c_hi, c_lo = _split(cmat)
-            d1 = jax.lax.dot_general(
-                c_hi, oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [16, WTOT]
-            return d1 + jax.lax.dot_general(
-                c_lo, oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        tab_acc[:, pl.ds(start, wtot)] += bscatter(ca, oh_a) + bscatter(
+        lam_s[:, pl.ds(coff, tile)] = lam_new
+        tab_acc[:, pl.ds(start, wtot)] += _bscatter(ca, oh_a) + _bscatter(
             cb, oh_b)
-
-        lam_ref[:] = jnp.stack([lam_n_new, lam_t1_new, lam_t2_new,
-                                lam_b_new])
+        lam_ref[:] = lam_new
 
         @pl.when((s == n_sweeps - 1) & (t == ntiles - 1))
         def _():
@@ -320,6 +332,168 @@ def banded_sweeps(
         interpret=interpret,
         **params,
     )(bases, la3, lb3, consts, z0)
+
+
+def _make_sweep1_kernel(tile, wtot, vel_on, pos_on, warm, deg_pass):
+    """Single-sweep kernel for the SHARDED banded solve: one Jacobi sweep
+    over the local contact tiles, emitting the z-table DELTA (so the
+    caller can psum it across shards) and the updated λ.
+
+    vel_on/pos_on/warm/deg_pass are python statics — the sharded sweep
+    loop compiles at most 4 variants (sweep-0 deg/warm pass, vel+pos,
+    vel-only, pos-only)."""
+
+    def kernel(base_ref, la_ref, lb_ref, consts_ref, z_ref, lam_in_ref,
+               dz_ref, lam_out_ref, acc):
+        t = pl.program_id(0)
+        ntiles = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        start = pl.multiple_of(base_ref[t], 128)
+        win = z_ref[:, pl.ds(start, wtot)]                # [16, WTOT]
+        la = la_ref[0, 0, :]
+        lb = lb_ref[0, 0, :]
+        cs = consts_ref[:]
+        lam4 = lam_in_ref[:]                              # [4, TILE]
+
+        lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
+            win, la, lb, cs, lam4, tile=tile, wtot=wtot,
+            vel_on=jnp.float32(1.0 if vel_on else 0.0),
+            pos_on=jnp.float32(1.0 if pos_on else 0.0),
+            is_warm_f=(jnp.float32(1.0) if warm else None),
+            degf=jnp.float32(1.0 if deg_pass else 0.0))
+
+        lam_out_ref[:] = lam_new
+        acc[:, pl.ds(start, wtot)] += _bscatter(ca, oh_a) + _bscatter(
+            cb, oh_b)
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            dz_ref[:] = acc[:]
+
+    return kernel
+
+
+def banded_sweep_once(
+    z: Array,             # [16, NPAD] snapshot (read-only)
+    bases: Array,         # [ntiles_local]
+    la: Array,            # [Cp_local]
+    lb: Array,
+    consts: Array,        # [R_CONST, Cp_local]
+    lam: Array,           # [4, Cp_local]
+    *,
+    tile: int,
+    wtot: int,
+    vel_on: bool,
+    pos_on: bool,
+    warm: bool,
+    deg_pass: bool,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array]:
+    """One Jacobi sweep over a LOCAL tile range; returns (dz [16, NPAD],
+    lam_new [4, Cp_local]). dz is the pure delta — sum across shards and
+    add to z to complete the sweep (snapshot semantics identical to the
+    fused kernel's, up to f32 reduction order)."""
+    cp = la.shape[0]
+    ntiles = cp // tile
+    npad = z.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    la3 = jnp.broadcast_to(la.reshape(ntiles, 1, tile), (ntiles, 8, tile))
+    lb3 = jnp.broadcast_to(lb.reshape(ntiles, 1, tile), (ntiles, 8, tile))
+    kernel = _make_sweep1_kernel(tile, wtot, vel_on, pos_on, warm,
+                                 deg_pass)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, tile), lambda t, b: (t, 0, 0)),
+            pl.BlockSpec((1, 8, tile), lambda t, b: (t, 0, 0)),
+            pl.BlockSpec((R_CONST, tile), lambda t, b: (0, t)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda t, b: (0, t)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda t, b: (0, t)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Z_ROWS, npad), jnp.float32)],
+    )
+    dz, lam_new = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((Z_ROWS, npad), jnp.float32),
+            jax.ShapeDtypeStruct((4, cp), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bases, la3, lb3, consts, z, lam)
+    return dz, lam_new
+
+
+def banded_sweeps_sharded(
+    z0: Array,
+    bases: Array,
+    la: Array,
+    lb: Array,
+    consts: Array,
+    *,
+    tile: int,
+    wtot: int,
+    vel_iters: int,
+    pos_iters: int,
+    warm_sweep: bool,
+    axis_name: str,
+    n_shards: int,
+) -> Tuple[Array, Array]:
+    """Sharded version of `banded_sweeps`: contact tiles split across the
+    mesh axis, body z table replicated, one psum of the z-delta per sweep
+    (rides ICI). Same sweep schedule and math as the fused kernel —
+    results match up to f32 reduction order.
+
+    Must be called INSIDE shard_map with the full (replicated) solve
+    inputs; requires ntiles % n_shards == 0 (pad `capacity` to
+    tile · n_shards)."""
+    cp = la.shape[0]
+    ntiles = cp // tile
+    assert ntiles % n_shards == 0, (
+        f"sharded banded solve needs ntiles ({ntiles}) divisible by the "
+        f"axis size ({n_shards}); round the contact capacity up to "
+        f"tile*n_shards")
+    t_loc = ntiles // n_shards
+    cp_loc = t_loc * tile
+    idx = jax.lax.axis_index(axis_name)
+
+    bases_l = jax.lax.dynamic_slice(bases, (idx * t_loc,), (t_loc,))
+    la_l = jax.lax.dynamic_slice(la, (idx * cp_loc,), (cp_loc,))
+    lb_l = jax.lax.dynamic_slice(lb, (idx * cp_loc,), (cp_loc,))
+    consts_l = jax.lax.dynamic_slice(
+        consts, (0, idx * cp_loc), (consts.shape[0], cp_loc))
+
+    lam = jnp.zeros((4, cp_loc), jnp.float32)
+    z = z0
+
+    # sweep 0: deg pre-pass (+ warm-start λ jump), exactly the fused
+    # kernel's combined stage
+    dz, lam = banded_sweep_once(
+        z, bases_l, la_l, lb_l, consts_l, lam,
+        tile=tile, wtot=wtot, vel_on=False, pos_on=False,
+        warm=warm_sweep, deg_pass=True)
+    z = z + jax.lax.psum(dz, axis_name)
+
+    for i in range(max(vel_iters, pos_iters)):
+        dz, lam = banded_sweep_once(
+            z, bases_l, la_l, lb_l, consts_l, lam,
+            tile=tile, wtot=wtot,
+            vel_on=i < vel_iters, pos_on=i < pos_iters,
+            warm=False, deg_pass=False)
+        z = z + jax.lax.psum(dz, axis_name)
+
+    lam4 = jax.lax.all_gather(lam, axis_name, axis=1, tiled=True)
+    return z, lam4
 
 
 # geometry body-table rows (prep kernel input):
@@ -510,8 +684,15 @@ def solve_impulses_banded(
     warm: Tuple[Array, Array] | None = None,
     ranks: Tuple[Array, Array] | None = None,
     capacity: int | None = None,
+    shard: Tuple[str, int] | None = None,
 ):
     """Drop-in replacement for `solve_impulses` using the fused kernel.
+
+    `shard=(axis_name, n_shards)` (inside shard_map, full contact list +
+    replicated body state) keeps the whole prologue replicated (rank sort,
+    prep-consts kernel — deterministic, identical on every shard) and
+    splits the SWEEP tiles across the axis via `banded_sweeps_sharded`
+    (per-sweep z-delta psum over ICI).
 
     `order` is the broad-phase sweep's body sort order (original body id per
     rank); the solve runs in rank space so pair endpoints are within
@@ -660,12 +841,21 @@ def solve_impulses_banded(
         tile=tile, wtot=wtot, use_split=use_split,
     )                                                     # [R_CONST, Cp]
 
-    z, lam4 = banded_sweeps(
-        z0, bases, la, lb, consts,
-        tile=tile, wtot=wtot,
-        vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
-        warm_sweep=use_split,
-    )
+    if shard is not None:
+        z, lam4 = banded_sweeps_sharded(
+            z0, bases, la, lb, consts,
+            tile=tile, wtot=wtot,
+            vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
+            warm_sweep=use_split,
+            axis_name=shard[0], n_shards=shard[1],
+        )
+    else:
+        z, lam4 = banded_sweeps(
+            z0, bases, la, lb, consts,
+            tile=tile, wtot=wtot,
+            vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
+            warm_sweep=use_split,
+        )
 
     if order is None:
         zz = z[:, :n]                                         # [16, N]

@@ -89,3 +89,47 @@ def test_hybrid_mesh_compiles_and_runs():
     out = hstep(batched)
     assert out.pos.shape == (4, 8, 3)
     assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+BANDED_CFG = SimConfig(
+    compat=False, ground_plane=True, pair_collisions=True,
+    boxes_only=True, broadphase="sweep", sweep_window=8,
+    pair_buckets=True, bucket_block=32, max_pair_candidates=2048,
+    max_contacts_per_pair=4, max_contacts=2048,
+    contact_solver="pallas_banded", contact_iters=8,
+    dt=1.0 / 120.0,
+)
+
+
+def _pile_256(seed=7):
+    """256-box grid pile spanning many rank buckets (VERDICT item 4: the
+    sharded banded solve must be exercised on a scene that spans shards)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    for k in range(256):
+        x, z, layer = k % 16, (k // 16) % 4, k // 64
+        pos = (np.array([x * 1.1, 0.55 + 1.1 * layer, z * 1.1])
+               + rng.uniform(-0.05, 0.05, 3))
+        i = b.add_body(pos=pos, inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5, 0.5, 0.5), friction=0.5)
+    return b.build()
+
+
+def test_row_sharded_banded_matches_single_device():
+    """Banded Pallas solve with contact tiles split across 8 devices
+    (per-sweep z-delta psum) ≈ the single-device fused kernel. 256 bodies
+    so the rank space genuinely spans shards."""
+    state = _pile_256()
+    mesh = make_mesh([8], ["row"])
+    rstep = row_sharded_step(BANDED_CFG, mesh, "row")
+    sstep = jax.jit(step, static_argnums=1)
+
+    s_ref, s_sh = state, state
+    for _ in range(3):
+        s_ref = sstep(s_ref, BANDED_CFG)
+        s_sh = rstep(s_sh)
+    err_p = float(np.max(np.abs(np.asarray(s_ref.pos) - np.asarray(s_sh.pos))))
+    err_v = float(np.max(np.abs(np.asarray(s_ref.vel) - np.asarray(s_sh.vel))))
+    assert np.all(np.isfinite(np.asarray(s_sh.pos)))
+    assert err_p < 1e-3, (err_p, err_v)
+    assert err_v < 5e-3, (err_p, err_v)
