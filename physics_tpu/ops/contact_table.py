@@ -119,14 +119,28 @@ def _exclusive_prefix(mask):
     return within + offs.reshape(sub, 1)
 
 
-def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True):
-    """One grid step = one rank bucket: SAT + ground + compaction."""
+def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
+                    warm=False):
+    """One grid step = one rank bucket: SAT + ground + compaction.
+
+    warm=True adds in-kernel warm-start key matching: the previous step's
+    table-aligned (key, λ) rows ride in as a [ccap, 8] column block per
+    bucket, and the epilogue computes λ₀ for each fresh contact by an
+    equality one-hot matmul over the SAME bucket's previous contacts —
+    replacing the XLA sort-merge (warm_start_lambda_keys) AND the
+    epilogue key sort. A contact whose lower endpoint migrates across a
+    128-rank bucket boundary between steps loses its warm start (rare:
+    ranks drift slowly; the solve re-converges in one extra sweep)."""
     sub_pair = kk * (cap // 128)
     sub = sub_pair + kg
     m = sub * 128
     chunk_rows = 4                       # scatter chunk: 512 contacts
 
-    def kernel(la_ref, lb_ref, geom_ref, out_ref, meta_ref):
+    def kernel(la_ref, lb_ref, geom_ref, *refs):
+        if warm:
+            prev_ref, out_ref, meta_ref, warm_ref = refs
+        else:
+            (out_ref, meta_ref), prev_ref, warm_ref = refs, None, None
         b = pl.program_id(0)
         start = pl.multiple_of(b * BLOCK, 128)
         win = geom_ref[:, pl.ds(start, wtot)]             # [24, WTOT]
@@ -303,6 +317,38 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True):
                 preferred_element_type=jnp.float32)
         out_ref[:] = acc
 
+        if warm:
+            # per-bucket warm-start match: eq[i, j] = 1 iff previous
+            # contact i and fresh contact j carry the same feature key
+            # (kl, kh, sign) and both are active; λ₀ = prev_λᵀ·eq. Keys
+            # are unique per (pair, slot) so each column has ≤ 1 match.
+            ck = acc[CT_KL].reshape(1, ccap)
+            ch = acc[CT_KH].reshape(1, ccap)
+            cs = acc[CT_KSGN].reshape(1, ccap)
+            ca = acc[CT_ACT].reshape(1, ccap)
+            lam0 = jnp.zeros((3, ccap), jnp.float32)
+            for r0 in range(0, ccap, 128):
+                pk = prev_ref[r0:r0 + 128, 0:1]            # [128, 1]
+                ph = prev_ref[r0:r0 + 128, 1:2]
+                ps = prev_ref[r0:r0 + 128, 2:3]
+                pa = prev_ref[r0:r0 + 128, 3:4]
+                eq = ((jnp.abs(pk - ck) < 0.5)
+                      & (jnp.abs(ph - ch) < 0.5)
+                      & (jnp.abs(ps - cs) < 0.5)
+                      & (pa > 0.5) & (ca > 0.5))
+                eq_bf = eq.astype(jnp.bfloat16)            # [128, ccap]
+                plam = prev_ref[r0:r0 + 128, 4:7]          # [128, 3]
+                p_hi, p_lo = _split(plam)
+                lam0 += jax.lax.dot_general(
+                    p_hi, eq_bf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                lam0 += jax.lax.dot_general(
+                    p_lo, eq_bf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            zc = jnp.zeros((ccap,), jnp.float32)
+            warm_ref[:] = jnp.stack(
+                [lam0[0], lam0[1], lam0[2], zc, zc, zc, zc, zc])
+
         n_act = jnp.sum(mask)
         r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -330,12 +376,17 @@ def bucket_contact_table(
     cand: PairCandidates,
     cfg: SimConfig,
     order: Array | None,
-) -> Tuple[Array, Array]:
+    prev: Tuple[Array, Array] | None = None,
+) -> Tuple[Array, Array, Array | None]:
     """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
     meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
-    meta[0, b·128+1] = active count).
+    meta[0, b·128+1] = active count, warm [8, NB·ccap] | None).
 
     `order` is the sweep's body order (body id per rank); None = identity.
+    `prev = (keys [cp] int32, lam3 [3, cp])` — the previous step's
+    TABLE-ALIGNED feature keys and converged impulses; when given, the
+    kernel computes warm-start λ₀ per fresh contact in its epilogue
+    (rows 0:3 of the warm output) via per-bucket key matching.
     Requires cfg.pair_buckets with bucket_block == 128 (the kernel's
     ground slice and window bases assume it) and n < 2¹⁶ (body ids ride
     the geometry table through the hi/lo bf16 split).
@@ -383,26 +434,50 @@ def bucket_contact_table(
     interpret = jax.default_backend() != "tpu"
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
-        mosaic=not interpret)
-    out, meta = pl.pallas_call(
+        mosaic=not interpret, warm=prev is not None)
+    in_specs = [
+        pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((CT_ROWS, ccap), lambda b: (0, b)),
+        pl.BlockSpec((8, 128), lambda b: (0, b)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((CT_ROWS, cp), jnp.float32),
+        jax.ShapeDtypeStruct((8, nb * 128), jnp.float32),
+    ]
+    operands = [la3, lb3, geom]
+    if prev is not None:
+        pkey, plam = prev
+        mag = jnp.abs(pkey).astype(jnp.float32)
+        pcols = jnp.stack([
+            jnp.asarray(jnp.abs(pkey) & 0xFFFF, jnp.float32),
+            jnp.asarray((jnp.abs(pkey) >> 16) & 0x7FFF, jnp.float32),
+            (pkey < 0).astype(jnp.float32),
+            (pkey != 0).astype(jnp.float32),
+            plam[0], plam[1], plam[2],
+            jnp.zeros((cp,), jnp.float32),
+        ], axis=1)                                         # [cp, 8]
+        del mag
+        in_specs.append(pl.BlockSpec((ccap, 8), lambda b: (b, 0)))
+        out_specs.append(pl.BlockSpec((8, ccap), lambda b: (0, b)))
+        out_shape.append(jax.ShapeDtypeStruct((8, cp), jnp.float32))
+        operands.append(pcols)
+    res = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((CT_ROWS, ccap), lambda b: (0, b)),
-            pl.BlockSpec((8, 128), lambda b: (0, b)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((CT_ROWS, cp), jnp.float32),
-            jax.ShapeDtypeStruct((8, nb * 128), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(la3, lb3, geom)
-    return out, meta
+    )(*operands)
+    if prev is not None:
+        out, meta, warm_rows = res
+        return out, meta, warm_rows
+    out, meta = res
+    return out, meta, None
 
 
 def table_keys(table: Array) -> Array:

@@ -827,13 +827,15 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     n = state.num_bodies
     body_order = sweep_order(state, body_aabbs(state))
     cand = pair_candidates(state, cfg)
-    table, meta = bucket_contact_table(state, cand, cfg, body_order)
     nb, ccap, cp = table_shape(n, cfg)
 
     use_warm = state.contact_key.shape[0] == cp
-    warm = (state.contact_key, state.contact_lam) if use_warm else None
+    prev = (state.contact_key, state.contact_lam) if use_warm else None
+    table, meta, warm_rows = bucket_contact_table(
+        state, cand, cfg, body_order, prev=prev)
     vel, omega, pvel, pomega, lam3, solve_metrics, keys = (
-        solve_impulses_table(state, table, cfg, body_order, warm=warm)
+        solve_impulses_table(state, table, cfg, body_order,
+                             warm_rows=warm_rows)
     )
     metrics: Dict = {
         "pair_overflow": cand.overflow,
@@ -849,11 +851,10 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     new_quat = quat.normalize(quat.mul(dq, state.quat))
     state = state.replace(vel=vel, omega=omega, pos=new_pos, quat=new_quat)
     if use_warm:
-        key_s, l0, l1, l2 = jax.lax.sort(
-            (keys, lam3[0], lam3[1], lam3[2]), num_keys=1
-        )
+        # stored TABLE-ALIGNED (unsorted): next step's kernel matches
+        # keys per bucket in its epilogue — no sort anywhere
         state = state.replace(
-            contact_key=key_s,
-            contact_lam=jnp.stack([l0, l1, l2]),
+            contact_key=keys,
+            contact_lam=lam3,
         )
     return state, metrics

@@ -889,7 +889,7 @@ def solve_impulses_table(
     table: Array,          # [CT_ROWS, NB·ccap] from ops/contact_table.py
     cfg: SimConfig,
     order: Array | None,
-    warm: Tuple[Array, Array] | None = None,
+    warm_rows: Array | None = None,
 ):
     """Banded solve over the bucket-aligned contact table.
 
@@ -897,13 +897,15 @@ def solve_impulses_table(
     ranks [b·128, b·128 + 128 + sweep_window)), so — unlike
     `solve_impulses_banded` — there is NO contact sort, NO field gather,
     NO padding: solver tile = one bucket (ccap contacts), window bases are
-    the static b·128, and `cin` stacks straight off the table rows. The
-    only remaining XLA work between narrow phase and kernels is the
-    warm-start key match.
+    the static b·128, and `cin` stacks straight off the table rows.
+
+    `warm_rows` [8, cp] is the contact-table kernel's in-kernel warm
+    match output (rows 0:3 = λ₀ per fresh contact) — no XLA sort-merge
+    remains between the narrow phase and the solve kernels.
 
     Returns (vel, omega, pvel, pomega, lam3, metrics, keys): `keys` are
-    the per-slot int32 feature keys the caller sorts for next step's
-    warm start.
+    the per-slot int32 feature keys the caller stores (table-aligned,
+    unsorted) for next step's in-kernel warm match.
     """
     import numpy as onp
 
@@ -920,7 +922,6 @@ def solve_impulses_table(
         table_keys,
         table_shape,
     )
-    from physics_tpu.solver.contacts import warm_start_lambda_keys
 
     n = state.num_bodies
     nb, ccap, cp = table_shape(n, cfg)
@@ -943,12 +944,12 @@ def solve_impulses_table(
     lb = jnp.where(has_b, rb1 - 1 - base_per, -1)
 
     keys = table_keys(table)
-    use_split = warm is not None
+    use_split = warm_rows is not None
     n_pos_iters = cfg.position_iters if use_split else 0
-    lam0_n = lam0_t1 = lam0_t2 = jnp.zeros((cp,), jnp.float32)
-    if warm is not None:
-        lam0_n, lam0_t1, lam0_t2 = warm_start_lambda_keys(
-            keys, act, warm, cp)
+    if warm_rows is not None:
+        lam0_n, lam0_t1, lam0_t2 = warm_rows[0], warm_rows[1], warm_rows[2]
+    else:
+        lam0_n = lam0_t1 = lam0_t2 = jnp.zeros((cp,), jnp.float32)
 
     cin = jnp.stack([
         table[CT_PT], table[CT_PT + 1], table[CT_PT + 2],
