@@ -64,6 +64,16 @@ class SimConfig:
     # the scene is known to contain only boxes (pile/stack workloads) —
     # the SAT manifold covers everything
     boxes_only: bool = False
+    # narrow phase: skip box-SAT + sphere + vertex-face candidate
+    # generation when the scene's colliders are all convex hulls (the
+    # mesh-rain workload) — the hull-hull clipped manifold + ground
+    # contacts cover everything
+    hulls_only: bool = False
+    # single-hull-type fast path (ops/hullhull_batched.py): all pairwise
+    # SAT supports via static [rows, 9] × [9, P] matmuls against the
+    # relative rotation — only taken when the scene registers exactly one
+    # hull shape; ignored otherwise
+    hull_fast: bool = True
     # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window),
     # 'env_blocks' (batched envs packed into one block-diagonal scene —
     # static per-env upper-triangular pairs, see envs.pack_envs)

@@ -25,7 +25,7 @@ from typing import Optional
 
 import numpy as np
 
-from physics_tpu.io.meshes import mesh_inertia, support_decimate
+from physics_tpu.io.meshes import mesh_inertia, plane_cut_hull
 from physics_tpu.io.objloader import Model, combined_positions, load_obj
 
 _FALLBACK_DIRS = (
@@ -107,11 +107,14 @@ def load_cube_asset(mass: float = 1.0,
                                  for m in model.meshes[:-1]]))],
             axis=0),
         hull_verts=hull_verts,
-        # 26-direction support fan → ~32-vert collision hull (support
-        # error ≤ 0.04 vs the full 216-vert bevel, measured); full-res
-        # hulls would blow the fixed [Vc]/[Fc] capacities of the hull
-        # narrow phase for no contact-quality gain
-        collision_verts=support_decimate(hull_verts, n_dirs=26),
+        # plane-cut outer decimation: the 26 chamfer support planes of
+        # the true hull, vertex-enumerated → a 48-vert / 26-planar-face /
+        # ~13-edge-direction chamfered cube (support error ≤ 0.013 vs the
+        # full 216-vert multi-segment bevel, outer so it can't tunnel).
+        # The old inner `support_decimate` kept 32 original points whose
+        # hull re-triangulated into 60 non-coplanar faces with 82 edge
+        # directions — a 47x larger edge-edge SAT per pair.
+        collision_verts=plane_cut_hull(hull_verts),
         inertia=inertia.astype(np.float32),
         mass=float(mass),
         volume=float(volume),

@@ -205,6 +205,69 @@ def support_decimate(points: np.ndarray, n_dirs: int = 256) -> np.ndarray:
     return pts[idx].astype(np.float32)
 
 
+def chamfer_directions() -> np.ndarray:
+    """The 26 symmetric support directions (±axes, ±edge diagonals,
+    ±corner diagonals) — the natural plane set for chamfered-cube-like
+    collision hulls such as the reference's beveled cube
+    (reference: res/cube.obj, a multi-segment Blender bevel)."""
+    dirs = []
+    for x in (-1, 0, 1):
+        for y in (-1, 0, 1):
+            for z in (-1, 0, 1):
+                if x == y == z == 0:
+                    continue
+                d = np.array([x, y, z], np.float64)
+                dirs.append(d / np.linalg.norm(d))
+    return np.asarray(dirs)
+
+
+def plane_cut_hull(points: np.ndarray,
+                   dirs: np.ndarray | None = None,
+                   pad: float = 0.0) -> np.ndarray:
+    """Outer-approximation decimation: intersect the support half-spaces
+    of `points` along `dirs` and return the VERTICES of that H-polytope.
+
+    Unlike `support_decimate` (which keeps a subset of the original
+    points and produces an irregular triangulated hull), the result's
+    convex hull has EXACTLY one planar face per binding direction — so
+    coplanar-face merging, face polygons, and unique-edge-direction
+    extraction all stay small and regular. For the reference bevel cube
+    with the 26 `chamfer_directions`, this yields a 48-vert, 26-face,
+    ~13-edge-direction chamfered cube that circumscribes the true hull
+    (support error ≤ the bevel sag; outer approximations can't tunnel).
+
+    Vertex enumeration: all 3-plane intersections, kept when they satisfy
+    every half-space (tolerance scaled to the cloud size), deduplicated.
+    """
+    pts = np.asarray(points, np.float64)
+    if dirs is None:
+        dirs = chamfer_directions()
+    dirs = np.asarray(dirs, np.float64)
+    offs = np.max(pts @ dirs.T, axis=0) + pad
+    scale = float(np.max(np.abs(pts))) or 1.0
+    eps = 1e-7 * scale
+    m = dirs.shape[0]
+    verts = []
+    for i in range(m):
+        for j in range(i + 1, m):
+            for k in range(j + 1, m):
+                a = np.stack([dirs[i], dirs[j], dirs[k]])
+                det = np.linalg.det(a)
+                if abs(det) < 1e-9:
+                    continue
+                x = np.linalg.solve(a, np.array(
+                    [offs[i], offs[j], offs[k]]))
+                if np.max(np.abs(x)) > 10.0 * scale:
+                    continue
+                if np.all(dirs @ x <= offs + eps):
+                    verts.append(x)
+    v = np.asarray(verts)
+    # dedup within tolerance (corner intersections repeat across triples)
+    keyed = np.round(v / (1e-6 * scale)).astype(np.int64)
+    _, idx = np.unique(keyed, axis=0, return_index=True)
+    return v[np.sort(idx)].astype(np.float32)
+
+
 def box_inertia(half_extents, mass: float) -> np.ndarray:
     """Solid-box inertia tensor about its COM."""
     hx, hy, hz = [float(h) for h in half_extents]

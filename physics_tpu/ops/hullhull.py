@@ -45,6 +45,9 @@ class HullData(NamedTuple):
     face_vert_count: Array  # [F]
     edge_dirs: Array    # [D, 3] unique unit edge directions (body frame)
     edge_dir_mask: Array  # [D] f32
+    edge_i0: Array      # [E] unique-edge endpoint vertex indices
+    edge_i1: Array      # [E]
+    edge_mask: Array    # [E] f32
 
 
 def hull_hull_manifold(
@@ -122,28 +125,20 @@ def hull_hull_manifold(
     edge_wins = (~separated) & (
         edge_sep > face_sep + 1e-4 + 0.05 * jnp.abs(face_sep))
 
-    # supporting edges: runtime directed-edge list from the face polygons
+    # supporting edges from the precomputed unique-edge list (endpoint
+    # index pairs packed at scene build, scene._pack_hulls) — one [E, V]
+    # one-hot gather per endpoint instead of the old [F, Ecap, V] runtime
+    # derivation from face polygons (which dominated the mesh-rain step)
     def support_edge(verts_w, h, d):
         """Closest edge of one hull in support direction `d` ([2,3])."""
-        f_cnt = h.face_vert_count                          # [F]
-        idx = h.face_verts                                 # [F,E]
-        e_cap2 = idx.shape[1]
-        nxt = jnp.take_along_axis(
-            idx,
-            (jnp.arange(e_cap2)[None, :] + 1)
-            % jnp.maximum(f_cnt, 1)[:, None],
-            axis=1,
-        )                                                  # [F,E]
         vcap = verts_w.shape[0]
-        p0 = jax.nn.one_hot(idx, vcap, dtype=jnp.float32) @ verts_w
-        p1 = jax.nn.one_hot(nxt, vcap, dtype=jnp.float32) @ verts_w
-        emask = ((jnp.arange(e_cap2)[None, :] < f_cnt[:, None])
-                 & (h.face_mask[:, None] > 0))
-        score = jnp.minimum(p0 @ d, p1 @ d)                # [F,E]
-        score = jnp.where(emask, score, -big)
-        k = jnp.argmax(score.reshape(-1))
-        oh = jax.nn.one_hot(k, score.size, dtype=jnp.float32)
-        return (oh @ p0.reshape(-1, 3), oh @ p1.reshape(-1, 3))
+        p0 = jax.nn.one_hot(h.edge_i0, vcap, dtype=jnp.float32) @ verts_w
+        p1 = jax.nn.one_hot(h.edge_i1, vcap, dtype=jnp.float32) @ verts_w
+        score = jnp.minimum(p0 @ d, p1 @ d)                # [E]
+        score = jnp.where(h.edge_mask > 0, score, -big)
+        k = jnp.argmax(score)
+        oh = jax.nn.one_hot(k, score.shape[0], dtype=jnp.float32)
+        return (oh @ p0, oh @ p1)
 
     ea0, ea1 = support_edge(va, ha, -n_edge)               # A supports −n
     eb0, eb1 = support_edge(vb, hb, n_edge)                # B supports +n

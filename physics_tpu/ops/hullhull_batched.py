@@ -1,0 +1,346 @@
+"""Batched hull-hull narrow phase for single-hull-type scenes (mesh rain).
+
+TPU-first reformulation of `ops/hullhull.hull_hull_manifold` (which vmaps
+per-pair [F,V]/[D,D] tensors — lane-padded and gather-heavy). Key identity:
+with one SHARED hull shape, every pairwise SAT quantity is LINEAR in the
+9 components of the relative rotation M = R_aᵀ·R_b:
+
+    face-A support   n_f·(M u)            =  (n_f ⊗ u)        : M
+    face-B support   n_f·(Mᵀ v)           =  (v ⊗ n_f)        : M
+    edge axis (A)    cross(d₁, M d₂)_i    =  (ε_ijk d₁_j d₂_l) : M
+    A-vert on axis   cross(d₁, M d₂)·v    =  ((v×d₁) ⊗ d₂)    : M
+    B-vert on axis   cross(Mᵀd₁, d₂)·v    =  (d₁ ⊗ (d₂×v))    : M
+    face alignment   n_a·(M n_b)          =  (n_a ⊗ n_b)      : M
+
+so ALL pairs' supports fall out of a handful of [rows, 9] × [9, P]
+matmuls — MXU work with P (pairs) in the lane dimension, zero per-pair
+gathers of geometry. Per-pair positions enter only through two rotated
+offsets (dpa = R_aᵀ(p_b−p_a), dpb = R_bᵀ(p_a−p_b)), handled in
+component form (maths/vec3c). The coefficient tables are built on device
+from the hull's (tiny) geometry arrays each step — a few µs — because the
+hull rides the traced SimState.
+
+Face-manifold clipping (reference-face Sutherland–Hodgman) reuses the
+same 2-D clip as the vmapped path, on [P, E, 3] polygon tensors gathered
+once from the winning faces; the edge-edge contact is fully component
+form. Matches `hull_hull_manifold` outputs (tests/test_hullhull.py
+parity test).
+
+New capability vs the reference (no collision detection there,
+SURVEY.md §0); axis-set completeness argument in docs/ROADMAP.md.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from physics_tpu.maths import quaternion as quat
+from physics_tpu.maths import vec3c as v3
+from physics_tpu.ops.boxbox import _clip_polygon
+
+Array = jnp.ndarray
+
+BIG = jnp.float32(1e30)
+
+
+class HullTables(NamedTuple):
+    """Device-side coefficient tables for one shared hull (see module doc)."""
+
+    verts: Array      # [V, 3]
+    face_n: Array     # [F, 3]
+    face_off: Array   # [F] (+inf padding already sanitized to real faces)
+    face_mask: Array  # [F] f32
+    face_verts: Array     # [F, E] int32
+    face_cnt: Array       # [F] int32
+    a_fv: Array       # [F·V, 9]
+    b_fv: Array       # [F·V, 9]
+    l_ax: Array       # [D²·3, 9]
+    c_av: Array       # [D²·V, 9]
+    c_bv: Array       # [D²·V, 9]
+    ff: Array         # [F·F, 9]
+    ax_mask: Array    # [D²] f32
+    edge_i0: Array    # [E2] int32 unique-edge endpoints
+    edge_i1: Array    # [E2]
+    edge_mask: Array  # [E2] f32
+
+
+def build_hull_tables(hulls, idx: int = 0) -> HullTables:
+    """Coefficient tables from a HullSet entry (all jnp ops, ~µs)."""
+    v = hulls.verts[idx]                                   # [V, 3]
+    nf = hulls.face_normals[idx]                           # [F, 3]
+    off = hulls.face_offsets[idx]                          # [F]
+    fmask = jnp.isfinite(off).astype(jnp.float32)
+    off = jnp.where(fmask > 0, off, 0.0)
+    d = hulls.edge_dirs[idx]                               # [D, 3]
+    dcnt = hulls.edge_dir_count[idx]
+    dmask = (jnp.arange(d.shape[0]) < dcnt).astype(jnp.float32)
+    ecnt = hulls.edge_count[idx]
+    emask = (jnp.arange(hulls.edge_i0.shape[1]) < ecnt).astype(jnp.float32)
+
+    f, vc, dc = nf.shape[0], v.shape[0], d.shape[0]
+    eps = jnp.zeros((3, 3, 3), jnp.float32)
+    for (i, j, k, s) in [(0, 1, 2, 1.0), (1, 2, 0, 1.0), (2, 0, 1, 1.0),
+                         (0, 2, 1, -1.0), (1, 0, 2, -1.0), (2, 1, 0, -1.0)]:
+        eps = eps.at[i, j, k].set(s)
+
+    a_fv = jnp.einsum("fk,ul->fukl", nf, v).reshape(f * vc, 9)
+    b_fv = jnp.einsum("uk,fl->fukl", v, nf).reshape(f * vc, 9)
+    l_ax = jnp.einsum("ijk,aj,bl->abikl", eps, d, d).reshape(dc * dc * 3, 9)
+    # c_av[(a,b,u),(k,l)] = (v_u × d_a)_k · d_b_l
+    vxd = jnp.cross(v[None, :, :], d[:, None, :])          # [D, V, 3] v_u × d_a
+    c_av = jnp.einsum("auk,bl->abukl", vxd, d).reshape(dc * dc * vc, 9)
+    # c_bv[(a,b,u),(k,l)] = d_a_k · (d_b × v_u)_l
+    dxv = jnp.cross(d[:, None, :], v[None, :, :])          # [D, V, 3] d_b × v_u
+    c_bv = jnp.einsum("ak,bul->abukl", d, dxv).reshape(dc * dc * vc, 9)
+    ff = jnp.einsum("ak,bl->abkl", nf, nf).reshape(f * f, 9)
+    ax_mask = (dmask[:, None] * dmask[None, :]).reshape(-1)
+
+    return HullTables(
+        verts=v, face_n=nf, face_off=off, face_mask=fmask,
+        face_verts=hulls.face_verts[idx], face_cnt=hulls.face_vert_count[idx],
+        a_fv=a_fv, b_fv=b_fv, l_ax=l_ax, c_av=c_av, c_bv=c_bv, ff=ff,
+        ax_mask=ax_mask,
+        edge_i0=hulls.edge_i0[idx], edge_i1=hulls.edge_i1[idx],
+        edge_mask=emask,
+    )
+
+
+def _matT_vec(m: tuple, w) -> v3.V3:
+    """Mᵀ·w for a row-major 9-tuple."""
+    return (
+        m[0] * w[0] + m[3] * w[1] + m[6] * w[2],
+        m[1] * w[0] + m[4] * w[1] + m[7] * w[2],
+        m[2] * w[0] + m[5] * w[1] + m[8] * w[2],
+    )
+
+
+def hull_pair_manifolds_shared(
+    state, cand, cfg,
+) -> Tuple[Array, Array, Array]:
+    """Manifolds for all candidate pairs of ONE shared hull type.
+
+    Returns (depth [P, CAP], normal [P, CAP, 3], point [P, CAP, 3]) with
+    CAP = 2E + 1 — same contract as the vmapped hull path's hull_parts.
+    """
+    ht = build_hull_tables(state.hulls, 0)
+    ia, ib = cand.body_a, cand.body_b
+    p = ia.shape[0]
+    f = ht.face_n.shape[0]
+    vc = ht.verts.shape[0]
+    d2 = ht.ax_mask.shape[0]
+    e_cap = ht.face_verts.shape[1]
+    cap = 2 * e_cap
+
+    qa = state.quat[ia]                                    # [P, 4]
+    qb = state.quat[ib]
+    m9 = v3.quat_to_mat(quat.mul(quat.conjugate(qa), qb))  # 9 × [P]
+    ra9 = v3.quat_to_mat(qa)
+    rb9 = v3.quat_to_mat(qb)
+    pa = v3.unpack(state.pos[ia])
+    pb = v3.unpack(state.pos[ib])
+    dp = v3.sub(pb, pa)                                    # p_b − p_a
+    dpa = _matT_vec(ra9, dp)                               # R_aᵀ(p_b−p_a)
+    dpb = _matT_vec(rb9, v3.neg(dp))                       # R_bᵀ(p_a−p_b)
+    m_mat = jnp.stack(m9)                                  # [9, P]
+    dpa_m = jnp.stack(dpa)                                 # [3, P]
+    dpb_m = jnp.stack(dpb)
+
+    # ---- all supports in a few static matmuls ----
+    sa = (ht.a_fv @ m_mat).reshape(f, vc, p)
+    sep_a = jnp.min(sa, axis=1) + ht.face_n @ dpa_m - ht.face_off[:, None]
+    sep_a = jnp.where(ht.face_mask[:, None] > 0, sep_a, -BIG)   # [F, P]
+    sb = (ht.b_fv @ m_mat).reshape(f, vc, p)
+    sep_b = jnp.min(sb, axis=1) + ht.face_n @ dpb_m - ht.face_off[:, None]
+    sep_b = jnp.where(ht.face_mask[:, None] > 0, sep_b, -BIG)
+
+    s_av = (ht.c_av @ m_mat).reshape(d2, vc, p)
+    min_a_e = jnp.min(s_av, axis=1)
+    max_a_e = jnp.max(s_av, axis=1)                        # [D², P]
+    s_bv = (ht.c_bv @ m_mat).reshape(d2, vc, p)
+    min_b_e = jnp.min(s_bv, axis=1)
+    max_b_e = jnp.max(s_bv, axis=1)
+    axes = (ht.l_ax @ m_mat).reshape(d2, 3, p)
+    ax2 = jnp.sum(axes * axes, axis=1)                     # [D², P]
+    alen = jnp.sqrt(jnp.maximum(ax2, 1e-18))
+    t_ax = -jnp.einsum("aip,ip->ap", axes, dpa_m)          # ax·(p_a−p_b), A frame
+    flip = t_ax < 0.0
+    sep_num = jnp.where(flip,
+                        min_b_e - max_a_e - t_ax,
+                        min_a_e - max_b_e + t_ax)
+    ax_ok = (ht.ax_mask[:, None] > 0) & (alen > 1e-6)
+    sep_e = jnp.where(ax_ok, sep_num / alen, -BIG)         # [D², P]
+
+    # ---- axis choice (same policy as hull_hull_manifold) ----
+    sep_faces = jnp.concatenate([sep_a, sep_b], axis=0)    # [2F, P]
+    best_f = jnp.argmax(sep_faces, axis=0)                 # [P]
+    face_sep = jnp.max(sep_faces, axis=0)
+    best_e = jnp.argmax(sep_e, axis=0)
+    edge_sep = jnp.max(sep_e, axis=0)
+    separated = jnp.maximum(face_sep, edge_sep) > 0.0
+    edge_wins = (~separated) & (
+        edge_sep > face_sep + 1e-4 + 0.05 * jnp.abs(face_sep))
+
+    ref_is_a = best_f < f
+    ref_idx = jnp.where(ref_is_a, best_f, best_f - f)      # [P]
+    oh_ref = jax.nn.one_hot(ref_idx, f, dtype=jnp.float32)  # [P, F]
+
+    # ---- incident face: most anti-parallel face of the OTHER hull ----
+    align = (ht.ff @ m_mat).reshape(f, f, p)               # n_a·(M n_b)
+    big_col = jnp.where(ht.face_mask > 0, 0.0, BIG)
+    # ref on A → other is B: contract ref one-hot over the A axis
+    al_b = jnp.einsum("abp,pa->bp", align, oh_ref) + big_col[:, None]
+    # ref on B → other is A
+    al_a = jnp.einsum("abp,pb->ap", align, oh_ref) + big_col[:, None]
+    inc_idx = jnp.where(ref_is_a,
+                        jnp.argmin(al_b, axis=0), jnp.argmin(al_a, axis=0))
+    oh_inc = jax.nn.one_hot(inc_idx, f, dtype=jnp.float32)  # [P, F]
+
+    # ---- owner-frame → world polygon gathers ([P, E, 3], E small) ----
+    r_ref = tuple(jnp.where(ref_is_a, ra9[k], rb9[k]) for k in range(9))
+    r_inc = tuple(jnp.where(ref_is_a, rb9[k], ra9[k]) for k in range(9))
+    p_ref = v3.where(ref_is_a, pa, pb)
+    p_inc = v3.where(ref_is_a, pb, pa)
+
+    poly_local = ht.verts[ht.face_verts]                   # [F, E, 3] static
+    ref_loc = jnp.einsum("pf,fec->pec", oh_ref, poly_local)
+    inc_loc = jnp.einsum("pf,fec->pec", oh_inc, poly_local)
+    ref_cnt = jnp.round(oh_ref @ ht.face_cnt.astype(jnp.float32)
+                        ).astype(jnp.int32)                # [P]
+    inc_cnt = jnp.round(oh_inc @ ht.face_cnt.astype(jnp.float32)
+                        ).astype(jnp.int32)
+
+    def to_world(loc, r, t):
+        # loc [P, E, 3] in owner frame; r row-major 9-tuple of [P]
+        x, y, z = loc[..., 0], loc[..., 1], loc[..., 2]
+        wx = r[0][:, None] * x + r[1][:, None] * y + r[2][:, None] * z
+        wy = r[3][:, None] * x + r[4][:, None] * y + r[5][:, None] * z
+        wz = r[6][:, None] * x + r[7][:, None] * y + r[8][:, None] * z
+        return jnp.stack(
+            [wx + t[0][:, None], wy + t[1][:, None], wz + t[2][:, None]],
+            axis=-1)
+
+    ref_w = to_world(ref_loc, r_ref, p_ref)                # [P, E, 3]
+    inc_w = to_world(inc_loc, r_inc, p_inc)
+
+    n_ref_loc = v3.unpack(oh_ref @ ht.face_n)              # owner frame
+    n_ref = v3.mat_vec(r_ref, n_ref_loc)                   # world, ref→inc
+    off_ref = (oh_ref @ ht.face_off) + v3.dot(n_ref, p_ref)
+
+    # ---- 2-D clip in the reference-face frame (vmapped; E small) ----
+    n_ref_a = v3.pack(n_ref)                               # [P, 3]
+
+    def clip_one(ref_poly, inc_poly, nr, offr, rcnt, icnt):
+        edge0 = ref_poly[1] - ref_poly[0]
+        t1 = edge0 / jnp.maximum(jnp.linalg.norm(edge0), 1e-9)
+        t2 = jnp.cross(nr, t1)
+        p0 = ref_poly[0]
+
+        def to2d(x):
+            rel = x - p0
+            return jnp.stack([rel @ t1, rel @ t2, x @ nr - offr], axis=-1)
+
+        ref2d = to2d(ref_poly)
+        poly = jnp.zeros((cap, 3), jnp.float32).at[:e_cap].set(to2d(inc_poly))
+        m = icnt
+        idx_e = jnp.arange(e_cap)
+        nxt_oh = jax.nn.one_hot(
+            (idx_e + 1) % jnp.maximum(rcnt, 1), e_cap, dtype=jnp.float32)
+        ref2d_next = nxt_oh @ ref2d
+        for k in range(e_cap):
+            a_uv = ref2d[k, :2]
+            e_uv = ref2d_next[k, :2] - a_uv
+            plane = jnp.stack(
+                [e_uv[1], -e_uv[0], e_uv[1] * a_uv[0] - e_uv[0] * a_uv[1]])
+            noop = jnp.array([0.0, 0.0, 1e30], jnp.float32)
+            plane = jnp.where(k < rcnt, plane, noop)
+            poly, m = _clip_polygon(poly, m, plane)
+        pts = (p0[None, :] + poly[:, 0:1] * t1[None, :]
+               + poly[:, 1:2] * t2[None, :] + poly[:, 2:3] * nr[None, :])
+        return poly, m, pts
+
+    poly2d, m_cnt, pts_face = jax.vmap(clip_one)(
+        ref_w, inc_w, n_ref_a, off_ref, ref_cnt, inc_cnt)
+
+    slot = jnp.arange(cap)[None, :]
+    depth_face = -poly2d[:, :, 2]                          # [P, CAP]
+    valid_face = ((slot < m_cnt[:, None]) & (depth_face > 0.0)
+                  & ~separated[:, None] & ~edge_wins[:, None])
+    n_out = v3.where(ref_is_a, v3.neg(n_ref), n_ref)       # B → A
+    normal_face = jnp.broadcast_to(v3.pack(n_out)[:, None, :], (p, cap, 3))
+
+    # ---- edge-edge closest-point contact (component form) ----
+    oh_e = jax.nn.one_hot(best_e, d2, dtype=jnp.float32)   # [P, D²]
+    ax_sel = (
+        jnp.einsum("pa,ap->p", oh_e, axes[:, 0, :]),
+        jnp.einsum("pa,ap->p", oh_e, axes[:, 1, :]),
+        jnp.einsum("pa,ap->p", oh_e, axes[:, 2, :]),
+    )                                                      # A frame, unnorm
+    alen_sel = jnp.einsum("pa,ap->p", oh_e, alen)
+    flip_sel = jnp.einsum("pa,ap->p", oh_e, flip.astype(jnp.float32)) > 0.5
+    sgn = jnp.where(flip_sel, -1.0, 1.0)
+    ax_u = v3.scale(ax_sel, sgn / jnp.maximum(alen_sel, 1e-9))  # unit, B→A
+    n_edge = v3.mat_vec(ra9, ax_u)                         # world
+
+    # endpoint supports straight from the precomputed axis-support tables
+    sa_sel = jnp.einsum("pa,aup->up", oh_e, s_av)          # [V, P] A verts
+    sb_sel = jnp.einsum("pa,aup->up", oh_e, s_bv)          # [V, P] B verts
+    sa_sel = sa_sel * sgn[None, :]
+    sb_sel = sb_sel * sgn[None, :]
+    # A supports −n, B supports +n (world); per-edge score = min(endpoints)
+    e2 = ht.edge_i0.shape[0]
+    oh_i0 = jax.nn.one_hot(ht.edge_i0, vc, dtype=jnp.float32)  # [E2, V]
+    oh_i1 = jax.nn.one_hot(ht.edge_i1, vc, dtype=jnp.float32)
+    sa0 = oh_i0 @ sa_sel
+    sa1 = oh_i1 @ sa_sel                                   # [E2, P]
+    sb0 = oh_i0 @ sb_sel
+    sb1 = oh_i1 @ sb_sel
+    edge_pad = jnp.where(ht.edge_mask[:, None] > 0, 0.0, BIG)
+    score_a = jnp.maximum(sa0, sa1) + edge_pad             # support along −n
+    score_b = jnp.minimum(sb0, sb1) - edge_pad             # support along +n
+    ea_idx = jnp.argmin(score_a, axis=0)                   # [P]
+    eb_idx = jnp.argmax(score_b, axis=0)
+    oh_ea = jax.nn.one_hot(ea_idx, e2, dtype=jnp.float32)  # [P, E2]
+    oh_eb = jax.nn.one_hot(eb_idx, e2, dtype=jnp.float32)
+
+    vloc = ht.verts                                        # [V, 3]
+    p0a_l = v3.unpack((oh_ea @ oh_i0) @ vloc)              # [P] comps, A frame
+    p1a_l = v3.unpack((oh_ea @ oh_i1) @ vloc)
+    p0b_l = v3.unpack((oh_eb @ oh_i0) @ vloc)
+    p1b_l = v3.unpack((oh_eb @ oh_i1) @ vloc)
+    ea0 = v3.add(v3.mat_vec(ra9, p0a_l), pa)               # world
+    ea1 = v3.add(v3.mat_vec(ra9, p1a_l), pa)
+    eb0 = v3.add(v3.mat_vec(rb9, p0b_l), pb)
+    eb1 = v3.add(v3.mat_vec(rb9, p1b_l), pb)
+
+    d1 = v3.sub(ea1, ea0)
+    d2v = v3.sub(eb1, eb0)
+    r0 = v3.sub(ea0, eb0)
+    a11 = v3.dot(d1, d1)
+    a22 = v3.dot(d2v, d2v)
+    a12 = v3.dot(d1, d2v)
+    b1 = v3.dot(d1, r0)
+    b2 = v3.dot(d2v, r0)
+    den = a11 * a22 - a12 * a12
+    s = jnp.where(jnp.abs(den) > 1e-9, (a12 * b2 - a22 * b1) / den, 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(a22 > 1e-9, (b2 + a12 * s) / a22, 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(a11 > 1e-9, jnp.clip((a12 * t - b1) / a11, 0.0, 1.0), s)
+    pa_c = v3.add(ea0, v3.scale(d1, s))
+    pb_c = v3.add(eb0, v3.scale(d2v, t))
+    edge_point = v3.scale(v3.add(pa_c, pb_c), 0.5)
+    edge_depth = -edge_sep
+
+    # ---- assemble [P, CAP+1] ----
+    depth = jnp.concatenate(
+        [jnp.where(valid_face, depth_face, 0.0),
+         jnp.where(edge_wins & (edge_depth > 0.0), edge_depth, 0.0)[:, None]],
+        axis=1)
+    normal = jnp.concatenate(
+        [normal_face, v3.pack(n_edge)[:, None, :]], axis=1)
+    point = jnp.concatenate(
+        [pts_face, v3.pack(edge_point)[:, None, :]], axis=1)
+    return depth, normal, point

@@ -495,13 +495,15 @@ def pair_contacts(state: SimState, cvx: ConvexData,
     rot_a, rot_b = rot[ia], rot[ib]
 
     # SAT + face-clipping manifold for box-box pairs (vertex-face testing
-    # degenerates for identical-footprint stacks; see ops/boxbox.py)
-    both_box = cvx.is_box[ia] & cvx.is_box[ib]
-    sat_p, sat_n, sat_d, sat_valid = jax.vmap(box_box_manifold)(
-        pos_a, rot_a, state.shapes.params[ia],
-        pos_b, rot_b, state.shapes.params[ib],
-    )
-    sat_d = jnp.where(sat_valid & both_box[:, None], sat_d, 0.0)
+    # degenerates for identical-footprint stacks; see ops/boxbox.py).
+    # hulls_only scenes skip it entirely (both_box is all-false there).
+    if not cfg.hulls_only:
+        both_box = cvx.is_box[ia] & cvx.is_box[ib]
+        sat_p, sat_n, sat_d, sat_valid = jax.vmap(box_box_manifold)(
+            pos_a, rot_a, state.shapes.params[ia],
+            pos_b, rot_b, state.shapes.params[ib],
+        )
+        sat_d = jnp.where(sat_valid & both_box[:, None], sat_d, 0.0)
 
     # hull-hull manifolds: face-SAT + clipping (ops/hullhull.py); only
     # traced when the scene actually registers hull geometry
@@ -510,6 +512,19 @@ def pair_contacts(state: SimState, cvx: ConvexData,
         from physics_tpu.ops.hullhull import HullData, hull_hull_manifold
 
         both_hull = cvx.is_hull[ia] & cvx.is_hull[ib]
+        use_hull_fast = cfg.hull_fast and state.hulls.verts.shape[0] == 1
+        if use_hull_fast:
+            # single shared hull shape: all pairwise SAT supports via
+            # static [rows, 9] × [9, P] matmuls against the relative
+            # rotation (ops/hullhull_batched.py) — no per-pair geometry
+            # gathers, pairs ride the lane axis
+            from physics_tpu.ops.hullhull_batched import (
+                hull_pair_manifolds_shared,
+            )
+
+            hh_d, hh_n, hh_p = hull_pair_manifolds_shared(state, cand, cfg)
+            hh_d = jnp.where(both_hull[:, None], hh_d, 0.0)
+            hull_parts = (hh_d, hh_n, hh_p, both_hull)
         face_mask = jnp.isfinite(cvx.face_off).astype(jnp.float32)
         hull_idx = jnp.clip(
             state.shapes.hull_index, 0, state.hulls.verts.shape[0] - 1)
@@ -517,6 +532,12 @@ def pair_contacts(state: SimState, cvx: ConvexData,
         ed_cnt = state.hulls.edge_dir_count[hull_idx]
         ed_mask = (
             jnp.arange(ed.shape[1])[None, :] < ed_cnt[:, None]
+        ).astype(jnp.float32)
+        ei0 = state.hulls.edge_i0[hull_idx]                # [N, E]
+        ei1 = state.hulls.edge_i1[hull_idx]
+        e_cnt = state.hulls.edge_count[hull_idx]
+        e_mask = (
+            jnp.arange(ei0.shape[1])[None, :] < e_cnt[:, None]
         ).astype(jnp.float32)
 
         def hdata(idx):
@@ -530,15 +551,26 @@ def pair_contacts(state: SimState, cvx: ConvexData,
                 face_vert_count=cvx.face_vert_count[idx],
                 edge_dirs=ed[idx],
                 edge_dir_mask=ed_mask[idx],
+                edge_i0=ei0[idx],
+                edge_i1=ei1[idx],
+                edge_mask=e_mask[idx],
             )
 
-        hh_p, hh_n, hh_d, hh_v = jax.vmap(hull_hull_manifold)(
-            pos_a, rot_a, hdata(ia), pos_b, rot_b, hdata(ib)
-        )
-        hh_d = jnp.where(hh_v & both_hull[:, None], hh_d, 0.0)
-        hull_parts = (hh_d, hh_n, hh_p, both_hull)
+        if not use_hull_fast:
+            hh_p, hh_n, hh_d, hh_v = jax.vmap(hull_hull_manifold)(
+                pos_a, rot_a, hdata(ia), pos_b, rot_b, hdata(ib)
+            )
+            hh_d = jnp.where(hh_v & both_hull[:, None], hh_d, 0.0)
+            hull_parts = (hh_d, hh_n, hh_p, both_hull)
 
-    if True:
+    if cfg.hulls_only:
+        # hull manifolds are the only candidate source — no box SAT,
+        # sphere analytics, or vertex-face probes to merge/mask out
+        if hull_parts is None:
+            raise ValueError(
+                "cfg.hulls_only but the scene registers no hull geometry")
+        depth, normal, point, _ = hull_parts
+    else:
         # direction 1: A's vertices vs B's faces (normal outward from B=B→A)
         d1, n1, p1 = _vertex_face_candidates(
             pos_a, rot_a, cvx.verts[ia], cvx.vert_mask[ia],

@@ -258,31 +258,52 @@ def _pack_hulls(hulls: Sequence) -> HullSet:
             fvcount[i, f] = len(poly)
 
     # unique (up to sign) unit edge directions per hull — the edge-edge
-    # separating-axis candidates for the hull-hull SAT (ops/hullhull.py)
+    # separating-axis candidates for the hull-hull SAT (ops/hullhull.py) —
+    # and the unique undirected edge list (endpoint index pairs), the
+    # support-edge candidates for edge-edge contact generation (replaces
+    # the old per-pair face-polygon edge derivation, which one-hot
+    # gathered [F, E, V] tensors at runtime)
     dir_lists = []
+    edge_lists = []
     for v, fn, fo, polys in hulls:
         dirs: list = []
+        edges: set = set()
         for poly in polys:
             for a, b in zip(poly, list(poly[1:]) + [poly[0]]):
                 d = v[b] - v[a]
                 nrm = np.linalg.norm(d)
                 if nrm < 1e-9:
                     continue
+                edges.add((a, b) if a < b else (b, a))
                 d = d / nrm
                 if not any(abs(float(d @ e)) > 1.0 - 1e-5 for e in dirs):
                     dirs.append(d)
         dir_lists.append(np.asarray(dirs, np.float32).reshape(-1, 3))
+        edge_lists.append(sorted(edges))
     dmax = max((d.shape[0] for d in dir_lists), default=1) or 1
     edirs = np.zeros((hcount, dmax, 3), np.float32)
     edcount = np.zeros(hcount, np.int32)
     for i, d in enumerate(dir_lists):
         edirs[i, : d.shape[0]] = d
         edcount[i] = d.shape[0]
+    gmax = max((len(e) for e in edge_lists), default=1) or 1
+    ei0 = np.zeros((hcount, gmax), np.int32)
+    ei1 = np.zeros((hcount, gmax), np.int32)
+    ecount = np.zeros(hcount, np.int32)
+    for i, es in enumerate(edge_lists):
+        for k, (a, b) in enumerate(es):
+            ei0[i, k] = a
+            ei1[i, k] = b
+        if es:
+            ei0[i, len(es):] = es[0][0]
+            ei1[i, len(es):] = es[0][1]
+        ecount[i] = len(es)
 
     return HullSet(
         verts=verts, vert_count=vcount, face_normals=normals,
         face_offsets=offsets, face_count=fcount, face_verts=fverts,
         face_vert_count=fvcount, edge_dirs=edirs, edge_dir_count=edcount,
+        edge_i0=ei0, edge_i1=ei1, edge_count=ecount,
     )
 
 

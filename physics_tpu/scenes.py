@@ -230,11 +230,15 @@ def mesh_rain(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
 
 
 def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
-    """Solver/broad-phase settings for the mesh-rain hull scenes."""
+    """Solver/broad-phase settings for the mesh-rain hull scenes.
+
+    hulls_only skips the box-SAT/sphere/vertex-face candidate generation
+    (half the narrow-phase device time at 128 hulls, measured)."""
     return SimConfig(
         compat=False,
         ground_plane=True,
         pair_collisions=True,
+        hulls_only=True,
         broadphase="sweep",
         sweep_window=32,
         max_pair_candidates=8 * n_bodies,

@@ -115,6 +115,10 @@ class HullSet:
     edge_dirs:   [H, Dmax, 3] unique (up to sign) unit edge directions —
                  the edge-edge separating-axis candidates (padded zeros)
     edge_dir_count: [H] int32
+    edge_i0/i1:  [H, Emax] endpoint vertex indices of the unique
+                 (undirected) hull edges — the support-edge candidates for
+                 edge-edge contact generation (padding repeats edge 0)
+    edge_count:  [H] int32
     """
 
     verts: Array
@@ -126,6 +130,9 @@ class HullSet:
     face_vert_count: Array
     edge_dirs: Array
     edge_dir_count: Array
+    edge_i0: Array
+    edge_i1: Array
+    edge_count: Array
 
     @classmethod
     def empty(cls) -> "HullSet":
@@ -139,6 +146,9 @@ class HullSet:
             face_vert_count=jnp.zeros((1, 1), jnp.int32),
             edge_dirs=jnp.zeros((1, 1, 3), jnp.float32),
             edge_dir_count=jnp.zeros((1,), jnp.int32),
+            edge_i0=jnp.zeros((1, 1), jnp.int32),
+            edge_i1=jnp.zeros((1, 1), jnp.int32),
+            edge_count=jnp.zeros((1,), jnp.int32),
         )
 
 

@@ -46,15 +46,27 @@ def test_cube_mtl_material_refs():
 def test_collision_hull_decimation():
     a = load_cube_asset()
     cv = a.collision_verts
-    assert cv.shape[0] <= 40  # capacity-friendly
-    # support function within bevel sag of the full hull on a probe fan
+    # plane-cut OUTER decimation: the 26 chamfer support planes of the
+    # real bevel cube, vertex-enumerated — a 48-vert chamfered cube whose
+    # hull has exactly 26 planar faces and 9 unique edge directions (the
+    # old inner support_decimate re-triangulated into 60 faces / 82 edge
+    # directions, a 47x larger edge-edge SAT per pair)
+    assert cv.shape[0] == 48
+    # support function: circumscribes the true hull (can't tunnel), within
+    # the bevel sag outward on a probe fan
     rng = np.random.default_rng(0)
     dirs = rng.standard_normal((512, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     s_full = (dirs @ a.hull_verts.T).max(1)
     s_dec = (dirs @ cv.T).max(1)
-    assert np.all(s_dec <= s_full + 1e-5)
-    assert np.max(s_full - s_dec) < 0.05
+    assert np.all(s_dec >= s_full - 1e-5)
+    assert np.max(s_dec - s_full) < 0.02
+
+    from physics_tpu.io.meshes import convex_hull_face_polygons
+
+    normals, _, polys = convex_hull_face_polygons(cv)
+    assert normals.shape[0] == 26
+    assert sorted(set(len(p) for p in polys)) == [4, 6, 8]
 
 
 def test_mesh_rain_builds_with_real_assets():
