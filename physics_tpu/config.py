@@ -116,6 +116,13 @@ class SimConfig:
     # (0 = max_contacts spread over buckets, 128-aligned).
     contact_table: bool = False
     bucket_ccap: int = 0
+    # two-phase narrow phase inside the contact-table kernel: a cheap
+    # face-axis SAT prefilter runs on all candidates, survivors compact
+    # to `bucket_cap2` slots per bucket, and only those run the full
+    # 15-axis manifold + emit + contact compaction (the kernel's cost
+    # scales with candidate lanes). 0 = off. Overflow (survivors beyond
+    # cap2) is counted into pair_overflow — never silent.
+    bucket_cap2: int = 0
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

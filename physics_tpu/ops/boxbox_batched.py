@@ -77,15 +77,18 @@ def _clip(pu, pv, ps, m, cu, cv, d, mosaic=False):
     """One Sutherland–Hodgman half-plane clip on the 8-slot polygon.
 
     pu/pv/ps: [CAP, P] slot-major (2-D face coords + interpolated
-    separation; CAP slots ride the sublane axis); m: [P] int32 live count;
-    keep points with cu·u + cv·v ≤ d ([P]). Mirrors ops.boxbox._clip_polygon.
+    separation; CAP slots ride the sublane axis; CAP is read from the
+    input shape — boxes use 8, the batched hull clip 2·E); m: [P] int32
+    live count; keep points with cu·u + cv·v ≤ d ([P]). Mirrors
+    ops.boxbox._clip_polygon.
 
     Shaped as a handful of [CAP, P] / [CAP, CAP, P] tensor ops rather than
     per-slot scalars: the fully unrolled form emitted ~800 tiny HLO ops per
     clip, which blew up compile time superlinearly (the multi-device CPU
     backend never finished) and fragmented TPU fusions.
     """
-    slots = jnp.arange(_CAP, dtype=jnp.int32)[:, None]        # [CAP, 1]
+    cap = pu.shape[0]
+    slots = jnp.arange(cap, dtype=jnp.int32)[:, None]         # [CAP, 1]
     g = cu * pu + cv * pv - d[None, :]                        # [CAP, P]
     live = slots < m[None, :]
 
@@ -116,8 +119,8 @@ def _clip(pu, pv, ps, m, cu, cv, d, mosaic=False):
     for s in range(emit.shape[0] - 1):
         parts.append(parts[-1] + emit[s])
     start = jnp.stack(parts)
-    pos_cur = jnp.where(inside, start, _CAP)
-    pos_int = jnp.where(crossing, start + inside.astype(jnp.int32), _CAP)
+    pos_cur = jnp.where(inside, start, cap)
+    pos_int = jnp.where(crossing, start + inside.astype(jnp.int32), cap)
 
     # ordered emission: out[j] = Σ_i (pos_cur[i]==j)·cur[i] + (pos_int[i]==j)·int[i]
     if mosaic:
@@ -127,9 +130,9 @@ def _clip(pu, pv, ps, m, cu, cv, d, mosaic=False):
         # inside a kernel Mosaic schedules them fine.
         zero = jnp.zeros_like(pu[0])
         ou_l, ov_l, os_l = [], [], []
-        for j in range(_CAP):
+        for j in range(cap):
             au, av, as2 = zero, zero, zero
-            for i in range(_CAP):
+            for i in range(cap):
                 mc = pos_cur[i] == j
                 mi = pos_int[i] == j
                 au = au + jnp.where(mc, pu[i], 0.0) + jnp.where(mi, iu[i], 0.0)
@@ -143,7 +146,7 @@ def _clip(pu, pv, ps, m, cu, cv, d, mosaic=False):
         ov = jnp.stack(ov_l)
         os_ = jnp.stack(os_l)
     else:
-        out_slot = jnp.arange(_CAP, dtype=jnp.int32)[:, None, None]
+        out_slot = jnp.arange(cap, dtype=jnp.int32)[:, None, None]
         oh_c = (pos_cur[None, :, :] == out_slot).astype(jnp.float32)
         oh_i = (pos_int[None, :, :] == out_slot).astype(jnp.float32)
         ou = (jnp.sum(oh_c * pu[None], axis=1)
@@ -152,7 +155,7 @@ def _clip(pu, pv, ps, m, cu, cv, d, mosaic=False):
               + jnp.sum(oh_i * iv[None], axis=1))
         os_ = (jnp.sum(oh_c * ps[None], axis=1)
                + jnp.sum(oh_i * is_[None], axis=1))
-    new_m = jnp.minimum(jnp.sum(emit, axis=0), _CAP)
+    new_m = jnp.minimum(jnp.sum(emit, axis=0), cap)
     return ou, ov, os_, new_m
 
 

@@ -120,7 +120,7 @@ def _exclusive_prefix(mask):
 
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
-                    warm=False):
+                    warm=False, cap2=0):
     """One grid step = one rank bucket: SAT + ground + compaction.
 
     warm=True adds in-kernel warm-start key matching: the previous step's
@@ -130,8 +130,18 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
     replacing the XLA sort-merge (warm_start_lambda_keys) AND the
     epilogue key sort. A contact whose lower endpoint migrates across a
     128-rank bucket boundary between steps loses its warm start (rare:
-    ranks drift slowly; the solve re-converges in one extra sweep)."""
-    sub_pair = kk * (cap // 128)
+    ranks drift slowly; the solve re-converges in one extra sweep).
+
+    cap2 > 0 engages the two-phase narrow phase: a 6-face-axis SAT
+    prefilter (~100 VPU ops) runs on all `cap` candidates, survivors
+    compact to `cap2` lanes (prefix + one-hot scatter of the local
+    ranks, then a re-gather of their geometry), and only those run the
+    full 15-axis manifold / emit / contact compaction — whose cost all
+    scales with candidate lanes. Conservative: only pairs strictly
+    separated on a FACE axis are dropped (they produce no contact).
+    Survivors beyond cap2 are counted into meta[0, b·128+2]."""
+    sat_cap = cap2 if cap2 else cap
+    sub_pair = kk * (sat_cap // 128)
     sub = sub_pair + kg
     m = sub * 128
     chunk_rows = 4                       # scatter chunk: 512 contacts
@@ -147,9 +157,6 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         w_hi, w_lo = _split(win)
         la = la_ref[0, 0, :]
         lb = lb_ref[0, 0, :]
-        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, cap), 0)
-        oh_a = (row == la[None, :]).astype(jnp.bfloat16)
-        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
 
         def bgather(oh):
             g1 = jax.lax.dot_general(
@@ -159,8 +166,80 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                 w_lo, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [24, CAP]
 
+        def onehots(lav, lbv):
+            c = lav.shape[0]
+            row = jax.lax.broadcasted_iota(jnp.int32, (wtot, c), 0)
+            return ((row == lav[None, :]).astype(jnp.bfloat16),
+                    (row == lbv[None, :]).astype(jnp.bfloat16))
+
+        oh_a, oh_b = onehots(la, lb)
         ga = bgather(oh_a)
         gb = bgather(oh_b)        # inactive (la = −1): all-zero columns
+
+        dropped2 = jnp.float32(0.0)
+        if cap2:
+            # ---- phase 1: face-axis SAT prefilter on all candidates ----
+            t = (gb[0] - ga[0], gb[1] - ga[1], gb[2] - ga[2])
+            ra = tuple(ga[3 + k] for k in range(9))        # world R row-major
+            rb = tuple(gb[3 + k] for k in range(9))
+            ha = (ga[12], ga[13], ga[14])
+            hb = (gb[12], gb[13], gb[14])
+            # C[i][j] = u_i · w_j (columns of Ra vs columns of Rb)
+            cmat = [[ra[i] * rb[j] + ra[3 + i] * rb[3 + j]
+                     + ra[6 + i] * rb[6 + j] for j in range(3)]
+                    for i in range(3)]
+            cabs = [[jnp.abs(cmat[i][j]) for j in range(3)] for i in range(3)]
+            sep_best = jnp.full((cap,), -1e30, jnp.float32)
+            for i in range(3):
+                ut = ra[i] * t[0] + ra[3 + i] * t[1] + ra[6 + i] * t[2]
+                rad = (ha[i] + hb[0] * cabs[i][0] + hb[1] * cabs[i][1]
+                       + hb[2] * cabs[i][2])
+                sep_best = jnp.maximum(sep_best, jnp.abs(ut) - rad)
+            for j in range(3):
+                wt = rb[j] * t[0] + rb[3 + j] * t[1] + rb[6 + j] * t[2]
+                rad = (hb[j] + ha[0] * cabs[0][j] + ha[1] * cabs[1][j]
+                       + ha[2] * cabs[2][j])
+                sep_best = jnp.maximum(sep_best, jnp.abs(wt) - rad)
+            mv1 = (ga[17] > 0.0) | (gb[17] > 0.0)
+            keep = (sep_best < 0.0) & mv1 & (la >= 0)
+            keepf = keep.astype(jnp.float32)
+
+            # ---- compact surviving (la, lb) into cap2 lanes ----
+            km = jnp.stack([
+                jax.lax.slice_in_dim(keepf, r * 128, (r + 1) * 128)
+                for r in range(cap // 128)
+            ]) if mosaic else keepf.reshape(cap // 128, 128)
+            slot1 = _exclusive_prefix(km)
+            slot1 = slot1 * km + (1.0 - km) * jnp.float32(cap2)
+            pay1 = jnp.stack([
+                (la + 1).astype(jnp.float32) * keepf,
+                (lb + 1).astype(jnp.float32) * keepf,
+            ])                                             # [2, CAP]
+            acc2 = jnp.zeros((2, cap2), jnp.float32)
+            oh2_row = jax.lax.broadcasted_iota(
+                jnp.int32, (cap2, chunk_rows * 128), 0)
+            for r0 in range(0, cap // 128, chunk_rows):
+                cr = min(chunk_rows, cap // 128 - r0)
+                cwr = cr * 128
+                sl = slot1[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
+                oht = (oh2_row[:, :cwr] == sl).astype(jnp.bfloat16)
+                pay = pay1[:, r0 * 128:r0 * 128 + cwr]
+                # local ranks < 2¹⁶: exact in one bf16 hi/lo split
+                p_hi, p_lo = _split(pay)
+                acc2 += jax.lax.dot_general(
+                    p_hi, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc2 += jax.lax.dot_general(
+                    p_lo, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            la = acc2[0].astype(jnp.int32) - 1             # empty → −1
+            lb = acc2[1].astype(jnp.int32) - 1
+            dropped2 = jnp.maximum(jnp.sum(keepf) - jnp.float32(cap2), 0.0)
+
+            # ---- phase 2: re-gather survivor geometry ----
+            oh_a, oh_b = onehots(la, lb)
+            ga = bgather(oh_a)
+            gb = bgather(oh_b)
 
         man = box_box_manifold_batched(
             (ga[0], ga[1], ga[2]), tuple(ga[3 + k] for k in range(9)),
@@ -320,22 +399,21 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         if warm:
             # per-bucket warm-start match: eq[i, j] = 1 iff previous
             # contact i and fresh contact j carry the same feature key
-            # (kl, kh, sign) and both are active; λ₀ = prev_λᵀ·eq. Keys
-            # are unique per (pair, slot) so each column has ≤ 1 match.
-            ck = acc[CT_KL].reshape(1, ccap)
+            # and both are active; λ₀ = prev_λᵀ·eq. Keys are unique per
+            # (pair, slot) so each column has ≤ 1 match. Activity folds
+            # into the keys themselves (fresh inactive → −2, previous
+            # inactive → −1, never within 0.5 of each other or of a real
+            # key) so the block compare is TWO |Δ|<0.5 tests, not five —
+            # the [128, ccap] compare lanes are most of the warm cost.
+            ck = (acc[CT_KL] + 65536.0 * acc[CT_KSGN]
+                  + 2.0 * (acc[CT_ACT] - 1.0)).reshape(1, ccap)
             ch = acc[CT_KH].reshape(1, ccap)
-            cs = acc[CT_KSGN].reshape(1, ccap)
-            ca = acc[CT_ACT].reshape(1, ccap)
             lam0 = jnp.zeros((3, ccap), jnp.float32)
             for r0 in range(0, ccap, 128):
                 pk = prev_ref[r0:r0 + 128, 0:1]            # [128, 1]
                 ph = prev_ref[r0:r0 + 128, 1:2]
-                ps = prev_ref[r0:r0 + 128, 2:3]
-                pa = prev_ref[r0:r0 + 128, 3:4]
                 eq = ((jnp.abs(pk - ck) < 0.5)
-                      & (jnp.abs(ph - ch) < 0.5)
-                      & (jnp.abs(ps - cs) < 0.5)
-                      & (pa > 0.5) & (ca > 0.5))
+                      & (jnp.abs(ph - ch) < 0.5))
                 eq_bf = eq.astype(jnp.bfloat16)            # [128, ccap]
                 plam = prev_ref[r0:r0 + 128, 4:7]          # [128, 3]
                 p_hi, p_lo = _split(plam)
@@ -354,8 +432,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         c_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         at00 = ((r_i == 0) & (c_i == 0)).astype(jnp.float32)
         at01 = ((r_i == 0) & (c_i == 1)).astype(jnp.float32)
+        at02 = ((r_i == 0) & (c_i == 2)).astype(jnp.float32)
         dropped = jnp.maximum(n_act - jnp.float32(ccap), 0.0)
-        meta_ref[:] = at00 * dropped + at01 * n_act
+        meta_ref[:] = at00 * dropped + at01 * n_act + at02 * dropped2
 
     return kernel
 
@@ -380,7 +459,8 @@ def bucket_contact_table(
 ) -> Tuple[Array, Array, Array | None]:
     """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
     meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
-    meta[0, b·128+1] = active count, warm [8, NB·ccap] | None).
+    meta[0, b·128+1] = active count, meta[0, b·128+2] = prefilter
+    survivors dropped beyond bucket_cap2, warm [8, NB·ccap] | None).
 
     `order` is the sweep's body order (body id per rank); None = identity.
     `prev = (keys [cp] int32, lam3 [3, cp])` — the previous step's
@@ -431,10 +511,18 @@ def bucket_contact_table(
     la3 = jnp.broadcast_to(la.reshape(nb, 1, cap), (nb, 8, cap))
     lb3 = jnp.broadcast_to(lb.reshape(nb, 1, cap), (nb, 8, cap))
 
+    cap2 = cfg.bucket_cap2
+    if cap2:
+        if cap2 % 128 or cap2 > cap:
+            raise ValueError(
+                f"bucket_cap2 must be a 128-multiple <= bucket cap "
+                f"({cap}); got {cap2}")
+        if cap2 == cap:
+            cap2 = 0        # no-op prefilter: skip the extra pass
     interpret = jax.default_backend() != "tpu"
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
-        mosaic=not interpret, warm=prev is not None)
+        mosaic=not interpret, warm=prev is not None, cap2=cap2)
     in_specs = [
         pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
         pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
@@ -451,16 +539,21 @@ def bucket_contact_table(
     operands = [la3, lb3, geom]
     if prev is not None:
         pkey, plam = prev
-        mag = jnp.abs(pkey).astype(jnp.float32)
+        act_p = pkey != 0
+        # combined low key: |key|&0xFFFF + 65536·(key<0); −1 when inactive
+        # (fresh inactive combine to −2 — see the kernel's warm match)
+        klo = (jnp.asarray(jnp.abs(pkey) & 0xFFFF, jnp.float32)
+               + 65536.0 * (pkey < 0).astype(jnp.float32))
+        khi = jnp.asarray((jnp.abs(pkey) >> 16) & 0x7FFF, jnp.float32)
+        neg1 = jnp.float32(-1.0)
         pcols = jnp.stack([
-            jnp.asarray(jnp.abs(pkey) & 0xFFFF, jnp.float32),
-            jnp.asarray((jnp.abs(pkey) >> 16) & 0x7FFF, jnp.float32),
-            (pkey < 0).astype(jnp.float32),
-            (pkey != 0).astype(jnp.float32),
+            jnp.where(act_p, klo, neg1),
+            jnp.where(act_p, khi, neg1),
+            jnp.zeros((cp,), jnp.float32),
+            act_p.astype(jnp.float32),
             plam[0], plam[1], plam[2],
             jnp.zeros((cp,), jnp.float32),
         ], axis=1)                                         # [cp, 8]
-        del mag
         in_specs.append(pl.BlockSpec((ccap, 8), lambda b: (b, 0)))
         out_specs.append(pl.BlockSpec((8, ccap), lambda b: (0, b)))
         out_shape.append(jax.ShapeDtypeStruct((8, cp), jnp.float32))

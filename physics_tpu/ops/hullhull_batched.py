@@ -20,11 +20,11 @@ component form (maths/vec3c). The coefficient tables are built on device
 from the hull's (tiny) geometry arrays each step — a few µs — because the
 hull rides the traced SimState.
 
-Face-manifold clipping (reference-face Sutherland–Hodgman) reuses the
-same 2-D clip as the vmapped path, on [P, E, 3] polygon tensors gathered
-once from the winning faces; the edge-edge contact is fully component
-form. Matches `hull_hull_manifold` outputs (tests/test_hullhull.py
-parity test).
+Face-manifold clipping (reference-face Sutherland–Hodgman) runs fully
+batched in slot-major [CAP, P] component form through the shape-generic
+`boxbox_batched._clip`; the edge-edge contact is fully component form.
+Matches `hull_hull_manifold` outputs (tests/test_hullhull.py parity
+test).
 
 New capability vs the reference (no collision detection there,
 SURVEY.md §0); axis-set completeness argument in docs/ROADMAP.md.
@@ -39,11 +39,18 @@ import jax.numpy as jnp
 
 from physics_tpu.maths import quaternion as quat
 from physics_tpu.maths import vec3c as v3
-from physics_tpu.ops.boxbox import _clip_polygon
+from physics_tpu.ops.boxbox_batched import _clip
 
 Array = jnp.ndarray
 
-BIG = jnp.float32(1e30)
+# plain python float, NOT jnp.float32(...): this module is imported
+# lazily inside a traced function (ops/narrowphase.pair_contacts), and a
+# module-level jnp constant created under an active trace binds as a
+# TRACER — it then leaks into every later jaxpr as a phantom const,
+# corrupting the jit dispatch path ("Execution supplied 36 buffers but
+# compiled program expected 42", and the axon client's index-out-of-
+# bounds panic on re-execution)
+BIG = 1e30
 
 
 class HullTables(NamedTuple):
@@ -229,43 +236,62 @@ def hull_pair_manifolds_shared(
     n_ref = v3.mat_vec(r_ref, n_ref_loc)                   # world, ref→inc
     off_ref = (oh_ref @ ht.face_off) + v3.dot(n_ref, p_ref)
 
-    # ---- 2-D clip in the reference-face frame (vmapped; E small) ----
-    n_ref_a = v3.pack(n_ref)                               # [P, 3]
+    # ---- 2-D clip in the reference-face frame (fully batched) ----
+    # All pairs clip at once in slot-major [CAP, P] component form via the
+    # shape-generic boxbox_batched._clip — the earlier per-pair vmapped
+    # Sutherland–Hodgman (ops.boxbox._clip_polygon over [P, CAP, 3]
+    # tensors) was 6.3 ms/step of the 9.2 ms 1k-rain device time.
+    def poly_pt(w, k):
+        return (w[:, k, 0], w[:, k, 1], w[:, k, 2])        # v3 of [P]
 
-    def clip_one(ref_poly, inc_poly, nr, offr, rcnt, icnt):
-        edge0 = ref_poly[1] - ref_poly[0]
-        t1 = edge0 / jnp.maximum(jnp.linalg.norm(edge0), 1e-9)
-        t2 = jnp.cross(nr, t1)
-        p0 = ref_poly[0]
+    edge0 = v3.sub(poly_pt(ref_w, 1), poly_pt(ref_w, 0))
+    t1 = v3.scale(edge0, 1.0 / jnp.maximum(v3.norm(edge0), 1e-9))
+    t2 = v3.cross(n_ref, t1)
+    p0 = poly_pt(ref_w, 0)
 
-        def to2d(x):
-            rel = x - p0
-            return jnp.stack([rel @ t1, rel @ t2, x @ nr - offr], axis=-1)
+    ru, rv = [], []
+    for k in range(e_cap):
+        rel = v3.sub(poly_pt(ref_w, k), p0)
+        ru.append(v3.dot(rel, t1))
+        rv.append(v3.dot(rel, t2))
+    iu_l, iv_l, is_l = [], [], []
+    for k in range(e_cap):
+        q = poly_pt(inc_w, k)
+        rel = v3.sub(q, p0)
+        iu_l.append(v3.dot(rel, t1))
+        iv_l.append(v3.dot(rel, t2))
+        is_l.append(v3.dot(q, n_ref) - off_ref)
+    zero_p = jnp.zeros((p,), jnp.float32)
+    pad = [zero_p] * e_cap
+    pu = jnp.stack(iu_l + pad)                             # [CAP, P]
+    pv = jnp.stack(iv_l + pad)
+    ps = jnp.stack(is_l + pad)
+    m_cnt = inc_cnt
 
-        ref2d = to2d(ref_poly)
-        poly = jnp.zeros((cap, 3), jnp.float32).at[:e_cap].set(to2d(inc_poly))
-        m = icnt
-        idx_e = jnp.arange(e_cap)
-        nxt_oh = jax.nn.one_hot(
-            (idx_e + 1) % jnp.maximum(rcnt, 1), e_cap, dtype=jnp.float32)
-        ref2d_next = nxt_oh @ ref2d
-        for k in range(e_cap):
-            a_uv = ref2d[k, :2]
-            e_uv = ref2d_next[k, :2] - a_uv
-            plane = jnp.stack(
-                [e_uv[1], -e_uv[0], e_uv[1] * a_uv[0] - e_uv[0] * a_uv[1]])
-            noop = jnp.array([0.0, 0.0, 1e30], jnp.float32)
-            plane = jnp.where(k < rcnt, plane, noop)
-            poly, m = _clip_polygon(poly, m, plane)
-        pts = (p0[None, :] + poly[:, 0:1] * t1[None, :]
-               + poly[:, 1:2] * t2[None, :] + poly[:, 2:3] * nr[None, :])
-        return poly, m, pts
+    for k in range(e_cap):
+        # ref edge k → k+1 (wrapping to 0 at rcnt); no-op past rcnt
+        if k + 1 < e_cap:
+            wrapped = (k + 1) == ref_cnt
+            ru_n = jnp.where(wrapped, ru[0], ru[k + 1])
+            rv_n = jnp.where(wrapped, rv[0], rv[k + 1])
+        else:
+            ru_n, rv_n = ru[0], rv[0]
+        e_u = ru_n - ru[k]
+        e_v = rv_n - rv[k]
+        on = (k < ref_cnt).astype(jnp.float32)
+        cu = e_v * on
+        cv = -e_u * on
+        d = (e_v * ru[k] - e_u * rv[k]) * on + (1.0 - on) * jnp.float32(1e30)
+        pu, pv, ps, m_cnt = _clip(pu, pv, ps, m_cnt, cu, cv, d)
 
-    poly2d, m_cnt, pts_face = jax.vmap(clip_one)(
-        ref_w, inc_w, n_ref_a, off_ref, ref_cnt, inc_cnt)
+    pts_face = jnp.stack([
+        p0[c][None, :] + pu * t1[c][None, :] + pv * t2[c][None, :]
+        + ps * n_ref[c][None, :]
+        for c in range(3)
+    ], axis=-1).swapaxes(0, 1)                             # [P, CAP, 3]
 
     slot = jnp.arange(cap)[None, :]
-    depth_face = -poly2d[:, :, 2]                          # [P, CAP]
+    depth_face = -ps.T                                     # [P, CAP]
     valid_face = ((slot < m_cnt[:, None]) & (depth_face > 0.0)
                   & ~separated[:, None] & ~edge_wins[:, None])
     n_out = v3.where(ref_is_a, v3.neg(n_ref), n_ref)       # B → A

@@ -838,8 +838,11 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
                              warm_rows=warm_rows)
     )
     metrics: Dict = {
-        "pair_overflow": cand.overflow,
-        # per-bucket dropped counts live at meta[0, b·128]
+        # broad-phase window overflow + prefilter survivors beyond
+        # bucket_cap2 (meta[0, b·128+2]) — candidates lost either way
+        "pair_overflow": cand.overflow + jnp.sum(
+            meta[0].reshape(nb, 128)[:, 2]).astype(jnp.int32),
+        # per-bucket dropped contact counts live at meta[0, b·128]
         "contact_overflow": jnp.sum(
             meta[0].reshape(nb, 128)[:, 0]).astype(jnp.int32),
         **solve_metrics,

@@ -90,20 +90,26 @@ def _split(x):
 
 
 def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
-                     vel_on, pos_on, is_warm_f, degf):
+                     vel_on, pos_on, is_warm_f, degf, oh=None):
     """One Jacobi sweep over one contact tile — the shared math of the
     fused multi-sweep kernel and the single-sweep (sharded) kernel.
 
     `win` is the [16, WTOT] snapshot of the z table; `vel_on`/`pos_on`/
     `is_warm_f`/`degf` are 0/1 floats (traced scalars in the fused kernel,
-    python constants in the single-sweep kernel). Returns
+    python constants in the single-sweep kernel). `oh` optionally supplies
+    precomputed (oh_a, oh_b) bf16 one-hots (the fused kernel persists
+    them in VMEM scratch across sweeps — the iota-compare rebuild was
+    ~60% of a sweep's VPU work). Returns
     (lam_new [4, TILE], ca, cb, oh_a, oh_b) where ca/cb are the [16, TILE]
     per-endpoint contribution stacks ready for the one-hot scatter.
     """
     w_hi, w_lo = _split(win)
-    row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
-    oh_a = (row == la[None, :]).astype(jnp.bfloat16)     # [WTOT, TILE]
-    oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+    if oh is None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
+        oh_a = (row == la[None, :]).astype(jnp.bfloat16)  # [WTOT, TILE]
+        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+    else:
+        oh_a, oh_b = oh
 
     def bgather(oh):
         g1 = jax.lax.dot_general(
@@ -202,7 +208,8 @@ def _bscatter(cmat, oh):
         preferred_element_type=jnp.float32)
 
 
-def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
+def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
+                 persist_oh=False):
     """Kernel body closure over the static solve shape.
 
     Grid is (n_sweeps, ntiles). Sweep s=0 is a combined pre-pass: it
@@ -212,11 +219,16 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
     and, when `warm_sweep`, applies the warm-start impulses (λ: 0 → λ₀) in
     the same scatter. Relaxation sweeps start at s=1 and never race the
     pre-pass: they read the per-sweep snapshot taken at tile 0.
+
+    persist_oh: build each tile's endpoint one-hots ONCE (sweep 0) and
+    keep them in bf16 VMEM scratch for the later sweeps — the per-sweep
+    iota-compare rebuild was most of the kernel's VPU instruction count.
+    Costs 2·wtot·cp bf16 bytes of scratch (lifted vmem limit at 4k).
     """
     stage_off = 1
 
     def kernel(base_ref, la_ref, lb_ref, consts_ref, z0_ref,
-               zout_ref, lam_ref, tab_read, tab_acc, lam_s):
+               zout_ref, lam_ref, tab_read, tab_acc, lam_s, *oh_s):
         s, t = pl.program_id(0), pl.program_id(1)
         ntiles = pl.num_programs(1)
 
@@ -246,10 +258,27 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep):
         is_warm_f = (jnp.where(s == 0, 1.0, 0.0) if warm_sweep else None)
         degf = jnp.where(s == 0, 1.0, 0.0)
 
+        oh = None
+        if persist_oh:
+            oha_s, ohb_s = oh_s
+
+            @pl.when(s == 0)
+            def _():
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (wtot, tile), 0)
+                oha_s[:, pl.ds(coff, tile)] = (
+                    row == la[None, :]).astype(jnp.bfloat16)
+                ohb_s[:, pl.ds(coff, tile)] = (
+                    row == lb[None, :]).astype(jnp.bfloat16)
+
+            oh = (oha_s[:, pl.ds(coff, tile)],
+                  ohb_s[:, pl.ds(coff, tile)])
+
         lam4 = lam_s[:, pl.ds(coff, tile)]                   # [4, TILE]
         lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
             win, la, lb, cs, lam4, tile=tile, wtot=wtot,
-            vel_on=vel_on, pos_on=pos_on, is_warm_f=is_warm_f, degf=degf)
+            vel_on=vel_on, pos_on=pos_on, is_warm_f=is_warm_f, degf=degf,
+            oh=oh)
 
         lam_s[:, pl.ds(coff, tile)] = lam_new
         tab_acc[:, pl.ds(start, wtot)] += _bscatter(ca, oh_a) + _bscatter(
@@ -276,6 +305,7 @@ def banded_sweeps(
     pos_iters: int,
     warm_sweep: bool,
     interpret: bool | None = None,
+    persist_oh: bool | None = None,
 ) -> Tuple[Array, Array]:
     """Run the fused sweep loop; returns (z [16, NPAD], lam [4, Cp])."""
     cp = la.shape[0]
@@ -285,12 +315,21 @@ def banded_sweeps(
     n_sweeps = max(vel_iters, pos_iters) + 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if persist_oh is None:
+        import os
+
+        # persist unless the one-hot scratch would crowd VMEM (bf16
+        # 2·wtot·cp bytes; ~25 MB at the 4k pile, fine — ~100 MB+ for
+        # very large packed-env solves, where rebuild wins)
+        persist_oh = (2 * wtot * cp * 2 <= 48 * 1024 * 1024
+                      and os.environ.get("PHYSICS_TPU_PERSIST_OH", "1")
+                      != "0")
 
     la3 = jnp.broadcast_to(la.reshape(ntiles, 1, tile), (ntiles, 8, tile))
     lb3 = jnp.broadcast_to(lb.reshape(ntiles, 1, tile), (ntiles, 8, tile))
 
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
-                          warm_sweep)
+                          warm_sweep, persist_oh=persist_oh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_sweeps, ntiles),
@@ -308,14 +347,18 @@ def banded_sweeps(
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((4, cp), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((wtot, cp), jnp.bfloat16),
+            pltpu.VMEM((wtot, cp), jnp.bfloat16),
+        ] if persist_oh else []),
     )
     # scratch demand: two z tables + the λ table + streamed blocks. The
     # default 16 MB scoped-vmem limit caps packed-env solves at ~4k envs;
     # v5e physically has more — lift the cap ONLY when the shapes need it
     # (a raised limit measurably degrades scheduling for solves that fit:
     # E=8192 packed runs, but at worse per-body throughput than E=4096).
-    scratch_bytes = (2 * Z_ROWS * npad + 4 * cp) * 4
+    scratch_bytes = ((2 * Z_ROWS * npad + 4 * cp) * 4
+                     + (2 * wtot * cp * 2 if persist_oh else 0))
     block_bytes = (2 * 8 * tile + R_CONST * tile + 3 * wtot * tile) * 4 * 2
     needed = int((scratch_bytes + block_bytes) * 1.25)
     params = {}

@@ -23,6 +23,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # This environment's sitecustomize registers the remote-TPU PJRT
+    # plugin whenever PALLAS_AXON_POOL_IPS is set — and backend INIT
+    # (not registration) dials the tunnel and can block indefinitely
+    # when it is unhealthy, even under JAX_PLATFORMS=cpu. The parent
+    # process is already protected by jax.config.update below; popping
+    # the var here makes the env inherited by SUBPROCESS-based tests
+    # (test_boxes_only_path, test_hullhull fast-parity) tunnel-immune:
+    # their fresh interpreters skip the registration entirely.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402

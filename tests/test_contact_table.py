@@ -88,3 +88,40 @@ def test_table_overflow_counted():
     # the 24-body cluster state makes > 128 contacts (ground + deep pairs)
     assert int(m["contact_overflow"]) > 0
     assert int(m["contact_count"]) <= 128
+
+
+def test_table_two_phase_prefilter_identical():
+    """bucket_cap2 (face-axis SAT prefilter + survivor compaction inside
+    the kernel) must be a pure optimization: the emitted table is
+    BITWISE identical — the prefilter only drops face-separated pairs
+    (which produce no contacts) and compaction is order-preserving. The
+    warm-started rollout must also stay stable through it."""
+    from physics_tpu.ops.broadphase import (
+        body_aabbs, pair_candidates, sweep_order,
+    )
+    from physics_tpu.ops.contact_table import bucket_contact_table
+
+    state = _cluster_state(24)
+    cfg = CFG_TABLE
+    cfg2 = cfg.replace(bucket_cap2=128)
+    order = sweep_order(state, body_aabbs(state))
+    cand = pair_candidates(state, cfg)
+    t0, m0, _ = bucket_contact_table(state, cand, cfg, order)
+    t1, m1, _ = bucket_contact_table(state, cand, cfg2, order)
+    assert np.asarray(t0[9]).sum() > 20          # contact-rich
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    assert float(np.asarray(m1)[0].reshape(-1, 128)[:, 2].sum()) == 0.0
+
+    b = SceneBuilder()
+    for k in range(3):
+        i = b.add_body(pos=(0.0, 0.5 + 1.002 * k, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.6)
+    cfgr = CFG_TABLE.replace(sweep_window=4, contact_iters=16,
+                             dt=1.0 / 120.0, bucket_cap2=128)
+    st = prepare_contacts(b.build(), cfgr)
+    final, _ = rollout(st, cfgr, num_steps=240)
+    y = np.sort(np.asarray(final.pos[:, 1]))
+    gaps = np.diff(y)
+    assert abs(y[0] - 0.5) < 0.03, y
+    assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y

@@ -257,50 +257,76 @@ def test_cube_drop_rests_on_ground():
     assert np.all(np.isfinite(np.asarray(final.quat)))
 
 
+_HULL_FAST_PARITY_SCRIPT = r"""
+import dataclasses
+import numpy as np
+import jax
+
+from physics_tpu import engine
+from physics_tpu.ops import narrowphase as nph
+from physics_tpu.ops.broadphase import pair_candidates
+from physics_tpu.scenes import mesh_rain, rain_config
+
+state = mesh_rain(24, seed=0)
+cfg = rain_config(24)
+cfg_slow = dataclasses.replace(cfg, hull_fast=False)
+assert cfg.hull_fast  # default ON for single-hull-type scenes
+
+step = jax.jit(engine.step, static_argnums=1)
+s = state
+for _ in range(60):                 # drop into a contact-rich pile
+    s = step(s, cfg_slow)
+
+cand = pair_candidates(s, cfg)
+cvx = nph.convex_data(s)
+c_fast = nph.pair_contacts(s, cvx, cand, cfg)
+c_slow = nph.pair_contacts(s, cvx, cand, cfg_slow)
+
+df = np.asarray(c_fast.depth)
+ds = np.asarray(c_slow.depth)
+act = df > 0
+assert act.sum() > 20               # genuinely contact-rich
+assert (act == (ds > 0)).all()
+np.testing.assert_allclose(df[act], ds[act], atol=1e-5)
+for fld in ("normal", "point"):
+    a = np.moveaxis(np.asarray(getattr(c_fast, fld)), 0, -1)[act]
+    b = np.moveaxis(np.asarray(getattr(c_slow, fld)), 0, -1)[act]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+sf = ss = s                         # trajectories stay together
+for _ in range(40):
+    sf = step(sf, cfg)
+    ss = step(ss, cfg_slow)
+assert np.abs(np.asarray(sf.pos) - np.asarray(ss.pos)).max() < 1e-4
+assert np.isfinite(np.asarray(sf.pos)).all()
+print("HULL_FAST_PARITY_OK")
+"""
+
+
 def test_batched_hull_fast_path_matches_vmapped():
     """ops/hullhull_batched (single-shared-hull SAT via static [rows, 9]
     coefficient matmuls against the relative rotation) must reproduce the
     vmapped `hull_hull_manifold` narrow phase: same active contact set,
     float-level (depth, normal, point) agreement on a contact-rich rain
-    state, and matching trajectories through the full step."""
-    import dataclasses
+    state, and matching trajectories through the full step.
 
-    import jax
+    Runs in a SINGLE-device-CPU subprocess like
+    tests/test_boxes_only_path.py: under the suite's 8-virtual-device
+    backend, programs of this size nondeterministically hit an XLA:CPU
+    dispatch bug ("Execution supplied 36 buffers but compiled program
+    expected 42") — the same upstream bug family as the tunnel's
+    second-execution failures on TPU."""
+    import os
+    import subprocess
+    import sys
 
-    from physics_tpu import engine
-    from physics_tpu.ops import narrowphase as nph
-    from physics_tpu.ops.broadphase import pair_candidates
-    from physics_tpu.scenes import mesh_rain, rain_config
-
-    state = mesh_rain(24, seed=0)
-    cfg = rain_config(24)
-    cfg_slow = dataclasses.replace(cfg, hull_fast=False)
-    assert cfg.hull_fast  # default ON for single-hull-type scenes
-
-    step = jax.jit(engine.step, static_argnums=1)
-    s = state
-    for _ in range(60):                 # drop into a contact-rich pile
-        s = step(s, cfg_slow)
-
-    cand = pair_candidates(s, cfg)
-    cvx = nph.convex_data(s)
-    c_fast = nph.pair_contacts(s, cvx, cand, cfg)
-    c_slow = nph.pair_contacts(s, cvx, cand, cfg_slow)
-
-    df = np.asarray(c_fast.depth)
-    ds = np.asarray(c_slow.depth)
-    act = df > 0
-    assert act.sum() > 20               # genuinely contact-rich
-    assert (act == (ds > 0)).all()
-    np.testing.assert_allclose(df[act], ds[act], atol=1e-5)
-    for fld in ("normal", "point"):
-        a = np.moveaxis(np.asarray(getattr(c_fast, fld)), 0, -1)[act]
-        b = np.moveaxis(np.asarray(getattr(c_slow, fld)), 0, -1)[act]
-        np.testing.assert_allclose(a, b, atol=1e-4)
-
-    sf = ss = s                         # trajectories stay together
-    for _ in range(40):
-        sf = step(sf, cfg)
-        ss = step(ss, cfg_slow)
-    assert np.abs(np.asarray(sf.pos) - np.asarray(ss.pos)).max() < 1e-4
-    assert np.isfinite(np.asarray(sf.pos)).all()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", _HULL_FAST_PARITY_SCRIPT],
+        env=env, capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "HULL_FAST_PARITY_OK" in out.stdout
