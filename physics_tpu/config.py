@@ -123,6 +123,15 @@ class SimConfig:
     # scales with candidate lanes). 0 = off. Overflow (survivors beyond
     # cap2) is counted into pair_overflow — never silent.
     bucket_cap2: int = 0
+    # fold the ENTIRE broad phase into the contact-table kernel: no
+    # sweep-mask kernel, no segmented candidate sort, no candidate
+    # tensors in HBM — each bucket derives its raw candidates (rank i,
+    # rank i+d), d ≤ sweep_window, from shifted static slices of its
+    # sorted geometry window and compacts AABB+face-SAT survivors to
+    # bucket_cap2 (or the bucket cap) lanes in-kernel. Requires
+    # contact_table. Window-edge overlap at d = sweep_window is counted
+    # into pair_overflow — never silent.
+    bp_inkernel: bool = False
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

@@ -120,7 +120,7 @@ def _exclusive_prefix(mask):
 
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
-                    warm=False, cap2=0):
+                    warm=False, cap2=0, bp_k=0):
     """One grid step = one rank bucket: SAT + ground + compaction.
 
     warm=True adds in-kernel warm-start key matching: the previous step's
@@ -139,14 +139,32 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
     full 15-axis manifold / emit / contact compaction — whose cost all
     scales with candidate lanes. Conservative: only pairs strictly
     separated on a FACE axis are dropped (they produce no contact).
-    Survivors beyond cap2 are counted into meta[0, b·128+2]."""
+    Survivors beyond cap2 are counted into meta[0, b·128+2].
+
+    bp_k > 0 folds the ENTIRE broad phase into the kernel: no candidate
+    inputs at all — the bucket's raw candidate set is (rank i, rank i+d)
+    for i in [0, 128), d in [1, bp_k], and both endpoints' geometry falls
+    out of SHIFTED STATIC SLICES of the window (cur = lane i, neighbor =
+    lane i+d — zero gathers). AABB overlap + the face-axis SAT run as
+    [bp_k, 128] 2-D ops on all 128·bp_k raw candidates; survivors compact
+    once into `cap` lanes (iota-derived local ranks ride the one-hot
+    scatter), are gathered, and run the full manifold. Replaces the XLA
+    sweep-mask kernel + segmented candidate sort + la/lb prep (and the
+    cap2 phase, which it subsumes). Survivors beyond `cap` are counted
+    into meta[0, b·128+2]; ranks whose x-interval still overlaps at
+    d = bp_k (pairs may exist beyond the window) into meta[0, b·128+3]."""
+    assert not (bp_k and cap2), "bp_k subsumes the cap2 prefilter"
     sat_cap = cap2 if cap2 else cap
     sub_pair = kk * (sat_cap // 128)
     sub = sub_pair + kg
     m = sub * 128
     chunk_rows = 4                       # scatter chunk: 512 contacts
 
-    def kernel(la_ref, lb_ref, geom_ref, *refs):
+    def kernel(*args):
+        if bp_k:
+            geom_ref, *refs = args
+        else:
+            la_ref, lb_ref, geom_ref, *refs = args
         if warm:
             prev_ref, out_ref, meta_ref, warm_ref = refs
         else:
@@ -155,8 +173,6 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         start = pl.multiple_of(b * BLOCK, 128)
         win = geom_ref[:, pl.ds(start, wtot)]             # [24, WTOT]
         w_hi, w_lo = _split(win)
-        la = la_ref[0, 0, :]
-        lb = lb_ref[0, 0, :]
 
         def bgather(oh):
             g1 = jax.lax.dot_general(
@@ -172,11 +188,127 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             return ((row == lav[None, :]).astype(jnp.bfloat16),
                     (row == lbv[None, :]).astype(jnp.bfloat16))
 
+        def face_sat_sep(t, ra, rb, ha, hb):
+            """Best separation over the 6 FACE axes (any broadcastable
+            shapes; ra/rb row-major 9-tuples). > 0 ⇒ no contact possible
+            on a face axis (edge axes can't beat both faces for boxes'
+            contact EXISTENCE — a separating edge axis implies a
+            separating face axis does not hold in general, but a pair
+            separated on a face axis definitely has no contact)."""
+            # C[i][j] = u_i · w_j (columns of Ra vs columns of Rb)
+            cabs = [[jnp.abs(ra[i] * rb[j] + ra[3 + i] * rb[3 + j]
+                             + ra[6 + i] * rb[6 + j]) for j in range(3)]
+                    for i in range(3)]
+            sep_best = None
+            for i in range(3):
+                ut = ra[i] * t[0] + ra[3 + i] * t[1] + ra[6 + i] * t[2]
+                rad = (ha[i] + hb[0] * cabs[i][0] + hb[1] * cabs[i][1]
+                       + hb[2] * cabs[i][2])
+                s = jnp.abs(ut) - rad
+                sep_best = s if sep_best is None else jnp.maximum(
+                    sep_best, s)
+            for j in range(3):
+                wt = rb[j] * t[0] + rb[3 + j] * t[1] + rb[6 + j] * t[2]
+                rad = (hb[j] + ha[0] * cabs[0][j] + ha[1] * cabs[1][j]
+                       + ha[2] * cabs[2][j])
+                sep_best = jnp.maximum(sep_best, jnp.abs(wt) - rad)
+            return sep_best
+
+        def compact_pair_lanes(keepf, la2, lb2, out_cap):
+            """Order-preserving compaction of candidate lanes: keepf
+            [SUB, 128] 0/1 f32, la2/lb2 [SUB, 128] f32 local ranks.
+            Returns (la [out_cap] i32, lb [out_cap] i32, dropped f32) —
+            empty slots −1. Local ranks < 2¹⁶ ⇒ exact in bf16 hi/lo."""
+            nsub = keepf.shape[0]
+            slot1 = _exclusive_prefix(keepf)
+            slot1 = slot1 * keepf + (1.0 - keepf) * jnp.float32(out_cap)
+            pay_a = (la2 + 1.0) * keepf
+            pay_b = (lb2 + 1.0) * keepf
+            acc2 = jnp.zeros((2, out_cap), jnp.float32)
+            ohr = jax.lax.broadcasted_iota(
+                jnp.int32, (out_cap, chunk_rows * 128), 0)
+            for r0 in range(0, nsub, chunk_rows):
+                cr = min(chunk_rows, nsub - r0)
+                cwr = cr * 128
+                sl = slot1[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
+                oht = (ohr[:, :cwr] == sl).astype(jnp.bfloat16)
+                pay = jnp.stack([pay_a[r0:r0 + cr].reshape(1, cwr)[0],
+                                 pay_b[r0:r0 + cr].reshape(1, cwr)[0]])
+                p_hi, p_lo = _split(pay)
+                acc2 += jax.lax.dot_general(
+                    p_hi, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc2 += jax.lax.dot_general(
+                    p_lo, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dropped = jnp.maximum(
+                jnp.sum(keepf) - jnp.float32(out_cap), 0.0)
+            return (acc2[0].astype(jnp.int32) - 1,
+                    acc2[1].astype(jnp.int32) - 1, dropped)
+
+        dropped2 = jnp.float32(0.0)
+        winovf = jnp.float32(0.0)
+        if bp_k:
+            # ---- phase 0: whole broad phase in-kernel ----
+            # Raw candidate (d, i) = sorted ranks (start+i, start+i+d),
+            # i ∈ [0, 128), d ∈ [1, bp_k]. Endpoint A's geometry is the
+            # window's first 128 lanes broadcast over d; endpoint B's is
+            # a static shifted slice — NO gathers anywhere in the filter.
+            def nb2(v):
+                return jnp.stack([
+                    jax.lax.slice_in_dim(v, d, d + 128)
+                    for d in range(1, bp_k + 1)])          # [bp_k, 128]
+
+            def cur(v):
+                return jax.lax.slice_in_dim(v, 0, 128)[None, :]
+
+            ext = []
+            for c in range(3):
+                ext.append(jnp.abs(win[3 + 3 * c]) * win[12]
+                           + jnp.abs(win[4 + 3 * c]) * win[13]
+                           + jnp.abs(win[5 + 3 * c]) * win[14])
+            pos3 = (win[0], win[1], win[2])
+            mins = tuple(pos3[c] - ext[c] for c in range(3))
+            maxs = tuple(pos3[c] + ext[c] for c in range(3))
+
+            x_ov = nb2(mins[0]) <= cur(maxs[0])            # sorted by min-x
+            keep = x_ov
+            for c in range(3):
+                keep = keep & (
+                    jnp.maximum(cur(mins[c]), nb2(mins[c]))
+                    <= jnp.minimum(cur(maxs[c]), nb2(maxs[c])))
+            live = (cur(win[19]) > 0.0) & (nb2(win[19]) > 0.0)
+            keep = keep & live
+            keep = keep & ((cur(win[17]) > 0.0) | (nb2(win[17]) > 0.0))
+
+            # face-axis SAT on the raw [bp_k, 128] candidates (2-D slices
+            # of the same window fields)
+            t2 = tuple(nb2(pos3[c]) - cur(pos3[c]) for c in range(3))
+            ra2 = tuple(cur(win[3 + k2]) for k2 in range(9))
+            rb2 = tuple(nb2(win[3 + k2]) for k2 in range(9))
+            ha2 = tuple(cur(win[12 + c]) for c in range(3))
+            hb2 = tuple(nb2(win[12 + c]) for c in range(3))
+            keep = keep & (face_sat_sep(t2, ra2, rb2, ha2, hb2) < 0.0)
+            keepf = keep.astype(jnp.float32)
+
+            la2 = jax.lax.broadcasted_iota(
+                jnp.int32, (bp_k, 128), 1).astype(jnp.float32)
+            lb2 = la2 + 1.0 + jax.lax.broadcasted_iota(
+                jnp.int32, (bp_k, 128), 0).astype(jnp.float32)
+            la, lb, dropped2 = compact_pair_lanes(keepf, la2, lb2, cap)
+            # ranks whose x-interval still overlaps the furthest window
+            # neighbor: pairs may exist beyond d = bp_k — counted, never
+            # silent (matches ops/broadphase.sweep_candidates overflow)
+            lov = (x_ov[bp_k - 1] & live[bp_k - 1]).astype(jnp.float32)
+            winovf = jnp.sum(lov)
+        else:
+            la = la_ref[0, 0, :]
+            lb = lb_ref[0, 0, :]
+
         oh_a, oh_b = onehots(la, lb)
         ga = bgather(oh_a)
         gb = bgather(oh_b)        # inactive (la = −1): all-zero columns
 
-        dropped2 = jnp.float32(0.0)
         if cap2:
             # ---- phase 1: face-axis SAT prefilter on all candidates ----
             t = (gb[0] - ga[0], gb[1] - ga[1], gb[2] - ga[2])
@@ -184,22 +316,7 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             rb = tuple(gb[3 + k] for k in range(9))
             ha = (ga[12], ga[13], ga[14])
             hb = (gb[12], gb[13], gb[14])
-            # C[i][j] = u_i · w_j (columns of Ra vs columns of Rb)
-            cmat = [[ra[i] * rb[j] + ra[3 + i] * rb[3 + j]
-                     + ra[6 + i] * rb[6 + j] for j in range(3)]
-                    for i in range(3)]
-            cabs = [[jnp.abs(cmat[i][j]) for j in range(3)] for i in range(3)]
-            sep_best = jnp.full((cap,), -1e30, jnp.float32)
-            for i in range(3):
-                ut = ra[i] * t[0] + ra[3 + i] * t[1] + ra[6 + i] * t[2]
-                rad = (ha[i] + hb[0] * cabs[i][0] + hb[1] * cabs[i][1]
-                       + hb[2] * cabs[i][2])
-                sep_best = jnp.maximum(sep_best, jnp.abs(ut) - rad)
-            for j in range(3):
-                wt = rb[j] * t[0] + rb[3 + j] * t[1] + rb[6 + j] * t[2]
-                rad = (hb[j] + ha[0] * cabs[0][j] + ha[1] * cabs[1][j]
-                       + ha[2] * cabs[2][j])
-                sep_best = jnp.maximum(sep_best, jnp.abs(wt) - rad)
+            sep_best = face_sat_sep(t, ra, rb, ha, hb)
             mv1 = (ga[17] > 0.0) | (gb[17] > 0.0)
             keep = (sep_best < 0.0) & mv1 & (la >= 0)
             keepf = keep.astype(jnp.float32)
@@ -209,32 +326,19 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                 jax.lax.slice_in_dim(keepf, r * 128, (r + 1) * 128)
                 for r in range(cap // 128)
             ]) if mosaic else keepf.reshape(cap // 128, 128)
-            slot1 = _exclusive_prefix(km)
-            slot1 = slot1 * km + (1.0 - km) * jnp.float32(cap2)
-            pay1 = jnp.stack([
-                (la + 1).astype(jnp.float32) * keepf,
-                (lb + 1).astype(jnp.float32) * keepf,
-            ])                                             # [2, CAP]
-            acc2 = jnp.zeros((2, cap2), jnp.float32)
-            oh2_row = jax.lax.broadcasted_iota(
-                jnp.int32, (cap2, chunk_rows * 128), 0)
-            for r0 in range(0, cap // 128, chunk_rows):
-                cr = min(chunk_rows, cap // 128 - r0)
-                cwr = cr * 128
-                sl = slot1[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
-                oht = (oh2_row[:, :cwr] == sl).astype(jnp.bfloat16)
-                pay = pay1[:, r0 * 128:r0 * 128 + cwr]
-                # local ranks < 2¹⁶: exact in one bf16 hi/lo split
-                p_hi, p_lo = _split(pay)
-                acc2 += jax.lax.dot_general(
-                    p_hi, oht, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc2 += jax.lax.dot_general(
-                    p_lo, oht, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            la = acc2[0].astype(jnp.int32) - 1             # empty → −1
-            lb = acc2[1].astype(jnp.int32) - 1
-            dropped2 = jnp.maximum(jnp.sum(keepf) - jnp.float32(cap2), 0.0)
+            laf = la.astype(jnp.float32)
+            lbf = lb.astype(jnp.float32)
+            if mosaic:
+                la2 = jnp.stack([
+                    jax.lax.slice_in_dim(laf, r * 128, (r + 1) * 128)
+                    for r in range(cap // 128)])
+                lb2 = jnp.stack([
+                    jax.lax.slice_in_dim(lbf, r * 128, (r + 1) * 128)
+                    for r in range(cap // 128)])
+            else:
+                la2 = laf.reshape(cap // 128, 128)
+                lb2 = lbf.reshape(cap // 128, 128)
+            la, lb, dropped2 = compact_pair_lanes(km, la2, lb2, cap2)
 
             # ---- phase 2: re-gather survivor geometry ----
             oh_a, oh_b = onehots(la, lb)
@@ -433,8 +537,10 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         at00 = ((r_i == 0) & (c_i == 0)).astype(jnp.float32)
         at01 = ((r_i == 0) & (c_i == 1)).astype(jnp.float32)
         at02 = ((r_i == 0) & (c_i == 2)).astype(jnp.float32)
+        at03 = ((r_i == 0) & (c_i == 3)).astype(jnp.float32)
         dropped = jnp.maximum(n_act - jnp.float32(ccap), 0.0)
-        meta_ref[:] = at00 * dropped + at01 * n_act + at02 * dropped2
+        meta_ref[:] = (at00 * dropped + at01 * n_act + at02 * dropped2
+                       + at03 * winovf)
 
     return kernel
 
@@ -452,7 +558,7 @@ def table_shape(n: int, cfg: SimConfig) -> Tuple[int, int, int]:
 
 def bucket_contact_table(
     state: SimState,
-    cand: PairCandidates,
+    cand: PairCandidates | None,
     cfg: SimConfig,
     order: Array | None,
     prev: Tuple[Array, Array] | None = None,
@@ -460,7 +566,15 @@ def bucket_contact_table(
     """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
     meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
     meta[0, b·128+1] = active count, meta[0, b·128+2] = prefilter
-    survivors dropped beyond bucket_cap2, warm [8, NB·ccap] | None).
+    survivors dropped beyond bucket_cap2 (or beyond the compaction cap
+    with the in-kernel broad phase), meta[0, b·128+3] = ranks whose
+    x-interval still overlaps at the window edge (in-kernel broad phase
+    only — pairs may exist beyond the window), warm [8, NB·ccap] | None).
+
+    cand=None (cfg.bp_inkernel) folds the broad phase into the kernel:
+    candidates are derived from the sorted geometry window by shifted
+    static slices (see _make_ct_kernel bp_k) — no sweep-mask kernel, no
+    segmented candidate sort, no candidate tensors in HBM.
 
     `order` is the sweep's body order (body id per rank); None = identity.
     `prev = (keys [cp] int32, lam3 [3, cp])` — the previous step's
@@ -473,12 +587,23 @@ def bucket_contact_table(
     """
     n = state.num_bodies
     assert n < (1 << 16), "contact_table: body ids exceed exact-f32 range"
-    block, cap, nb_cand = bucket_shape(n, cfg)
-    if block != BLOCK:
-        raise ValueError(
-            f"contact_table requires bucket_block == {BLOCK} (got {block})")
+    bp_k = 0
+    if cand is None:
+        bp_k = min(cfg.sweep_window, BLOCK, n - 1)
+        # compaction width: bucket_cap2 if pinned, else the bucket cap
+        _, cap, _ = bucket_shape(n, cfg)
+        if cfg.bucket_cap2:
+            cap = cfg.bucket_cap2
+        cap = min(cap, _round_up(128 * bp_k, 128))
+    else:
+        block, cap, nb_cand = bucket_shape(n, cfg)
+        if block != BLOCK:
+            raise ValueError(
+                f"contact_table requires bucket_block == {BLOCK} "
+                f"(got {block})")
     nb, ccap, cp = table_shape(n, cfg)
-    assert nb == nb_cand, (nb, nb_cand)
+    if cand is not None:
+        assert nb == nb_cand, (nb, nb_cand)
     kk = min(cfg.max_contacts_per_pair, _CAP)
     kg = min(cfg.max_contacts_per_pair, 8) if cfg.ground_plane else 0
     wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
@@ -494,36 +619,41 @@ def bucket_contact_table(
         + [state.shapes.params[:, 0], state.shapes.params[:, 1],
            state.shapes.params[:, 2], state.shapes.friction,
            state.shapes.restitution, movable * is_box,
-           jnp.arange(n, dtype=jnp.float32)]
-        + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 19)
+           jnp.arange(n, dtype=jnp.float32), is_box]
+        + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 20)
     )                                                     # [24, N]
     if order is not None:
         rows = rows[:, order]
     geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(rows)
 
-    # candidate locals: bucket-major [NB·cap] ranks → local to b·128
-    p = cand.rank_a.shape[0]
-    assert p == nb * cap, (p, nb, cap)
-    bucket_of = jnp.arange(p, dtype=jnp.int32) // cap
-    base_per = bucket_of * BLOCK
-    la = jnp.where(cand.mask, cand.rank_a - base_per, -1)
-    lb = jnp.where(cand.mask, cand.rank_b - base_per, -1)
-    la3 = jnp.broadcast_to(la.reshape(nb, 1, cap), (nb, 8, cap))
-    lb3 = jnp.broadcast_to(lb.reshape(nb, 1, cap), (nb, 8, cap))
+    cap2 = 0
+    if cand is not None:
+        # candidate locals: bucket-major [NB·cap] ranks → local to b·128
+        p = cand.rank_a.shape[0]
+        assert p == nb * cap, (p, nb, cap)
+        bucket_of = jnp.arange(p, dtype=jnp.int32) // cap
+        base_per = bucket_of * BLOCK
+        la = jnp.where(cand.mask, cand.rank_a - base_per, -1)
+        lb = jnp.where(cand.mask, cand.rank_b - base_per, -1)
+        la3 = jnp.broadcast_to(la.reshape(nb, 1, cap), (nb, 8, cap))
+        lb3 = jnp.broadcast_to(lb.reshape(nb, 1, cap), (nb, 8, cap))
 
-    cap2 = cfg.bucket_cap2
-    if cap2:
-        if cap2 % 128 or cap2 > cap:
-            raise ValueError(
-                f"bucket_cap2 must be a 128-multiple <= bucket cap "
-                f"({cap}); got {cap2}")
-        if cap2 == cap:
-            cap2 = 0        # no-op prefilter: skip the extra pass
+        cap2 = cfg.bucket_cap2
+        if cap2:
+            if cap2 % 128 or cap2 > cap:
+                raise ValueError(
+                    f"bucket_cap2 must be a 128-multiple <= bucket cap "
+                    f"({cap}); got {cap2}")
+            if cap2 == cap:
+                cap2 = 0        # no-op prefilter: skip the extra pass
     interpret = jax.default_backend() != "tpu"
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
-        mosaic=not interpret, warm=prev is not None, cap2=cap2)
+        mosaic=not interpret, warm=prev is not None, cap2=cap2,
+        bp_k=bp_k)
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ] if bp_k else [
         pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
         pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -536,7 +666,7 @@ def bucket_contact_table(
         jax.ShapeDtypeStruct((CT_ROWS, cp), jnp.float32),
         jax.ShapeDtypeStruct((8, nb * 128), jnp.float32),
     ]
-    operands = [la3, lb3, geom]
+    operands = [geom] if bp_k else [la3, lb3, geom]
     if prev is not None:
         pkey, plam = prev
         act_p = pkey != 0

@@ -826,7 +826,9 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
 
     n = state.num_bodies
     body_order = sweep_order(state, body_aabbs(state))
-    cand = pair_candidates(state, cfg)
+    # bp_inkernel: the kernel derives candidates from the sorted window
+    # itself — only the rank sort above survives in XLA
+    cand = None if cfg.bp_inkernel else pair_candidates(state, cfg)
     nb, ccap, cp = table_shape(n, cfg)
 
     use_warm = state.contact_key.shape[0] == cp
@@ -837,10 +839,13 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
         solve_impulses_table(state, table, cfg, body_order,
                              warm_rows=warm_rows)
     )
+    # candidates lost anywhere are pair_overflow — never silent:
+    # sweep-window overflow (XLA broad phase or in-kernel meta[.., 3])
+    # + survivors beyond the prefilter/compaction cap (meta[.., 2])
+    win_ovf = (jnp.sum(meta[0].reshape(nb, 128)[:, 3]).astype(jnp.int32)
+               if cand is None else cand.overflow)
     metrics: Dict = {
-        # broad-phase window overflow + prefilter survivors beyond
-        # bucket_cap2 (meta[0, b·128+2]) — candidates lost either way
-        "pair_overflow": cand.overflow + jnp.sum(
+        "pair_overflow": win_ovf + jnp.sum(
             meta[0].reshape(nb, 128)[:, 2]).astype(jnp.int32),
         # per-bucket dropped contact counts live at meta[0, b·128]
         "contact_overflow": jnp.sum(

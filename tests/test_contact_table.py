@@ -125,3 +125,72 @@ def test_table_two_phase_prefilter_identical():
     gaps = np.diff(y)
     assert abs(y[0] - 0.5) < 0.03, y
     assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
+
+
+def test_table_inkernel_broadphase_same_contacts():
+    """bp_inkernel (the ENTIRE broad phase folded into the kernel: shifted
+    static window slices → AABB + face-SAT filter → in-kernel candidate
+    compaction) must produce the SAME contact set as the XLA candidate
+    pipeline. Emission order within a bucket differs by design (d-major
+    raw-candidate order vs rank-major sweep order), so compare by feature
+    key with exact per-key payloads."""
+    from physics_tpu.ops.broadphase import (
+        body_aabbs, pair_candidates, sweep_order,
+    )
+    from physics_tpu.ops.contact_table import (
+        CT_ACT, bucket_contact_table, table_keys,
+    )
+
+    state = _cluster_state(24)
+    cfg = CFG_TABLE
+    order = sweep_order(state, body_aabbs(state))
+    cand = pair_candidates(state, cfg)
+    t0, _, _ = bucket_contact_table(state, cand, cfg, order)
+    t1, m1, _ = bucket_contact_table(state, None, cfg, order)
+    a0 = np.asarray(t0[CT_ACT]) > 0
+    a1 = np.asarray(t1[CT_ACT]) > 0
+    assert a0.sum() > 20 and a0.sum() == a1.sum()
+    k0 = np.asarray(table_keys(t0))
+    k1 = np.asarray(table_keys(t1))
+    assert set(k0[a0].tolist()) == set(k1[a1].tolist())
+    i0 = {int(k): i for i, k in enumerate(k0) if a0[i]}
+    T0, T1 = np.asarray(t0), np.asarray(t1)
+    for i, k in enumerate(k1):
+        if a1[i]:
+            np.testing.assert_array_equal(T1[:9, i], T0[:9, i0[int(k)]])
+    meta = np.asarray(m1)[0].reshape(-1, 128)
+    assert meta[:, 2].sum() == 0 and meta[:, 3].sum() == 0
+
+
+def test_table_inkernel_broadphase_step_and_rollout():
+    """Full step through cfg.bp_inkernel matches the candidate-pipeline
+    table step, and a warm-started stack rollout stays stable (exercises
+    window-edge overflow accounting + warm keys across steps)."""
+    state = _cluster_state(24)
+    cfg_bp = CFG_TABLE.replace(bp_inkernel=True)
+    out_t, m_t = jax.jit(step_with_metrics, static_argnums=1)(
+        state, CFG_TABLE)
+    out_b, m_b = jax.jit(step_with_metrics, static_argnums=1)(
+        state, cfg_bp)
+    assert int(m_b["pair_overflow"]) == 0
+    assert int(m_b["contact_overflow"]) == 0
+    assert int(m_b["contact_count"]) == int(m_t["contact_count"])
+    np.testing.assert_allclose(
+        np.asarray(out_b.pos), np.asarray(out_t.pos), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_b.vel), np.asarray(out_t.vel), atol=1e-4)
+
+    b = SceneBuilder()
+    for k in range(3):
+        i = b.add_body(pos=(0.0, 0.5 + 1.002 * k, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.6)
+    cfgr = CFG_TABLE.replace(sweep_window=4, contact_iters=16,
+                             dt=1.0 / 120.0, bp_inkernel=True)
+    st = prepare_contacts(b.build(), cfgr)
+    final, _ = rollout(st, cfgr, num_steps=240)
+    y = np.sort(np.asarray(final.pos[:, 1]))
+    gaps = np.diff(y)
+    assert abs(y[0] - 0.5) < 0.03, y
+    assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
+    assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
