@@ -132,6 +132,12 @@ class SimConfig:
     # contact_table. Window-edge overlap at d = sweep_window is counted
     # into pair_overflow — never silent.
     bp_inkernel: bool = False
+    # fused position integration: the solve kernel's final sweep
+    # integrates each tile's own 128 ranks in its epilogue (pos +=
+    # (v + pv)·dt, q ← exp(ω dt) ∘ normalize(exp(pω dt) ∘ q)), replacing
+    # the split-impulse XLA update AND integrate_positions' pos/quat
+    # math. Table path only; ignored under compat (Q2/Q6 stay in XLA).
+    fuse_integrate: bool = False
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

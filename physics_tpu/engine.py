@@ -179,11 +179,24 @@ def step_with_metrics(
     with jax.named_scope("integrate_vel"):
         state = integrate_velocities(state, cfg)
     contact_metrics: Dict = {}
-    if cfg.ground_plane or cfg.pair_collisions:
+    contacts_on = cfg.ground_plane or cfg.pair_collisions
+    if contacts_on:
         with jax.named_scope("contacts"):
             state, contact_metrics = resolve_contacts(state, cfg, shard=shard)
     with jax.named_scope("integrate_pos"):
-        state = integrate_positions(state, cfg)
+        from physics_tpu.solver.contacts import fused_integration
+
+        if contacts_on and fused_integration(state, cfg):
+            # pos/quat were integrated inside the solve kernel's
+            # epilogue (cfg.fuse_integrate) — only the bookkeeping
+            # half of integrate_positions remains
+            state = state.replace(
+                force=jnp.zeros_like(state.force),
+                torque=jnp.zeros_like(state.torque),
+                step_count=state.step_count + 1,
+            )
+        else:
+            state = integrate_positions(state, cfg)
     return state, {**joint_metrics, **contact_metrics}
 
 

@@ -120,7 +120,7 @@ def _exclusive_prefix(mask):
 
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
-                    warm=False, cap2=0, bp_k=0):
+                    warm=False, cap2=0, bp_k=0, row0=0):
     """One grid step = one rank bucket: SAT + ground + compaction.
 
     warm=True adds in-kernel warm-start key matching: the previous step's
@@ -171,7 +171,10 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             (out_ref, meta_ref), prev_ref, warm_ref = refs, None, None
         b = pl.program_id(0)
         start = pl.multiple_of(b * BLOCK, 128)
-        win = geom_ref[:, pl.ds(start, wtot)]             # [24, WTOT]
+        # row0=24 when fed the unified table (this kernel's block sits
+        # after the solve layout; see unified_geom)
+        win = geom_ref[row0:row0 + GEOM_ROWS,
+                       pl.ds(start, wtot)]                # [24, WTOT]
         w_hi, w_lo = _split(win)
 
         def bgather(oh):
@@ -545,6 +548,59 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
     return kernel
 
 
+def geom_pad(n: int, cfg: SimConfig) -> Tuple[int, int]:
+    """(wtot, npad) of the rank-space geometry window for an n-body scene
+    — shared by this kernel and solve_impulses_table (identical formulas
+    so one table serves both)."""
+    nb = -(-n // BLOCK)
+    wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
+    npad = max(_round_up(n + wtot, 128), nb * BLOCK + wtot)
+    return wtot, npad
+
+
+def unified_geom(state: SimState, cfg: SimConfig,
+                 order: Array | None) -> Array:
+    """ONE rank-space geometry table [48, NPAD] for the whole contact
+    step — built once, gathered through `order` once, shared by the
+    contact-table kernel, the solve-constants kernel, and the solve
+    kernel's fused integration epilogue:
+
+      rows  0:24  solve layout (solver/contacts_pallas._make_prep_kernel):
+                  pos | world I⁻¹ row-major | inv_mass | vel | omega |
+                  quat (19:23, read only by the integration epilogue)
+      rows 24:48  narrow-phase layout (this kernel's existing rows,
+                  offset by 24 — pos is duplicated so BOTH kernels read
+                  one contiguous 24-row block)
+    """
+    n = state.num_bodies
+    _, npad = geom_pad(n, cfg)
+    movable = (state.inv_mass > 0.0).astype(jnp.float32)
+    is_box = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
+    r9 = v3.quat_to_mat(state.quat)
+    iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))
+    zero = jnp.zeros((n,), jnp.float32)
+    pos3 = [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+    rows = jnp.stack(
+        pos3
+        + list(iw9)
+        + [state.inv_mass,
+           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+           state.omega[:, 0], state.omega[:, 1], state.omega[:, 2],
+           state.quat[:, 0], state.quat[:, 1], state.quat[:, 2],
+           state.quat[:, 3], zero]
+        + pos3
+        + list(r9)
+        + [state.shapes.params[:, 0], state.shapes.params[:, 1],
+           state.shapes.params[:, 2], state.shapes.friction,
+           state.shapes.restitution, movable * is_box,
+           jnp.arange(n, dtype=jnp.float32), is_box]
+        + [zero] * 4
+    )                                                     # [48, N]
+    if order is not None:
+        rows = rows[:, order]
+    return jnp.zeros((48, npad), jnp.float32).at[:, :n].set(rows)
+
+
 def table_shape(n: int, cfg: SimConfig) -> Tuple[int, int, int]:
     """(nb, ccap, cp) of the contact table for an n-body scene."""
     nb = -(-n // BLOCK)
@@ -562,6 +618,7 @@ def bucket_contact_table(
     cfg: SimConfig,
     order: Array | None,
     prev: Tuple[Array, Array] | None = None,
+    geom: Array | None = None,
 ) -> Tuple[Array, Array, Array | None]:
     """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
     meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
@@ -610,21 +667,29 @@ def bucket_contact_table(
     npad = _round_up(n + wtot, 128)
     npad = max(npad, nb * BLOCK + wtot)
 
-    movable = (state.inv_mass > 0.0).astype(jnp.float32)
-    is_box = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
-    r9 = v3.quat_to_mat(state.quat)
-    rows = jnp.stack(
-        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
-        + list(r9)
-        + [state.shapes.params[:, 0], state.shapes.params[:, 1],
-           state.shapes.params[:, 2], state.shapes.friction,
-           state.shapes.restitution, movable * is_box,
-           jnp.arange(n, dtype=jnp.float32), is_box]
-        + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 20)
-    )                                                     # [24, N]
-    if order is not None:
-        rows = rows[:, order]
-    geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(rows)
+    row0 = 0
+    if geom is None:
+        movable = (state.inv_mass > 0.0).astype(jnp.float32)
+        is_box = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
+        r9 = v3.quat_to_mat(state.quat)
+        rows = jnp.stack(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+            + list(r9)
+            + [state.shapes.params[:, 0], state.shapes.params[:, 1],
+               state.shapes.params[:, 2], state.shapes.friction,
+               state.shapes.restitution, movable * is_box,
+               jnp.arange(n, dtype=jnp.float32), is_box]
+            + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 20)
+        )                                                 # [24, N]
+        if order is not None:
+            rows = rows[:, order]
+        geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(
+            rows)
+    else:
+        # the shared unified table (unified_geom): this kernel's block
+        # sits at rows 24:48
+        assert geom.shape == (48, npad), (geom.shape, npad)
+        row0 = 24
 
     cap2 = 0
     if cand is not None:
@@ -650,7 +715,7 @@ def bucket_contact_table(
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
         mosaic=not interpret, warm=prev is not None, cap2=cap2,
-        bp_k=bp_k)
+        bp_k=bp_k, row0=row0)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ] if bp_k else [

@@ -592,6 +592,25 @@ def _chunk_contacts(
     ])
 
 
+def table_path(state: SimState, cfg: SimConfig) -> bool:
+    """True when the contact step routes through the fused bucket-aligned
+    contact table (_resolve_contacts_table) — the conditions its kernels
+    require. Static: depends only on cfg and capacities."""
+    return (
+        cfg.contact_solver == "pallas_banded" and cfg.contact_table
+        and cfg.boxes_only and cfg.pair_collisions
+        and cfg.broadphase == "sweep" and cfg.pair_buckets
+        and state.num_bodies > 1
+    )
+
+
+def fused_integration(state: SimState, cfg: SimConfig) -> bool:
+    """True when the solve kernel's fused integration epilogue replaces
+    engine.integrate_positions' pos/quat math (cfg.fuse_integrate on the
+    table path; compat semantics Q2/Q6 stay in XLA)."""
+    return cfg.fuse_integrate and not cfg.compat and table_path(state, cfg)
+
+
 def resolve_contacts(
     state: SimState,
     cfg: SimConfig,
@@ -619,11 +638,7 @@ def resolve_contacts(
     # fused bucket-aligned contact table: broad phase → ONE kernel (SAT +
     # ground + per-bucket compaction) → banded solve with static bases —
     # no XLA narrow phase, no contact sort/gather/pad (ops/contact_table.py)
-    if (
-        use_pallas and cfg.contact_table and cfg.boxes_only
-        and cfg.pair_collisions and cfg.broadphase == "sweep"
-        and cfg.pair_buckets and n > 1
-    ):
+    if table_path(state, cfg):
         return _resolve_contacts_table(state, cfg)
 
     cvx = convex_data(state)
@@ -821,6 +836,7 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     from physics_tpu.ops.contact_table import (
         bucket_contact_table,
         table_shape,
+        unified_geom,
     )
     from physics_tpu.solver.contacts_pallas import solve_impulses_table
 
@@ -831,13 +847,17 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     cand = None if cfg.bp_inkernel else pair_candidates(state, cfg)
     nb, ccap, cp = table_shape(n, cfg)
 
+    # ONE rank-space geometry table shared by the narrow-phase and solve
+    # kernels (one stack, one order-gather, quat_to_mat computed once)
+    geom = unified_geom(state, cfg, body_order)
+    fuse = fused_integration(state, cfg)
     use_warm = state.contact_key.shape[0] == cp
     prev = (state.contact_key, state.contact_lam) if use_warm else None
     table, meta, warm_rows = bucket_contact_table(
-        state, cand, cfg, body_order, prev=prev)
-    vel, omega, pvel, pomega, lam3, solve_metrics, keys = (
+        state, cand, cfg, body_order, prev=prev, geom=geom)
+    vel, omega, pvel, pomega, lam3, solve_metrics, keys, posquat = (
         solve_impulses_table(state, table, cfg, body_order,
-                             warm_rows=warm_rows)
+                             warm_rows=warm_rows, geom=geom, fuse=fuse)
     )
     # candidates lost anywhere are pair_overflow — never silent:
     # sweep-window overflow (XLA broad phase or in-kernel meta[.., 3])
@@ -853,10 +873,17 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
         **solve_metrics,
     }
 
-    dt = jnp.float32(cfg.dt)
-    new_pos = state.pos + pvel * dt
-    dq = quat.exp_map(pomega * dt)
-    new_quat = quat.normalize(quat.mul(dq, state.quat))
+    if fuse:
+        # the solve kernel's epilogue already applied BOTH the
+        # split-impulse pseudo-position update and the velocity
+        # position integration (engine skips integrate_positions'
+        # pos/quat math — see engine.step_with_metrics)
+        new_pos, new_quat = posquat
+    else:
+        dt = jnp.float32(cfg.dt)
+        new_pos = state.pos + pvel * dt
+        dq = quat.exp_map(pomega * dt)
+        new_quat = quat.normalize(quat.mul(dq, state.quat))
     state = state.replace(vel=vel, omega=omega, pos=new_pos, quat=new_quat)
     if use_warm:
         # stored TABLE-ALIGNED (unsorted): next step's kernel matches

@@ -209,7 +209,7 @@ def _bscatter(cmat, oh):
 
 
 def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
-                 persist_oh=False):
+                 persist_oh=False, integrate=None):
     """Kernel body closure over the static solve shape.
 
     Grid is (n_sweeps, ntiles). Sweep s=0 is a combined pre-pass: it
@@ -224,11 +224,26 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
     keep them in bf16 VMEM scratch for the later sweeps — the per-sweep
     iota-compare rebuild was most of the kernel's VPU instruction count.
     Costs 2·wtot·cp bf16 bytes of scratch (lifted vmem limit at 4k).
+
+    integrate=(dt, renorm): fused position-integration epilogue (table
+    path only, where tile t's window base IS t·128 and windows extend
+    forward only — so after tile t's final-sweep scatter, ranks
+    [t·128, (t+1)·128) can receive no further deltas). Each final-sweep
+    tile then integrates its own 128 ranks in-kernel: pos += (v+pv)·dt
+    and q ← exp(ω·dt) ∘ normalize(exp(pω·dt) ∘ q), replacing BOTH the
+    split-impulse XLA update and engine.integrate_positions. Inputs gain
+    posq [8, NPAD] (pos xyz, quat wxyz); outputs gain the integrated
+    [8, NPAD].
     """
     stage_off = 1
 
-    def kernel(base_ref, la_ref, lb_ref, consts_ref, z0_ref,
-               zout_ref, lam_ref, tab_read, tab_acc, lam_s, *oh_s):
+    def kernel(base_ref, la_ref, lb_ref, consts_ref, z0_ref, *refs):
+        if integrate is not None:
+            posq_ref, zout_ref, lam_ref, pq_ref, *scratch = refs
+        else:
+            zout_ref, lam_ref, *scratch = refs
+            posq_ref = pq_ref = None
+        tab_read, tab_acc, lam_s, *oh_s = scratch
         s, t = pl.program_id(0), pl.program_id(1)
         ntiles = pl.num_programs(1)
 
@@ -285,6 +300,57 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
             cb, oh_b)
         lam_ref[:] = lam_new
 
+        if integrate is not None:
+            dt_i, renorm = integrate
+
+            @pl.when(s == n_sweeps - 1)
+            def _():
+                # this tile's own 128 ranks are final now (windows only
+                # extend forward; later tiles start at (t+1)·128)
+                own = tab_acc[:, pl.ds(start, 128)]        # [16, 128]
+                pq = posq_ref[:, pl.ds(start, 128)]        # [8, 128]
+                dt_f = jnp.float32(dt_i)
+
+                def expq(vx, vy, vz):
+                    # exp-map: identity at |v| = 0 falls out (sin(0)/1)
+                    nn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+                    safe = jnp.where(nn > 0.0, nn, 1.0)
+                    half = nn * 0.5
+                    sfac = jnp.sin(half) / safe
+                    return (jnp.cos(half), vx * sfac, vy * sfac,
+                            vz * sfac)
+
+                def qmul(a, b):
+                    w1, x1, y1, z1 = a
+                    w2, x2, y2, z2 = b
+                    return (w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2)
+
+                def qnorm(a):
+                    w, x, y, z = a
+                    inv = 1.0 / jnp.maximum(
+                        jnp.sqrt(w * w + x * x + y * y + z * z), 1e-12)
+                    return (w * inv, x * inv, y * inv, z * inv)
+
+                q0 = (pq[3], pq[4], pq[5], pq[6])
+                # split-impulse pseudo-rotation first (normalized), then
+                # the velocity rotation — exact XLA-path op order
+                q1 = qnorm(qmul(
+                    expq(own[11] * dt_f, own[12] * dt_f, own[13] * dt_f),
+                    q0))
+                q2 = qmul(
+                    expq(own[3] * dt_f, own[4] * dt_f, own[5] * dt_f), q1)
+                if renorm:
+                    q2 = qnorm(q2)
+                px = pq[0] + (own[0] + own[8]) * dt_f
+                py = pq[1] + (own[1] + own[9]) * dt_f
+                pz = pq[2] + (own[2] + own[10]) * dt_f
+                pq_ref[:, pl.ds(start, 128)] = jnp.stack(
+                    [px, py, pz, q2[0], q2[1], q2[2], q2[3],
+                     jnp.zeros_like(px)])
+
         @pl.when((s == n_sweeps - 1) & (t == ntiles - 1))
         def _():
             zout_ref[:] = tab_acc[:]
@@ -306,8 +372,15 @@ def banded_sweeps(
     warm_sweep: bool,
     interpret: bool | None = None,
     persist_oh: bool | None = None,
-) -> Tuple[Array, Array]:
-    """Run the fused sweep loop; returns (z [16, NPAD], lam [4, Cp])."""
+    posq: Array | None = None,
+    integrate: Tuple[float, bool] | None = None,
+) -> Tuple[Array, Array, Array | None]:
+    """Run the fused sweep loop; returns (z [16, NPAD], lam [4, Cp],
+    integrated posq [8, NPAD] | None).
+
+    posq + integrate=(dt, renormalize) engage the in-kernel position
+    integration epilogue (see _make_kernel) — valid ONLY when bases are
+    the static t·128 of the contact-table path."""
     cp = la.shape[0]
     ntiles = cp // tile
     npad = z0.shape[1]
@@ -328,8 +401,10 @@ def banded_sweeps(
     la3 = jnp.broadcast_to(la.reshape(ntiles, 1, tile), (ntiles, 8, tile))
     lb3 = jnp.broadcast_to(lb.reshape(ntiles, 1, tile), (ntiles, 8, tile))
 
+    assert (posq is None) == (integrate is None)
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
-                          warm_sweep, persist_oh=persist_oh)
+                          warm_sweep, persist_oh=persist_oh,
+                          integrate=integrate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_sweeps, ntiles),
@@ -338,11 +413,13 @@ def banded_sweeps(
             pl.BlockSpec((1, 8, tile), lambda s, t, b: (t, 0, 0)),
             pl.BlockSpec((R_CONST, tile), lambda s, t, b: (0, t)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+             if integrate is not None else []),
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tile), lambda s, t, b: (0, t)),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+             if integrate is not None else []),
         scratch_shapes=[
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
@@ -358,6 +435,7 @@ def banded_sweeps(
     # (a raised limit measurably degrades scheduling for solves that fit:
     # E=8192 packed runs, but at worse per-body throughput than E=4096).
     scratch_bytes = ((2 * Z_ROWS * npad + 4 * cp) * 4
+                     + (2 * 8 * npad * 4 if integrate is not None else 0)
                      + (2 * wtot * cp * 2 if persist_oh else 0))
     block_bytes = (2 * 8 * tile + R_CONST * tile + 3 * wtot * tile) * 4 * 2
     needed = int((scratch_bytes + block_bytes) * 1.25)
@@ -365,16 +443,25 @@ def banded_sweeps(
     if needed > 16 * 1024 * 1024:
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=needed)
-    return pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((Z_ROWS, npad), jnp.float32),
+        jax.ShapeDtypeStruct((4, cp), jnp.float32),
+    ]
+    operands = [bases, la3, lb3, consts, z0]
+    if integrate is not None:
+        out_shape.append(jax.ShapeDtypeStruct((8, npad), jnp.float32))
+        operands.append(posq)
+    res = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((Z_ROWS, npad), jnp.float32),
-            jax.ShapeDtypeStruct((4, cp), jnp.float32),
-        ],
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
-    )(bases, la3, lb3, consts, z0)
+    )(*operands)
+    if integrate is not None:
+        return res
+    z, lam4 = res
+    return z, lam4, None
 
 
 def _make_sweep1_kernel(tile, wtot, vel_on, pos_on, warm, deg_pass):
@@ -563,7 +650,10 @@ def _make_prep_kernel(tile, wtot, baum_over_dt, slop, relaxation,
     def kernel(base_ref, la_ref, lb_ref, cin_ref, geom_ref, consts_ref):
         t = pl.program_id(0)
         start = pl.multiple_of(base_ref[t], 128)
-        win = geom_ref[:, pl.ds(start, wtot)]            # [24, WTOT]
+        # rows 0:24 = the solve layout — the unified table
+        # (ops/contact_table.unified_geom) appends the narrow-phase
+        # block at 24:48, which this kernel never reads
+        win = geom_ref[0:GEOM_ROWS, pl.ds(start, wtot)]  # [24, WTOT]
         w_hi, w_lo = _split(win)
         la = la_ref[0, 0, :]
         lb = lb_ref[0, 0, :]
@@ -893,7 +983,7 @@ def solve_impulses_banded(
             axis_name=shard[0], n_shards=shard[1],
         )
     else:
-        z, lam4 = banded_sweeps(
+        z, lam4, _ = banded_sweeps(
             z0, bases, la, lb, consts,
             tile=tile, wtot=wtot,
             vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
@@ -933,6 +1023,8 @@ def solve_impulses_table(
     cfg: SimConfig,
     order: Array | None,
     warm_rows: Array | None = None,
+    geom: Array | None = None,
+    fuse: bool = False,
 ):
     """Banded solve over the bucket-aligned contact table.
 
@@ -946,9 +1038,22 @@ def solve_impulses_table(
     match output (rows 0:3 = λ₀ per fresh contact) — no XLA sort-merge
     remains between the narrow phase and the solve kernels.
 
-    Returns (vel, omega, pvel, pomega, lam3, metrics, keys): `keys` are
-    the per-slot int32 feature keys the caller stores (table-aligned,
-    unsorted) for next step's in-kernel warm match.
+    `geom` is the shared unified rank-space geometry table
+    (ops/contact_table.unified_geom, [48, NPAD]: rows 0:24 = this
+    solver's layout incl. quat at 19:23, rows 24:48 = the contact-table
+    kernel's) — built once per step and shared with the narrow phase.
+    None = build the solve block locally.
+
+    `fuse` engages the solve kernel's in-kernel position-integration
+    epilogue (cfg.fuse_integrate): the returned state update includes
+    pos/quat and the caller must skip BOTH the split-impulse XLA update
+    and engine.integrate_positions' pos/quat math.
+
+    Returns (vel, omega, pvel, pomega, lam3, metrics, keys, posquat):
+    `keys` are the per-slot int32 feature keys the caller stores
+    (table-aligned, unsorted) for next step's in-kernel warm match;
+    `posquat` is (pos [N,3], quat [N,4]) when fuse else None (and then
+    pvel/pomega are None — they were consumed in-kernel).
     """
     import numpy as onp
 
@@ -1002,41 +1107,56 @@ def solve_impulses_table(
         jnp.zeros((cp,), jnp.float32), jnp.zeros((cp,), jnp.float32),
     ])                                                    # [16, Cp]
 
-    # rank-space solve tables (same construction as solve_impulses_banded)
-    r9 = v3.quat_to_mat(state.quat)
-    iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))
-    geom_rows = jnp.stack(
-        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
-        + list(iw9)
-        + [state.inv_mass,
-           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-           state.omega[:, 0], state.omega[:, 1], state.omega[:, 2]]
-        + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 19)
-    )                                                     # [24, N]
-    if order is not None:
-        geom_rows = geom_rows[:, order]
-    geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(
-        geom_rows)
-    z0 = jnp.zeros((Z_ROWS, npad), jnp.float32)
-    z0 = z0.at[0:6, :n].set(geom_rows[13:19])
+    if geom is None:
+        # rank-space solve table (same construction as
+        # solve_impulses_banded, + quat in the spare rows 19:23)
+        r9 = v3.quat_to_mat(state.quat)
+        iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))
+        geom_rows = jnp.stack(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+            + list(iw9)
+            + [state.inv_mass,
+               state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+               state.omega[:, 0], state.omega[:, 1], state.omega[:, 2],
+               state.quat[:, 0], state.quat[:, 1], state.quat[:, 2],
+               state.quat[:, 3]]
+            + [jnp.zeros((n,), jnp.float32)] * (GEOM_ROWS - 23)
+        )                                                 # [24, N]
+        if order is not None:
+            geom_rows = geom_rows[:, order]
+        geom = jnp.zeros((GEOM_ROWS, npad), jnp.float32).at[:, :n].set(
+            geom_rows)
+    else:
+        assert geom.shape[1] == npad, (geom.shape, npad)
+    z0 = jnp.zeros((Z_ROWS, npad), jnp.float32).at[0:6, :].set(
+        geom[13:19])
 
     consts = prep_consts(
         geom, bases, la, lb, cin, cfg,
         tile=tile, wtot=wtot, use_split=use_split,
     )
-    z, lam4 = banded_sweeps(
+    if fuse:
+        posq = jnp.concatenate(
+            [geom[0:3], geom[19:23], jnp.zeros((1, npad), jnp.float32)])
+        integrate = (cfg.dt, cfg.renormalize_quat)
+    else:
+        posq = integrate = None
+    z, lam4, pq = banded_sweeps(
         z0, bases, la, lb, consts,
         tile=tile, wtot=wtot,
         vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
         warm_sweep=use_split,
+        posq=posq, integrate=integrate,
     )
 
+    # one un-permute gather for everything the caller reads back
+    big = jnp.concatenate([z[0:6], pq[0:7]]) if fuse else z
     if order is None:
-        zz = z[:, :n]
+        zz = big[:, :n]
     else:
         rank_inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
-        zz = z[:, rank_inv]
+        zz = big[:, rank_inv]
     lam3 = lam4[:3]
     metrics = {
         "contact_count": jnp.sum(act.astype(jnp.int32)),
@@ -1045,5 +1165,8 @@ def solve_impulses_table(
         "normal_impulse_sum": jnp.sum(lam3[0]),
         "band_overflow": jnp.int32(0),   # structural: bases are static
     }
+    if fuse:
+        return (zz[0:3].T, zz[3:6].T, None, None, lam3, metrics, keys,
+                (zz[6:9].T, zz[9:13].T))
     return (zz[0:3].T, zz[3:6].T, zz[8:11].T, zz[11:14].T, lam3,
-            metrics, keys)
+            metrics, keys, None)

@@ -162,6 +162,47 @@ def test_table_inkernel_broadphase_same_contacts():
     assert meta[:, 2].sum() == 0 and meta[:, 3].sum() == 0
 
 
+def test_table_fused_integration_matches_xla():
+    """cfg.fuse_integrate (position integration inside the solve kernel's
+    final sweep) must reproduce the XLA epilogue: same math, same op
+    order (split-impulse pseudo-rotation, normalize, velocity rotation,
+    normalize), evaluated in-kernel per owned 128-rank block."""
+    state = _cluster_state(24)
+    cfg_f = CFG_TABLE.replace(fuse_integrate=True)
+    out_x, m_x = jax.jit(step_with_metrics, static_argnums=1)(
+        state, CFG_TABLE)
+    out_f, m_f = jax.jit(step_with_metrics, static_argnums=1)(
+        state, cfg_f)
+    assert int(m_f["contact_count"]) == int(m_x["contact_count"])
+    np.testing.assert_allclose(
+        np.asarray(out_f.pos), np.asarray(out_x.pos), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_f.quat), np.asarray(out_x.quat), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_f.vel), np.asarray(out_x.vel), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_f.omega), np.asarray(out_x.omega), atol=1e-6)
+    assert int(out_f.step_count) == int(out_x.step_count)
+    assert float(np.abs(np.asarray(out_f.force)).max()) == 0.0
+
+    # warm-started stack rollout through the fused epilogue stays stable
+    b = SceneBuilder()
+    for k in range(3):
+        i = b.add_body(pos=(0.0, 0.5 + 1.002 * k, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.6)
+    cfgr = CFG_TABLE.replace(sweep_window=4, contact_iters=16,
+                             dt=1.0 / 120.0, fuse_integrate=True,
+                             bp_inkernel=True)
+    st = prepare_contacts(b.build(), cfgr)
+    final, _ = rollout(st, cfgr, num_steps=240)
+    y = np.sort(np.asarray(final.pos[:, 1]))
+    gaps = np.diff(y)
+    assert abs(y[0] - 0.5) < 0.03, y
+    assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
+    assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
+
+
 def test_table_inkernel_broadphase_step_and_rollout():
     """Full step through cfg.bp_inkernel matches the candidate-pipeline
     table step, and a warm-started stack rollout stays stable (exercises
