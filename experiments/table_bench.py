@@ -100,6 +100,17 @@ def main():
     if which in ("b", "both"):
         cfg_b = base.replace(contact_table=True, bucket_block=128)
         run_cfg("B:contact-table", cfg_b, n, chunks)
+    # arbitrary flag combos: TB_WHICH=f TB_FLAGS="bp_inkernel,fuse_prep"
+    # (bare name = True; name=0/1 also accepted)
+    if which == "f":
+        over = {}
+        for kv in os.environ.get("TB_FLAGS", "").split(","):
+            if not kv.strip():
+                continue
+            k, _, v = kv.partition("=")
+            over[k.strip()] = (v.strip() in ("1", "true", "True")
+                               if v else True)
+        run_cfg(f"F:{over}", base.replace(**over), n, chunks)
 
 
 if __name__ == "__main__":

@@ -138,6 +138,13 @@ class SimConfig:
     # the split-impulse XLA update AND integrate_positions' pos/quat
     # math. Table path only; ignored under compat (Q2/Q6 stay in XLA).
     fuse_integrate: bool = False
+    # merge the solve-constants (prep) kernel into the solve kernel's
+    # sweep 0: the solve kernel reads the contact table + warm rows +
+    # unified geometry directly, builds its per-contact constants into
+    # VMEM scratch once, and stops re-streaming consts/la/lb blocks from
+    # HBM on every sweep. Deletes one kernel launch and the consts HBM
+    # roundtrip. Table path only.
+    fuse_prep: bool = False
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

@@ -209,7 +209,7 @@ def _bscatter(cmat, oh):
 
 
 def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
-                 persist_oh=False, integrate=None):
+                 persist_oh=False, integrate=None, prep=None):
     """Kernel body closure over the static solve shape.
 
     Grid is (n_sweeps, ntiles). Sweep s=0 is a combined pre-pass: it
@@ -234,22 +234,54 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
     split-impulse XLA update and engine.integrate_positions. Inputs gain
     posq [8, NPAD] (pos xyz, quat wxyz); outputs gain the integrated
     [8, NPAD].
+
+    prep=dict(baum_over_dt, slop, relaxation, use_split): the merged
+    (cfg.fuse_prep) variant — inputs are the raw contact table
+    [16, TILE], warm rows [8, TILE], and the unified geometry table
+    [48, NPAD] instead of la/lb/consts/z0(/posq). Sweep 0 derives
+    la/lb + one-hots from the table, gathers endpoint geometry, and
+    builds the per-contact solve constants into VMEM scratch
+    (_prep_consts_math); later sweeps read the scratch — consts/la/lb
+    never stream from HBM again. Table path only (bases = t·128).
+    Requires persist_oh.
     """
     stage_off = 1
+    if prep is not None:
+        assert persist_oh, "fuse_prep requires persisted one-hots"
 
-    def kernel(base_ref, la_ref, lb_ref, consts_ref, z0_ref, *refs):
-        if integrate is not None:
-            posq_ref, zout_ref, lam_ref, pq_ref, *scratch = refs
+    def kernel(base_ref, *refs):
+        if prep is not None:
+            tab_in_ref, warm_ref, geom_ref, *refs = refs
+            la_ref = lb_ref = consts_ref = z0_ref = posq_ref = None
+            if integrate is not None:
+                zout_ref, lam_ref, pq_ref, *scratch = refs
+            else:
+                zout_ref, lam_ref, *scratch = refs
+                pq_ref = None
+            tab_read, tab_acc, lam_s, oha_s, ohb_s, consts_s = scratch
+            oh_s = (oha_s, ohb_s)
         else:
-            zout_ref, lam_ref, *scratch = refs
-            posq_ref = pq_ref = None
-        tab_read, tab_acc, lam_s, *oh_s = scratch
+            la_ref, lb_ref, consts_ref, z0_ref, *refs = refs
+            tab_in_ref = warm_ref = geom_ref = consts_s = None
+            if integrate is not None:
+                posq_ref, zout_ref, lam_ref, pq_ref, *scratch = refs
+            else:
+                zout_ref, lam_ref, *scratch = refs
+                posq_ref = pq_ref = None
+            tab_read, tab_acc, lam_s, *oh_s = scratch
         s, t = pl.program_id(0), pl.program_id(1)
         ntiles = pl.num_programs(1)
 
         @pl.when((s == 0) & (t == 0))
         def _():
-            tab_acc[:] = z0_ref[:]
+            if prep is not None:
+                # z0 built in-kernel: rows 0:6 = vel/omega straight off
+                # the geometry table's solve block; rest zeros
+                tab_acc[0:6, :] = geom_ref[13:19, :]
+                tab_acc[6:Z_ROWS, :] = jnp.zeros(
+                    (Z_ROWS - 6, tab_acc.shape[1]), jnp.float32)
+            else:
+                tab_acc[:] = z0_ref[:]
 
         @pl.when(t == 0)
         def _():
@@ -263,9 +295,6 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
 
         start = pl.multiple_of(base_ref[t], 128)
         win = tab_read[:, pl.ds(start, wtot)]                # [16, WTOT]
-        la = la_ref[0, 0, :]
-        lb = lb_ref[0, 0, :]
-        cs = consts_ref[:]                                   # [R_CONST, TILE]
 
         i = s - stage_off
         vel_on = jnp.where((i >= 0) & (i < vel_iters), 1.0, 0.0)
@@ -273,21 +302,76 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
         is_warm_f = (jnp.where(s == 0, 1.0, 0.0) if warm_sweep else None)
         degf = jnp.where(s == 0, 1.0, 0.0)
 
-        oh = None
-        if persist_oh:
-            oha_s, ohb_s = oh_s
-
+        if prep is not None:
+            # sweep 0: derive endpoints from the contact table, build the
+            # one-hots AND the solve constants into scratch (la/lb/consts
+            # never exist in HBM)
             @pl.when(s == 0)
             def _():
+                # contact-table rows (ops/contact_table.py): pt 0:3,
+                # n 3:6, d 6, mu 7, rest 8, act 9, ra 13, rb1 14
+                tb = tab_in_ref[:]                       # [16, TILE]
+                actf = tb[9]
+                act = actf > 0.0
+                ra = tb[13].astype(jnp.int32)
+                rb1 = tb[14].astype(jnp.int32)
+                la_k = jnp.where(act, ra - start, -1)
+                has_b = act & (rb1 > 0)
+                lb_k = jnp.where(has_b, rb1 - 1 - start, -1)
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (wtot, tile), 0)
-                oha_s[:, pl.ds(coff, tile)] = (
-                    row == la[None, :]).astype(jnp.bfloat16)
-                ohb_s[:, pl.ds(coff, tile)] = (
-                    row == lb[None, :]).astype(jnp.bfloat16)
+                oh_a0 = (row == la_k[None, :]).astype(jnp.bfloat16)
+                oh_b0 = (row == lb_k[None, :]).astype(jnp.bfloat16)
+                oha_s[:, pl.ds(coff, tile)] = oh_a0
+                ohb_s[:, pl.ds(coff, tile)] = oh_b0
 
+                gwin = geom_ref[0:GEOM_ROWS, pl.ds(start, wtot)]
+                g_hi, g_lo = _split(gwin)
+
+                def ggather(oh1):
+                    g1 = jax.lax.dot_general(
+                        g_hi, oh1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return g1 + jax.lax.dot_general(
+                        g_lo, oh1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                wm = warm_ref[:]                         # [8, TILE]
+                consts_s[:, pl.ds(coff, tile)] = _prep_consts_math(
+                    ggather(oh_a0), ggather(oh_b0),
+                    (tb[0], tb[1], tb[2]), (tb[3], tb[4], tb[5]),
+                    tb[6], tb[7], tb[8], actf,
+                    (wm[0], wm[1], wm[2]),
+                    has_b.astype(jnp.float32),
+                    tile=tile, baum_over_dt=prep["baum_over_dt"],
+                    slop=prep["slop"],
+                    relaxation=prep["relaxation"],
+                    use_split=prep["use_split"])
+
+            la = lb = None
+            cs = consts_s[:, pl.ds(coff, tile)]          # [R_CONST, TILE]
             oh = (oha_s[:, pl.ds(coff, tile)],
                   ohb_s[:, pl.ds(coff, tile)])
+        else:
+            la = la_ref[0, 0, :]
+            lb = lb_ref[0, 0, :]
+            cs = consts_ref[:]                           # [R_CONST, TILE]
+
+            oh = None
+            if persist_oh:
+                oha_s, ohb_s = oh_s
+
+                @pl.when(s == 0)
+                def _():
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (wtot, tile), 0)
+                    oha_s[:, pl.ds(coff, tile)] = (
+                        row == la[None, :]).astype(jnp.bfloat16)
+                    ohb_s[:, pl.ds(coff, tile)] = (
+                        row == lb[None, :]).astype(jnp.bfloat16)
+
+                oh = (oha_s[:, pl.ds(coff, tile)],
+                      ohb_s[:, pl.ds(coff, tile)])
 
         lam4 = lam_s[:, pl.ds(coff, tile)]                   # [4, TILE]
         lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
@@ -308,7 +392,14 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
                 # this tile's own 128 ranks are final now (windows only
                 # extend forward; later tiles start at (t+1)·128)
                 own = tab_acc[:, pl.ds(start, 128)]        # [16, 128]
-                pq = posq_ref[:, pl.ds(start, 128)]        # [8, 128]
+                if prep is not None:
+                    # pos = geom rows 0:3, quat = rows 19:23 (the solve
+                    # block of the unified table)
+                    gq = geom_ref[:, pl.ds(start, 128)]    # [48, 128]
+                    pq = jnp.concatenate(
+                        [gq[0:3], gq[19:23], gq[23:24]])   # [8, 128]
+                else:
+                    pq = posq_ref[:, pl.ds(start, 128)]    # [8, 128]
                 dt_f = jnp.float32(dt_i)
 
                 def expq(vx, vy, vz):
@@ -458,6 +549,101 @@ def banded_sweeps(
         interpret=interpret,
         **params,
     )(*operands)
+    if integrate is not None:
+        return res
+    z, lam4 = res
+    return z, lam4, None
+
+
+def banded_sweeps_fused(
+    table: Array,         # [16, Cp] contact table (ops/contact_table.py)
+    warm8: Array,         # [8, Cp] warm rows (rows 0:3 = λ₀; zeros if cold)
+    geom: Array,          # [48, NPAD] unified rank-space geometry table
+    bases: Array,         # [ntiles] int32 static window starts (t·128)
+    cfg: SimConfig,
+    *,
+    tile: int,
+    wtot: int,
+    vel_iters: int,
+    pos_iters: int,
+    use_split: bool,
+    integrate: Tuple[float, bool] | None = None,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array, Array | None]:
+    """cfg.fuse_prep solve: ONE kernel from contact table to solved
+    (and optionally integrated) state. Sweep 0 builds endpoints/one-hots/
+    solve constants in-kernel from the table + unified geometry — no
+    la/lb/consts/z0/posq arrays exist in HBM, and nothing but the z
+    output streams back per sweep. The table/warm blocks use collapsing
+    index maps (block t at sweep 0, block 0 after) so they stream from
+    HBM exactly once. Table path only (bases = t·128)."""
+    cp = table.shape[1]
+    ntiles = cp // tile
+    npad = geom.shape[1]
+    n_sweeps = max(vel_iters, pos_iters) + 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    trows = table.shape[0]
+
+    prep = dict(
+        baum_over_dt=cfg.baumgarte / cfg.dt,
+        slop=cfg.penetration_slop,
+        relaxation=cfg.contact_relaxation,
+        use_split=use_split,
+    )
+    kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
+                          warm_sweep=use_split, persist_oh=True,
+                          integrate=integrate, prep=prep)
+
+    def once(s, t, b):
+        # stream each table/warm block exactly once (sweep 0); later
+        # sweeps revisit block 0, which Mosaic's pipeline skips re-fetching
+        return (0, jnp.where(s == 0, t, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sweeps, ntiles),
+        in_specs=[
+            pl.BlockSpec((trows, tile), once),
+            pl.BlockSpec((8, tile), once),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda s, t, b: (0, t)),
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+             if integrate is not None else []),
+        scratch_shapes=[
+            pltpu.VMEM((Z_ROWS, npad), jnp.float32),
+            pltpu.VMEM((Z_ROWS, npad), jnp.float32),
+            pltpu.VMEM((4, cp), jnp.float32),
+            pltpu.VMEM((wtot, cp), jnp.bfloat16),
+            pltpu.VMEM((wtot, cp), jnp.bfloat16),
+            pltpu.VMEM((R_CONST, cp), jnp.float32),
+        ],
+    )
+    scratch_bytes = ((2 * Z_ROWS * npad + 4 * cp + R_CONST * cp) * 4
+                     + 2 * wtot * cp * 2
+                     + (8 * npad * 4 if integrate is not None else 0))
+    block_bytes = ((trows + 8 + 4) * tile) * 4 * 2
+    needed = int((scratch_bytes + block_bytes + 48 * npad * 4) * 1.25)
+    params = {}
+    if needed > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=needed)
+    out_shape = [
+        jax.ShapeDtypeStruct((Z_ROWS, npad), jnp.float32),
+        jax.ShapeDtypeStruct((4, cp), jnp.float32),
+    ]
+    if integrate is not None:
+        out_shape.append(jax.ShapeDtypeStruct((8, npad), jnp.float32))
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        **params,
+    )(bases, table, warm8, geom)
     if integrate is not None:
         return res
     z, lam4 = res
@@ -637,6 +823,71 @@ GEOM_ROWS = 24
 CIN_ROWS = 16
 
 
+def _prep_consts_math(ga, gb, p, nrm, depth, fric, rest, actf, lam0,
+                      has_bf, *, tile, baum_over_dt, slop, relaxation,
+                      use_split):
+    """Per-contact solve-constants math shared by the standalone prep
+    kernel and the merged solve kernel's sweep-0 (cfg.fuse_prep).
+
+    `ga`/`gb` are the [24, TILE] endpoint gathers from the rank-space
+    geometry table (solve layout rows 0:24); the rest are [TILE] contact
+    fields. Returns the [R_CONST, TILE] consts stack."""
+    inv_m_a = ga[12] * actf
+    inv_m_b = gb[12] * has_bf
+    iw_a = tuple(ga[3 + k] * actf for k in range(9))
+    iw_b = tuple(gb[3 + k] * has_bf for k in range(9))
+    r_a = v3.sub(p, (ga[0], ga[1], ga[2]))
+    r_b = v3.sub(p, (gb[0], gb[1], gb[2]))
+
+    # branchless orthonormal tangent basis (solver/contacts.py
+    # _tangent_basis, component form)
+    ax, ay, az = jnp.abs(nrm[0]), jnp.abs(nrm[1]), jnp.abs(nrm[2])
+    use_x = (ax <= ay) & (ax <= az)
+    use_y = (~use_x) & (ay <= az)
+    f = lambda m: m.astype(jnp.float32)
+    e = (f(use_x), f(use_y), f(~(use_x | use_y)))
+    t1 = v3.cross(nrm, e)
+    t1 = v3.scale(t1, 1.0 / jnp.maximum(v3.norm(t1), 1e-9))
+    t2 = v3.cross(nrm, t1)
+
+    def eff_mass(d):
+        term_a = v3.dot(
+            d, v3.cross(v3.mat_vec(iw_a, v3.cross(r_a, d)), r_a))
+        term_b = v3.dot(
+            d, v3.cross(v3.mat_vec(iw_b, v3.cross(r_b, d)), r_b))
+        return inv_m_a + inv_m_b + term_a + term_b
+
+    inv_k_n = 1.0 / jnp.maximum(eff_mass(nrm), 1e-9)
+    inv_k_t1 = 1.0 / jnp.maximum(eff_mass(t1), 1e-9)
+    inv_k_t2 = 1.0 / jnp.maximum(eff_mass(t2), 1e-9)
+
+    va0 = v3.add((ga[13], ga[14], ga[15]),
+                 v3.cross((ga[16], ga[17], ga[18]), r_a))
+    vb0 = v3.scale(
+        v3.add((gb[13], gb[14], gb[15]),
+               v3.cross((gb[16], gb[17], gb[18]), r_b)),
+        has_bf)
+    v_n0 = v3.dot(nrm, v3.sub(va0, vb0))
+    bias = jnp.float32(baum_over_dt) * jnp.maximum(
+        depth - jnp.float32(slop), 0.0)
+    bounce = rest * jnp.maximum(-v_n0, 0.0)
+    if use_split:
+        v_target = bounce
+    else:
+        v_target = jnp.maximum(bias, bounce)
+    relax = jnp.float32(relaxation) * actf
+
+    zero = jnp.zeros((tile,), jnp.float32)
+    return jnp.stack(
+        list(r_a) + list(r_b) + list(nrm) + list(t1) + list(t2)
+        + [inv_k_n, inv_k_t1, inv_k_t2, v_target, bias, fric,
+           relax, inv_m_a, inv_m_b]
+        + list(iw_a) + list(iw_b)
+        + list(lam0)
+        + [zero] * (R_CONST - 45)
+    )                                                    # [48, TILE]
+
+
 def _make_prep_kernel(tile, wtot, baum_over_dt, slop, relaxation,
                       use_split):
     """Geometry → solve-constants kernel (one pass over contact tiles).
@@ -673,67 +924,11 @@ def _make_prep_kernel(tile, wtot, baum_over_dt, slop, relaxation,
         gb = bgather(oh_b)          # ghost endpoints: all-zero columns
 
         ci = cin_ref[:]                                  # [16, TILE]
-        p = (ci[0], ci[1], ci[2])
-        nrm = (ci[3], ci[4], ci[5])
-        depth, fric, rest = ci[6], ci[7], ci[8]
-        actf = ci[9]
-        lam0 = (ci[10], ci[11], ci[12])
-        has_bf = ci[13]
-
-        inv_m_a = ga[12] * actf
-        inv_m_b = gb[12] * has_bf
-        iw_a = tuple(ga[3 + k] * actf for k in range(9))
-        iw_b = tuple(gb[3 + k] * has_bf for k in range(9))
-        r_a = v3.sub(p, (ga[0], ga[1], ga[2]))
-        r_b = v3.sub(p, (gb[0], gb[1], gb[2]))
-
-        # branchless orthonormal tangent basis (solver/contacts.py
-        # _tangent_basis, component form)
-        ax, ay, az = jnp.abs(nrm[0]), jnp.abs(nrm[1]), jnp.abs(nrm[2])
-        use_x = (ax <= ay) & (ax <= az)
-        use_y = (~use_x) & (ay <= az)
-        f = lambda m: m.astype(jnp.float32)
-        e = (f(use_x), f(use_y), f(~(use_x | use_y)))
-        t1 = v3.cross(nrm, e)
-        t1 = v3.scale(t1, 1.0 / jnp.maximum(v3.norm(t1), 1e-9))
-        t2 = v3.cross(nrm, t1)
-
-        def eff_mass(d):
-            term_a = v3.dot(
-                d, v3.cross(v3.mat_vec(iw_a, v3.cross(r_a, d)), r_a))
-            term_b = v3.dot(
-                d, v3.cross(v3.mat_vec(iw_b, v3.cross(r_b, d)), r_b))
-            return inv_m_a + inv_m_b + term_a + term_b
-
-        inv_k_n = 1.0 / jnp.maximum(eff_mass(nrm), 1e-9)
-        inv_k_t1 = 1.0 / jnp.maximum(eff_mass(t1), 1e-9)
-        inv_k_t2 = 1.0 / jnp.maximum(eff_mass(t2), 1e-9)
-
-        va0 = v3.add((ga[13], ga[14], ga[15]),
-                     v3.cross((ga[16], ga[17], ga[18]), r_a))
-        vb0 = v3.scale(
-            v3.add((gb[13], gb[14], gb[15]),
-                   v3.cross((gb[16], gb[17], gb[18]), r_b)),
-            has_bf)
-        v_n0 = v3.dot(nrm, v3.sub(va0, vb0))
-        bias = jnp.float32(baum_over_dt) * jnp.maximum(
-            depth - jnp.float32(slop), 0.0)
-        bounce = rest * jnp.maximum(-v_n0, 0.0)
-        if use_split:
-            v_target = bounce
-        else:
-            v_target = jnp.maximum(bias, bounce)
-        relax = jnp.float32(relaxation) * actf
-
-        zero = jnp.zeros((tile,), jnp.float32)
-        consts_ref[:] = jnp.stack(
-            list(r_a) + list(r_b) + list(nrm) + list(t1) + list(t2)
-            + [inv_k_n, inv_k_t1, inv_k_t2, v_target, bias, fric,
-               relax, inv_m_a, inv_m_b]
-            + list(iw_a) + list(iw_b)
-            + list(lam0)
-            + [zero] * (R_CONST - 45)
-        )                                                # [48, TILE]
+        consts_ref[:] = _prep_consts_math(
+            ga, gb, (ci[0], ci[1], ci[2]), (ci[3], ci[4], ci[5]),
+            ci[6], ci[7], ci[8], ci[9], (ci[10], ci[11], ci[12]),
+            ci[13], tile=tile, baum_over_dt=baum_over_dt, slop=slop,
+            relaxation=relaxation, use_split=use_split)
 
     return kernel
 
@@ -1094,6 +1289,28 @@ def solve_impulses_table(
     keys = table_keys(table)
     use_split = warm_rows is not None
     n_pos_iters = cfg.position_iters if use_split else 0
+    if fuse:
+        integrate = (cfg.dt, cfg.renormalize_quat)
+    else:
+        integrate = None
+
+    # merged-prep solve (cfg.fuse_prep): the solve kernel consumes the
+    # table/warm/geometry directly — skip the XLA cin/la/lb/z0/posq
+    # builds AND the standalone prep kernel entirely
+    if cfg.fuse_prep and geom is not None and geom.shape[0] == 48:
+        assert geom.shape[1] == npad, (geom.shape, npad)
+        warm8 = (warm_rows if warm_rows is not None
+                 else jnp.zeros((8, cp), jnp.float32))
+        z, lam4, pq = banded_sweeps_fused(
+            table, warm8, geom, bases, cfg,
+            tile=tile, wtot=wtot,
+            vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
+            use_split=use_split, integrate=integrate,
+        )
+        return _table_solve_outputs(
+            z, lam4, pq, jnp.where(act, table[CT_D], 0.0), act, keys,
+            order, n, fuse)
+
     if warm_rows is not None:
         lam0_n, lam0_t1, lam0_t2 = warm_rows[0], warm_rows[1], warm_rows[2]
     else:
@@ -1138,9 +1355,8 @@ def solve_impulses_table(
     if fuse:
         posq = jnp.concatenate(
             [geom[0:3], geom[19:23], jnp.zeros((1, npad), jnp.float32)])
-        integrate = (cfg.dt, cfg.renormalize_quat)
     else:
-        posq = integrate = None
+        posq = None
     z, lam4, pq = banded_sweeps(
         z0, bases, la, lb, consts,
         tile=tile, wtot=wtot,
@@ -1149,7 +1365,15 @@ def solve_impulses_table(
         posq=posq, integrate=integrate,
     )
 
-    # one un-permute gather for everything the caller reads back
+    return _table_solve_outputs(
+        z, lam4, pq, jnp.where(act, table[CT_D], 0.0), act, keys,
+        order, n, fuse)
+
+
+def _table_solve_outputs(z, lam4, pq, depth_act, act, keys, order, n,
+                         fuse):
+    """Shared output packing of the table-path solves: one un-permute
+    gather for everything the caller reads back, plus device metrics."""
     big = jnp.concatenate([z[0:6], pq[0:7]]) if fuse else z
     if order is None:
         zz = big[:, :n]
@@ -1160,8 +1384,7 @@ def solve_impulses_table(
     lam3 = lam4[:3]
     metrics = {
         "contact_count": jnp.sum(act.astype(jnp.int32)),
-        "max_penetration": jnp.max(jnp.where(act, table[CT_D], 0.0),
-                                   initial=0.0),
+        "max_penetration": jnp.max(depth_act, initial=0.0),
         "normal_impulse_sum": jnp.sum(lam3[0]),
         "band_overflow": jnp.int32(0),   # structural: bases are static
     }

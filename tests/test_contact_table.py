@@ -203,6 +203,43 @@ def test_table_fused_integration_matches_xla():
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
 
 
+def test_table_fused_prep_matches_separate_kernels():
+    """cfg.fuse_prep (solve constants built inside the solve kernel's
+    sweep 0 from the raw contact table) must reproduce the separate
+    prep-kernel path exactly: same gathers, same math, same precision —
+    only where the constants live differs."""
+    state = _cluster_state(24)
+    cfg_p = CFG_TABLE.replace(fuse_prep=True)
+    out_x, m_x = jax.jit(step_with_metrics, static_argnums=1)(
+        state, CFG_TABLE)
+    out_p, m_p = jax.jit(step_with_metrics, static_argnums=1)(
+        state, cfg_p)
+    assert int(m_p["contact_count"]) == int(m_x["contact_count"])
+    for f in ("pos", "quat", "vel", "omega"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_p, f)), np.asarray(getattr(out_x, f)),
+            atol=1e-7, err_msg=f)
+
+    # warm-started stack rollout with the whole fused stack on
+    # (bp_inkernel + fuse_prep + fuse_integrate): settles like the
+    # reference configuration
+    b = SceneBuilder()
+    for k in range(3):
+        i = b.add_body(pos=(0.0, 0.5 + 1.002 * k, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.6)
+    cfgr = CFG_TABLE.replace(sweep_window=4, contact_iters=16,
+                             dt=1.0 / 120.0, bp_inkernel=True,
+                             fuse_prep=True, fuse_integrate=True)
+    st = prepare_contacts(b.build(), cfgr)
+    final, _ = rollout(st, cfgr, num_steps=240)
+    y = np.sort(np.asarray(final.pos[:, 1]))
+    gaps = np.diff(y)
+    assert abs(y[0] - 0.5) < 0.03, y
+    assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
+    assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
+
+
 def test_table_inkernel_broadphase_step_and_rollout():
     """Full step through cfg.bp_inkernel matches the candidate-pipeline
     table step, and a warm-started stack rollout stays stable (exercises
