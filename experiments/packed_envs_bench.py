@@ -29,6 +29,13 @@ cfg = SimConfig(
     contact_solver="pallas_banded",
     max_contacts=48 * E if E * 76 > 1 << 17 else 0,
 )
+# TABLE=1: packed envs through the fused contact table + fully fused
+# solve (bp_inkernel identity-order candidates, fuse_prep,
+# fuse_integrate) — the env-mode contact_table path
+if os.environ.get("TABLE") == "1":
+    cfg = cfg.replace(contact_table=True, bp_inkernel=True,
+                      bucket_block=128, fuse_prep=True,
+                      fuse_integrate=True)
 packed = prepare_contacts(pack_envs(batched), cfg)
 print("contact capacity:", packed.contact_key.shape[0], flush=True)
 

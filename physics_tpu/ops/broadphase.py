@@ -201,6 +201,18 @@ def sweep_candidates(
                           rank_a, rank_b)
 
 
+def band_window(cfg: SimConfig) -> int:
+    """Rank-band half-width guaranteed by the broad phase: candidate
+    pairs connect ranks (r, r+d) with 1 <= d <= band_window. sweep:
+    cfg.sweep_window (AABB-min-x sorted order); env_blocks: K-1 (the
+    within-env upper triangle under the identity order, |a-b| < K).
+    Shared by every banded-kernel window formula so the contact-table
+    and solve kernels agree on one geometry layout."""
+    if cfg.broadphase == "env_blocks":
+        return max(cfg.env_block_size - 1, 1)
+    return cfg.sweep_window
+
+
 def bucket_shape(n: int, cfg: SimConfig) -> Tuple[int, int, int]:
     """(block, cap, n_blocks) of the rank-block bucket layout for N bodies.
 
@@ -218,7 +230,7 @@ def bucket_shape(n: int, cfg: SimConfig) -> Tuple[int, int, int]:
             else 8 * n
         cap = max(total // n_blocks, 128)
     cap = _round_up128(cap)
-    k = min(cfg.sweep_window, n - 1)
+    k = min(band_window(cfg), n - 1)
     cap = min(cap, _round_up128(block * k))
     return block, cap, n_blocks
 

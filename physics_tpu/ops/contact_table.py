@@ -56,7 +56,11 @@ from physics_tpu.ops.boxbox_batched import (
     _select,
     box_box_manifold_batched,
 )
-from physics_tpu.ops.broadphase import PairCandidates, bucket_shape
+from physics_tpu.ops.broadphase import (
+    PairCandidates,
+    band_window,
+    bucket_shape,
+)
 from physics_tpu.state import SHAPE_BOX, SimState
 
 Array = jnp.ndarray
@@ -120,7 +124,7 @@ def _exclusive_prefix(mask):
 
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
-                    warm=False, cap2=0, bp_k=0, row0=0):
+                    warm=False, cap2=0, bp_k=0, row0=0, env_k=0):
     """One grid step = one rank bucket: SAT + ground + compaction.
 
     warm=True adds in-kernel warm-start key matching: the previous step's
@@ -292,6 +296,15 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             ha2 = tuple(cur(win[12 + c]) for c in range(3))
             hb2 = tuple(nb2(win[12 + c]) for c in range(3))
             keep = keep & (face_sat_sep(t2, ra2, rb2, ha2, hb2) < 0.0)
+            if env_k:
+                # packed-env mode: only within-env pairs are real —
+                # rank r belongs to env r // env_k, so (r, r+d) is
+                # same-env iff (r mod env_k) + d < env_k. Independent
+                # envs may overlap spatially (each is its own world).
+                ii = jax.lax.broadcasted_iota(jnp.int32, (bp_k, 128), 1)
+                dd = jax.lax.broadcasted_iota(
+                    jnp.int32, (bp_k, 128), 0) + 1
+                keep = keep & ((ii % env_k) + dd < env_k)
             keepf = keep.astype(jnp.float32)
 
             la2 = jax.lax.broadcasted_iota(
@@ -299,11 +312,18 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             lb2 = la2 + 1.0 + jax.lax.broadcasted_iota(
                 jnp.int32, (bp_k, 128), 0).astype(jnp.float32)
             la, lb, dropped2 = compact_pair_lanes(keepf, la2, lb2, cap)
-            # ranks whose x-interval still overlaps the furthest window
-            # neighbor: pairs may exist beyond d = bp_k — counted, never
-            # silent (matches ops/broadphase.sweep_candidates overflow)
-            lov = (x_ov[bp_k - 1] & live[bp_k - 1]).astype(jnp.float32)
-            winovf = jnp.sum(lov)
+            if env_k:
+                # the band is exact in env mode (d = env_k - 1 covers the
+                # whole within-env triangle): no window-edge overflow
+                winovf = jnp.float32(0.0)
+            else:
+                # ranks whose x-interval still overlaps the furthest
+                # window neighbor: pairs may exist beyond d = bp_k —
+                # counted, never silent (matches
+                # ops/broadphase.sweep_candidates overflow)
+                lov = (x_ov[bp_k - 1] & live[bp_k - 1]).astype(
+                    jnp.float32)
+                winovf = jnp.sum(lov)
         else:
             la = la_ref[0, 0, :]
             lb = lb_ref[0, 0, :]
@@ -553,7 +573,7 @@ def geom_pad(n: int, cfg: SimConfig) -> Tuple[int, int]:
     — shared by this kernel and solve_impulses_table (identical formulas
     so one table serves both)."""
     nb = -(-n // BLOCK)
-    wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
+    wtot = _round_up(BLOCK + min(band_window(cfg), BLOCK), 128)
     npad = max(_round_up(n + wtot, 128), nb * BLOCK + wtot)
     return wtot, npad
 
@@ -645,8 +665,19 @@ def bucket_contact_table(
     n = state.num_bodies
     assert n < (1 << 16), "contact_table: body ids exceed exact-f32 range"
     bp_k = 0
+    env_k = 0
+    if cfg.broadphase == "env_blocks":
+        # packed-env mode (envs.pack_envs): identity order, candidates
+        # (r, r+d), d < K, same-env masked in-kernel — requires the
+        # in-kernel broad phase (no bucketed candidate tensors exist)
+        env_k = cfg.env_block_size
+        assert cand is None and cfg.bp_inkernel, (
+            "env_blocks contact_table requires cfg.bp_inkernel")
+        assert env_k > 1 and BLOCK % env_k == 0 and n % env_k == 0, (
+            f"env_blocks contact_table: env_block_size {env_k} must "
+            f"divide {BLOCK} and num_bodies {n}")
     if cand is None:
-        bp_k = min(cfg.sweep_window, BLOCK, n - 1)
+        bp_k = min(band_window(cfg), BLOCK, n - 1)
         # compaction width: bucket_cap2 if pinned, else the bucket cap
         _, cap, _ = bucket_shape(n, cfg)
         if cfg.bucket_cap2:
@@ -663,9 +694,7 @@ def bucket_contact_table(
         assert nb == nb_cand, (nb, nb_cand)
     kk = min(cfg.max_contacts_per_pair, _CAP)
     kg = min(cfg.max_contacts_per_pair, 8) if cfg.ground_plane else 0
-    wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
-    npad = _round_up(n + wtot, 128)
-    npad = max(npad, nb * BLOCK + wtot)
+    wtot, npad = geom_pad(n, cfg)
 
     row0 = 0
     if geom is None:
@@ -715,7 +744,7 @@ def bucket_contact_table(
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
         mosaic=not interpret, warm=prev is not None, cap2=cap2,
-        bp_k=bp_k, row0=row0)
+        bp_k=bp_k, row0=row0, env_k=env_k)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ] if bp_k else [

@@ -530,12 +530,7 @@ def contact_capacity(state: SimState, cfg: SimConfig) -> int:
     """Total contact-slot count of one step under `cfg` (static), via
     eval_shape on the generation pipeline — used to size the warm-start
     buffers (engine.prepare_contacts)."""
-    if (
-        cfg.contact_solver == "pallas_banded" and cfg.contact_table
-        and cfg.boxes_only and cfg.pair_collisions
-        and cfg.broadphase == "sweep" and cfg.pair_buckets
-        and state.num_bodies > 1
-    ):
+    if table_path(state, cfg):
         from physics_tpu.ops.contact_table import table_shape
 
         return table_shape(state.num_bodies, cfg)[2]
@@ -595,13 +590,24 @@ def _chunk_contacts(
 def table_path(state: SimState, cfg: SimConfig) -> bool:
     """True when the contact step routes through the fused bucket-aligned
     contact table (_resolve_contacts_table) — the conditions its kernels
-    require. Static: depends only on cfg and capacities."""
-    return (
+    require. Static: depends only on cfg and capacities.
+
+    Two broad phases can feed the table: the bucketed sweep (sorted
+    ranks), or env_blocks packed envs (identity order, in-kernel
+    candidate derivation with a same-env mask — requires bp_inkernel)."""
+    if not (
         cfg.contact_solver == "pallas_banded" and cfg.contact_table
         and cfg.boxes_only and cfg.pair_collisions
-        and cfg.broadphase == "sweep" and cfg.pair_buckets
         and state.num_bodies > 1
-    )
+    ):
+        return False
+    if cfg.broadphase == "sweep":
+        return cfg.pair_buckets
+    if cfg.broadphase == "env_blocks":
+        k = cfg.env_block_size
+        return (cfg.bp_inkernel and k > 1 and 128 % k == 0
+                and state.num_bodies % k == 0)
+    return False
 
 
 def fused_integration(state: SimState, cfg: SimConfig) -> bool:
@@ -639,6 +645,14 @@ def resolve_contacts(
     # ground + per-bucket compaction) → banded solve with static bases —
     # no XLA narrow phase, no contact sort/gather/pad (ops/contact_table.py)
     if table_path(state, cfg):
+        if shard is not None:
+            # warm-start buffers were sized for the table layout
+            # (contact_capacity) — a silent fallback to the sharded
+            # generic path would shape-mismatch downstream; be loud.
+            raise ValueError(
+                "cfg.contact_table does not support shard= (row-sharded "
+                "steps): set contact_table=False for sharded configs"
+            )
         return _resolve_contacts_table(state, cfg)
 
     cvx = convex_data(state)
@@ -841,7 +855,12 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     from physics_tpu.solver.contacts_pallas import solve_impulses_table
 
     n = state.num_bodies
-    body_order = sweep_order(state, body_aabbs(state))
+    if cfg.broadphase == "env_blocks":
+        # packed envs: the body id IS the rank (envs.pack_envs layout) —
+        # no sort anywhere in the step
+        body_order = None
+    else:
+        body_order = sweep_order(state, body_aabbs(state))
     # bp_inkernel: the kernel derives candidates from the sorted window
     # itself — only the rank sort above survives in XLA
     cand = None if cfg.bp_inkernel else pair_candidates(state, cfg)

@@ -1262,6 +1262,7 @@ def solve_impulses_table(
         CT_RA,
         CT_RB1,
         CT_REST,
+        geom_pad,
         table_keys,
         table_shape,
     )
@@ -1270,8 +1271,9 @@ def solve_impulses_table(
     nb, ccap, cp = table_shape(n, cfg)
     assert table.shape == (table.shape[0], cp), (table.shape, cp)
     tile = ccap
-    wtot = _round_up(BLOCK + min(cfg.sweep_window, BLOCK), 128)
-    npad = max(_round_up(n + wtot, 128), nb * BLOCK + wtot)
+    # identical formulas to the contact-table kernel's — one unified
+    # geometry table serves both (incl. env_blocks' K-1 band)
+    wtot, npad = geom_pad(n, cfg)
 
     bases_np = onp.clip(onp.arange(nb) * BLOCK, 0, npad - wtot)
     bases = jnp.asarray(bases_np, jnp.int32)

@@ -109,6 +109,51 @@ def test_packed_auto_reset():
     np.testing.assert_allclose(out.pos[:k], ref.pos[:k], atol=1e-6)
 
 
+def test_packed_contact_table():
+    """Packed envs through the fused contact table (env_blocks +
+    bp_inkernel: identity order, in-kernel same-env candidate masking)
+    match the plain env_blocks banded path, and the fully fused stack
+    (fuse_prep + fuse_integrate) stays warm-start stable over a drop."""
+    e, k = 16, 8
+    batched = _batched(e, k)
+    cfg_b = SimConfig(
+        ground_plane=True, pair_collisions=True, boxes_only=True,
+        contact_iters=8, broadphase="env_blocks", env_block_size=k,
+        contact_solver="pallas_banded", pallas_tile=128,
+        pallas_window=256, max_contacts=48 * e,
+    )
+    cfg_t = cfg_b.replace(contact_table=True, bp_inkernel=True,
+                          bucket_block=128)
+    from physics_tpu.solver.contacts import table_path
+    assert table_path(pack_envs(batched), cfg_t)
+
+    sb = prepare_contacts(pack_envs(batched), cfg_b)
+    st = prepare_contacts(pack_envs(batched), cfg_t)
+    for _ in range(6):
+        sb = step(sb, cfg_b)
+        st = step(st, cfg_t)
+    np.testing.assert_allclose(
+        np.asarray(sb.pos), np.asarray(st.pos), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sb.vel), np.asarray(st.vel), atol=1e-3)
+
+    # fused stack (fuse_prep + fuse_integrate) is a pure optimization:
+    # a 120-step warm rollout must track the plain table path closely
+    # (identical math; only f32 op placement differs)
+    from physics_tpu.engine import rollout, step_with_metrics
+    cfg_f = cfg_t.replace(fuse_prep=True, fuse_integrate=True)
+    sf, _ = rollout(st, cfg_f, num_steps=120)
+    s0, _ = rollout(st, cfg_t, num_steps=120)
+    assert np.all(np.isfinite(np.asarray(sf.pos)))
+    assert float(jnp.min(sf.pos[:, 1])) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(sf.pos), np.asarray(s0.pos), atol=2e-3)
+    _, m = jax.jit(step_with_metrics, static_argnums=1)(sf, cfg_f)
+    assert int(m["pair_overflow"]) == 0
+    assert int(m["contact_overflow"]) == 0
+    assert int(m["contact_count"]) > 0
+
+
 def test_packed_pallas_solver():
     e, k = 4, 4
     batched = _batched(e, k)
