@@ -26,6 +26,17 @@ batched in slot-major [CAP, P] component form through the shape-generic
 Matches `hull_hull_manifold` outputs (tests/test_hullhull.py parity
 test).
 
+The whole pipeline is slot-major/component-form end to end — every
+quantity is a [rows, P] tensor or a [P] lane row; no [P, E, 3] /
+[P, CAP, 3] minor-dim-3 tensors anywhere (those pad 3 → 128 lanes: 42×
+HBM traffic, docs/PERFORMANCE.md). `shared_hull_manifolds_sm` returns
+the raw slot-major pieces (clipped 2-D coords + face frame) so the
+hulls_only contact epilogue (ops/narrowphase._pair_contacts_hulls_fast)
+can select per-pair top-k slots with [P]-row argmax passes and
+reconstruct only the SELECTED points — never materializing per-slot
+world points for all slots. `hull_pair_manifolds_shared` keeps the old
+[P, S]/[P, S, 3] contract for mixed-shape scenes.
+
 New capability vs the reference (no collision detection there,
 SURVEY.md §0); axis-set completeness argument in docs/ROADMAP.md.
 """
@@ -124,13 +135,35 @@ def _matT_vec(m: tuple, w) -> v3.V3:
     )
 
 
-def hull_pair_manifolds_shared(
-    state, cand, cfg,
-) -> Tuple[Array, Array, Array]:
-    """Manifolds for all candidate pairs of ONE shared hull type.
+class SharedManifoldSM(NamedTuple):
+    """Slot-major shared-hull manifold pieces — all fields are [P] lane
+    rows or [2E, P] slot-major tensors (S = 2E + 1 slots total; slots
+    0..2E−1 are the clipped face manifold, slot 2E the edge contact).
 
-    Returns (depth [P, CAP], normal [P, CAP, 3], point [P, CAP, 3]) with
-    CAP = 2E + 1 — same contract as the vmapped hull path's hull_parts.
+    World point of face slot s = p0 + pu[s]·t1 + pv[s]·t2 + ps[s]·n_ref;
+    its normal is n_face. `depth` rows are already validity-masked
+    (> 0 ⇔ an active contact candidate)."""
+
+    depth: Tuple      # S × [P] rows
+    pu: Array         # [2E, P] clipped polygon coords in the ref-face frame
+    pv: Array         # [2E, P]
+    ps: Array         # [2E, P] signed separation along n_ref
+    p0: Tuple         # v3 of [P] — ref-face frame origin
+    t1: Tuple         # v3 — ref-face tangent
+    t2: Tuple         # v3 — ref-face bitangent
+    n_ref: Tuple      # v3 — world ref-face normal (ref → incident)
+    n_face: Tuple     # v3 — world face-contact normal, B → A
+    edge_point: Tuple # v3 — edge-contact world point
+    n_edge: Tuple     # v3 — world edge-contact normal, B → A
+
+
+def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
+    """Slot-major manifolds for all candidate pairs of ONE shared hull.
+
+    See the module doc: every support quantity falls out of static
+    [rows, 9] × [9, P] matmuls against the relative rotation; selection
+    one-hots are built [rows, P] (iota-compare) so every contraction
+    keeps P in the lane dimension.
     """
     ht = build_hull_tables(state.hulls, 0)
     ia, ib = cand.body_a, cand.body_b
@@ -192,71 +225,80 @@ def hull_pair_manifolds_shared(
 
     ref_is_a = best_f < f
     ref_idx = jnp.where(ref_is_a, best_f, best_f - f)      # [P]
-    oh_ref = jax.nn.one_hot(ref_idx, f, dtype=jnp.float32)  # [P, F]
+    # selection one-hots are [F, P] (iota-compare) so every contraction
+    # below is a [rows, F] × [F, P] matmul / sublane reduction — P stays
+    # in the lane dimension throughout
+    f_iota = jax.lax.broadcasted_iota(jnp.int32, (f, p), 0)
+    oh_ref = (f_iota == ref_idx[None, :]).astype(jnp.float32)   # [F, P]
 
     # ---- incident face: most anti-parallel face of the OTHER hull ----
     align = (ht.ff @ m_mat).reshape(f, f, p)               # n_a·(M n_b)
     big_col = jnp.where(ht.face_mask > 0, 0.0, BIG)
     # ref on A → other is B: contract ref one-hot over the A axis
-    al_b = jnp.einsum("abp,pa->bp", align, oh_ref) + big_col[:, None]
+    al_b = jnp.einsum("abp,ap->bp", align, oh_ref) + big_col[:, None]
     # ref on B → other is A
-    al_a = jnp.einsum("abp,pb->ap", align, oh_ref) + big_col[:, None]
+    al_a = jnp.einsum("abp,bp->ap", align, oh_ref) + big_col[:, None]
     inc_idx = jnp.where(ref_is_a,
                         jnp.argmin(al_b, axis=0), jnp.argmin(al_a, axis=0))
-    oh_inc = jax.nn.one_hot(inc_idx, f, dtype=jnp.float32)  # [P, F]
+    oh_inc = (f_iota == inc_idx[None, :]).astype(jnp.float32)   # [F, P]
 
-    # ---- owner-frame → world polygon gathers ([P, E, 3], E small) ----
+    # ---- owner-frame → world polygons, component form ----
     r_ref = tuple(jnp.where(ref_is_a, ra9[k], rb9[k]) for k in range(9))
     r_inc = tuple(jnp.where(ref_is_a, rb9[k], ra9[k]) for k in range(9))
     p_ref = v3.where(ref_is_a, pa, pb)
     p_inc = v3.where(ref_is_a, pb, pa)
 
     poly_local = ht.verts[ht.face_verts]                   # [F, E, 3] static
-    ref_loc = jnp.einsum("pf,fec->pec", oh_ref, poly_local)
-    inc_loc = jnp.einsum("pf,fec->pec", oh_inc, poly_local)
-    ref_cnt = jnp.round(oh_ref @ ht.face_cnt.astype(jnp.float32)
+    # [E, 3, P]: one [E·3, F] × [F, P] matmul under the hood — replaces
+    # the old [P, E, 3] gather (minor dim 3 padded to 128 lanes)
+    ref_loc = jnp.einsum("fec,fp->ecp", poly_local, oh_ref)
+    inc_loc = jnp.einsum("fec,fp->ecp", poly_local, oh_inc)
+    fcnt = ht.face_cnt.astype(jnp.float32)
+    ref_cnt = jnp.round(jnp.einsum("fp,f->p", oh_ref, fcnt)
                         ).astype(jnp.int32)                # [P]
-    inc_cnt = jnp.round(oh_inc @ ht.face_cnt.astype(jnp.float32)
+    inc_cnt = jnp.round(jnp.einsum("fp,f->p", oh_inc, fcnt)
                         ).astype(jnp.int32)
 
     def to_world(loc, r, t):
-        # loc [P, E, 3] in owner frame; r row-major 9-tuple of [P]
-        x, y, z = loc[..., 0], loc[..., 1], loc[..., 2]
-        wx = r[0][:, None] * x + r[1][:, None] * y + r[2][:, None] * z
-        wy = r[3][:, None] * x + r[4][:, None] * y + r[5][:, None] * z
-        wz = r[6][:, None] * x + r[7][:, None] * y + r[8][:, None] * z
-        return jnp.stack(
-            [wx + t[0][:, None], wy + t[1][:, None], wz + t[2][:, None]],
-            axis=-1)
+        # loc [E, 3, P] in owner frame → list of E world v3 tuples ([P])
+        out = []
+        for k in range(loc.shape[0]):
+            x, y, z = loc[k, 0], loc[k, 1], loc[k, 2]
+            out.append((
+                r[0] * x + r[1] * y + r[2] * z + t[0],
+                r[3] * x + r[4] * y + r[5] * z + t[1],
+                r[6] * x + r[7] * y + r[8] * z + t[2],
+            ))
+        return out
 
-    ref_w = to_world(ref_loc, r_ref, p_ref)                # [P, E, 3]
+    ref_w = to_world(ref_loc, r_ref, p_ref)                # E × v3([P])
     inc_w = to_world(inc_loc, r_inc, p_inc)
 
-    n_ref_loc = v3.unpack(oh_ref @ ht.face_n)              # owner frame
+    n_ref_loc = tuple(
+        jnp.einsum("fp,f->p", oh_ref, ht.face_n[:, c]) for c in range(3)
+    )                                                      # owner frame
     n_ref = v3.mat_vec(r_ref, n_ref_loc)                   # world, ref→inc
-    off_ref = (oh_ref @ ht.face_off) + v3.dot(n_ref, p_ref)
+    off_ref = (jnp.einsum("fp,f->p", oh_ref, ht.face_off)
+               + v3.dot(n_ref, p_ref))
 
     # ---- 2-D clip in the reference-face frame (fully batched) ----
     # All pairs clip at once in slot-major [CAP, P] component form via the
     # shape-generic boxbox_batched._clip — the earlier per-pair vmapped
     # Sutherland–Hodgman (ops.boxbox._clip_polygon over [P, CAP, 3]
     # tensors) was 6.3 ms/step of the 9.2 ms 1k-rain device time.
-    def poly_pt(w, k):
-        return (w[:, k, 0], w[:, k, 1], w[:, k, 2])        # v3 of [P]
-
-    edge0 = v3.sub(poly_pt(ref_w, 1), poly_pt(ref_w, 0))
+    edge0 = v3.sub(ref_w[1], ref_w[0])
     t1 = v3.scale(edge0, 1.0 / jnp.maximum(v3.norm(edge0), 1e-9))
     t2 = v3.cross(n_ref, t1)
-    p0 = poly_pt(ref_w, 0)
+    p0 = ref_w[0]
 
     ru, rv = [], []
     for k in range(e_cap):
-        rel = v3.sub(poly_pt(ref_w, k), p0)
+        rel = v3.sub(ref_w[k], p0)
         ru.append(v3.dot(rel, t1))
         rv.append(v3.dot(rel, t2))
     iu_l, iv_l, is_l = [], [], []
     for k in range(e_cap):
-        q = poly_pt(inc_w, k)
+        q = inc_w[k]
         rel = v3.sub(q, p0)
         iu_l.append(v3.dot(rel, t1))
         iv_l.append(v3.dot(rel, t2))
@@ -284,35 +326,23 @@ def hull_pair_manifolds_shared(
         d = (e_v * ru[k] - e_u * rv[k]) * on + (1.0 - on) * jnp.float32(1e30)
         pu, pv, ps, m_cnt = _clip(pu, pv, ps, m_cnt, cu, cv, d)
 
-    pts_face = jnp.stack([
-        p0[c][None, :] + pu * t1[c][None, :] + pv * t2[c][None, :]
-        + ps * n_ref[c][None, :]
-        for c in range(3)
-    ], axis=-1).swapaxes(0, 1)                             # [P, CAP, 3]
-
-    slot = jnp.arange(cap)[None, :]
-    depth_face = -ps.T                                     # [P, CAP]
-    valid_face = ((slot < m_cnt[:, None]) & (depth_face > 0.0)
-                  & ~separated[:, None] & ~edge_wins[:, None])
-    n_out = v3.where(ref_is_a, v3.neg(n_ref), n_ref)       # B → A
-    normal_face = jnp.broadcast_to(v3.pack(n_out)[:, None, :], (p, cap, 3))
+    n_face = v3.where(ref_is_a, v3.neg(n_ref), n_ref)      # B → A
 
     # ---- edge-edge closest-point contact (component form) ----
-    oh_e = jax.nn.one_hot(best_e, d2, dtype=jnp.float32)   # [P, D²]
-    ax_sel = (
-        jnp.einsum("pa,ap->p", oh_e, axes[:, 0, :]),
-        jnp.einsum("pa,ap->p", oh_e, axes[:, 1, :]),
-        jnp.einsum("pa,ap->p", oh_e, axes[:, 2, :]),
+    d2_iota = jax.lax.broadcasted_iota(jnp.int32, (d2, p), 0)
+    oh_e = (d2_iota == best_e[None, :]).astype(jnp.float32)   # [D², P]
+    ax_sel = tuple(
+        jnp.einsum("ap,ap->p", oh_e, axes[:, c, :]) for c in range(3)
     )                                                      # A frame, unnorm
-    alen_sel = jnp.einsum("pa,ap->p", oh_e, alen)
-    flip_sel = jnp.einsum("pa,ap->p", oh_e, flip.astype(jnp.float32)) > 0.5
+    alen_sel = jnp.einsum("ap,ap->p", oh_e, alen)
+    flip_sel = jnp.einsum("ap,ap->p", oh_e, flip.astype(jnp.float32)) > 0.5
     sgn = jnp.where(flip_sel, -1.0, 1.0)
     ax_u = v3.scale(ax_sel, sgn / jnp.maximum(alen_sel, 1e-9))  # unit, B→A
     n_edge = v3.mat_vec(ra9, ax_u)                         # world
 
     # endpoint supports straight from the precomputed axis-support tables
-    sa_sel = jnp.einsum("pa,aup->up", oh_e, s_av)          # [V, P] A verts
-    sb_sel = jnp.einsum("pa,aup->up", oh_e, s_bv)          # [V, P] B verts
+    sa_sel = jnp.einsum("ap,aup->up", oh_e, s_av)          # [V, P] A verts
+    sb_sel = jnp.einsum("ap,aup->up", oh_e, s_bv)          # [V, P] B verts
     sa_sel = sa_sel * sgn[None, :]
     sb_sel = sb_sel * sgn[None, :]
     # A supports −n, B supports +n (world); per-edge score = min(endpoints)
@@ -328,14 +358,23 @@ def hull_pair_manifolds_shared(
     score_b = jnp.minimum(sb0, sb1) - edge_pad             # support along +n
     ea_idx = jnp.argmin(score_a, axis=0)                   # [P]
     eb_idx = jnp.argmax(score_b, axis=0)
-    oh_ea = jax.nn.one_hot(ea_idx, e2, dtype=jnp.float32)  # [P, E2]
-    oh_eb = jax.nn.one_hot(eb_idx, e2, dtype=jnp.float32)
+    e2_iota = jax.lax.broadcasted_iota(jnp.int32, (e2, p), 0)
+    oh_ea = (e2_iota == ea_idx[None, :]).astype(jnp.float32)  # [E2, P]
+    oh_eb = (e2_iota == eb_idx[None, :]).astype(jnp.float32)
 
     vloc = ht.verts                                        # [V, 3]
-    p0a_l = v3.unpack((oh_ea @ oh_i0) @ vloc)              # [P] comps, A frame
-    p1a_l = v3.unpack((oh_ea @ oh_i1) @ vloc)
-    p0b_l = v3.unpack((oh_eb @ oh_i0) @ vloc)
-    p1b_l = v3.unpack((oh_eb @ oh_i1) @ vloc)
+    v0e = oh_i0 @ vloc                                     # [E2, 3] static
+    v1e = oh_i1 @ vloc
+
+    def esel(oh, ve):
+        # [P] component rows of the selected edge endpoint (owner frame)
+        return tuple(
+            jnp.einsum("ep,e->p", oh, ve[:, c]) for c in range(3))
+
+    p0a_l = esel(oh_ea, v0e)                               # A frame
+    p1a_l = esel(oh_ea, v1e)
+    p0b_l = esel(oh_eb, v0e)
+    p1b_l = esel(oh_eb, v1e)
     ea0 = v3.add(v3.mat_vec(ra9, p0a_l), pa)               # world
     ea1 = v3.add(v3.mat_vec(ra9, p1a_l), pa)
     eb0 = v3.add(v3.mat_vec(rb9, p0b_l), pb)
@@ -360,13 +399,43 @@ def hull_pair_manifolds_shared(
     edge_point = v3.scale(v3.add(pa_c, pb_c), 0.5)
     edge_depth = -edge_sep
 
-    # ---- assemble [P, CAP+1] ----
-    depth = jnp.concatenate(
-        [jnp.where(valid_face, depth_face, 0.0),
-         jnp.where(edge_wins & (edge_depth > 0.0), edge_depth, 0.0)[:, None]],
-        axis=1)
-    normal = jnp.concatenate(
-        [normal_face, v3.pack(n_edge)[:, None, :]], axis=1)
-    point = jnp.concatenate(
-        [pts_face, v3.pack(edge_point)[:, None, :]], axis=1)
+    # ---- assemble slot-major depth rows (validity folded in) ----
+    face_ok = ~separated & ~edge_wins                      # [P]
+    depth_rows = []
+    for s_i in range(cap):
+        d_row = -ps[s_i]
+        ok = (s_i < m_cnt) & (d_row > 0.0) & face_ok
+        depth_rows.append(jnp.where(ok, d_row, 0.0))
+    depth_rows.append(jnp.where(edge_wins & (edge_depth > 0.0),
+                                edge_depth, 0.0))
+    return SharedManifoldSM(
+        depth=tuple(depth_rows), pu=pu, pv=pv, ps=ps,
+        p0=p0, t1=t1, t2=t2, n_ref=n_ref, n_face=n_face,
+        edge_point=edge_point, n_edge=n_edge,
+    )
+
+
+def hull_pair_manifolds_shared(
+    state, cand, cfg,
+) -> Tuple[Array, Array, Array]:
+    """Old-contract wrapper over `shared_hull_manifolds_sm` for
+    mixed-shape scenes: (depth [P, S], normal [P, S, 3], point [P, S, 3])
+    with S = 2E + 1, matching the vmapped hull path's hull_parts. The
+    hulls_only fast path bypasses this (it consumes the slot-major
+    pieces directly, ops/narrowphase._pair_contacts_hulls_fast)."""
+    sm = shared_hull_manifolds_sm(state, cand, cfg)
+    cap = sm.pu.shape[0]
+    pts = []
+    nrm = []
+    for s_i in range(cap):
+        pts.append(tuple(
+            sm.p0[c] + sm.pu[s_i] * sm.t1[c] + sm.pv[s_i] * sm.t2[c]
+            + sm.ps[s_i] * sm.n_ref[c]
+            for c in range(3)))
+        nrm.append(sm.n_face)
+    pts.append(sm.edge_point)
+    nrm.append(sm.n_edge)
+    depth = jnp.stack(sm.depth, axis=1)                    # [P, S]
+    normal = jnp.stack([v3.pack(nr) for nr in nrm], axis=1)
+    point = jnp.stack([v3.pack(pt) for pt in pts], axis=1)
     return depth, normal, point

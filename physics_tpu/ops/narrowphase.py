@@ -216,11 +216,83 @@ def _ground_contacts_boxes(state: SimState, cfg: SimConfig) -> Contacts:
     )
 
 
+def _ground_contacts_hulls_fast(state: SimState, cfg: SimConfig
+                                ) -> Contacts:
+    """Ground contacts for hulls_only shared-hull scenes, slot-major:
+    vertex heights as ONE [V, N] outer-product table (world y of vertex u
+    on body b = pos_y[b] + R_b row 1 · v_u), per-column argmax + one-hot
+    contraction for the top-k selection, world points reconstructed only
+    for the k SELECTED vertices — no [N, Vc, 3] world-vertex tensor
+    (whose minor dim 3 pads to 128 lanes: 42× HBM traffic).
+
+    Same contact semantics as the generic `ground_contacts` (deepest-k
+    vertices below the plane, point = world vertex, normal +y); keys are
+    −(body·V + vertex + 1), the ground range of the path's key space."""
+    from physics_tpu.maths import vec3c as v3
+
+    n = state.num_bodies
+    verts = state.hulls.verts[0]                       # [V, 3]
+    vcap = verts.shape[0]
+    vmask = (jnp.arange(vcap) < state.hulls.vert_count[0])[:, None]
+    vx, vy, vz = verts[:, 0:1], verts[:, 1:2], verts[:, 2:3]   # [V, 1]
+    r9 = v3.quat_to_mat(state.quat)                    # 9 × [N]
+    wy = (vx * r9[3][None, :] + vy * r9[4][None, :] + vz * r9[5][None, :]
+          + state.pos[:, 1][None, :])                  # [V, N]
+    depth = jnp.float32(cfg.ground_height) - wy
+    valid = (depth > 0.0) & (state.inv_mass > 0.0)[None, :] & vmask
+    big_neg = jnp.float32(-1e30)
+    score = jnp.where(valid, depth, big_neg)
+
+    k = min(cfg.max_contacts_per_pair, 8, vcap)
+    body = jnp.arange(n, dtype=jnp.int32)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (vcap, n), 0)
+    pt_c = [[], [], []]
+    d_c, act_c, key_c = [], [], []
+    for _ in range(k):
+        best = jnp.max(score, axis=0)                  # [N]
+        bidx = jnp.argmax(score, axis=0)
+        oh = (v_iota == bidx[None, :]).astype(jnp.float32)
+        act = best > 0.0
+        lx = jnp.sum(oh * vx, axis=0)                  # selected local vert
+        ly = jnp.sum(oh * vy, axis=0)
+        lz = jnp.sum(oh * vz, axis=0)
+        pt_c[0].append(state.pos[:, 0] + r9[0] * lx + r9[1] * ly
+                       + r9[2] * lz)
+        pt_c[1].append(state.pos[:, 1] + r9[3] * lx + r9[4] * ly
+                       + r9[5] * lz)
+        pt_c[2].append(state.pos[:, 2] + r9[6] * lx + r9[7] * ly
+                       + r9[8] * lz)
+        d_c.append(jnp.where(act, best, 0.0))
+        act_c.append(act)
+        key_c.append(jnp.where(act, -(body * vcap + bidx + 1), 0))
+        score = jnp.where(oh > 0.0, big_neg, score)
+
+    cat = jnp.concatenate
+    rep = lambda x: jnp.concatenate([x] * k)
+    ck = n * k
+    return Contacts(
+        body_a=rep(body),
+        body_b=jnp.full((ck,), -1, jnp.int32),
+        point=jnp.stack([cat(c) for c in pt_c]),
+        normal=jnp.stack([jnp.zeros((ck,), jnp.float32),
+                          jnp.ones((ck,), jnp.float32),
+                          jnp.zeros((ck,), jnp.float32)]),
+        depth=cat(d_c),
+        active=cat(act_c),
+        friction=rep(state.shapes.friction),
+        restitution=rep(state.shapes.restitution),
+        key=cat(key_c),
+    )
+
+
 def ground_contacts(state: SimState, cvx: ConvexData, cfg: SimConfig
                     ) -> Contacts:
     """Contacts of every body's vertices against the plane y = ground_height.
 
     Up to min(8, Vc) contacts per body, deepest-first (top_k)."""
+    if hulls_fast_path(state, cfg):
+        # slot-major shared-hull path (backend-independent XLA ops)
+        return _ground_contacts_hulls_fast(state, cfg)
     if cfg.boxes_only and jax.default_backend() == "tpu":
         # TPU-layout fast path; on this image's CPU backend its subgraph
         # combined with the pair path makes XLA emit catastrophically slow
@@ -461,6 +533,103 @@ def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
     )
 
 
+def hulls_fast_path(state: SimState, cfg: SimConfig) -> bool:
+    """True when pair_contacts routes through the slot-major shared-hull
+    fast path (_pair_contacts_hulls_fast) — the solver's rank-carry
+    layout must mirror this dispatch (solver/contacts.resolve_contacts
+    emits slot-major rank rows for it). Static: cfg + capacities only."""
+    return bool(
+        cfg.hulls_only and cfg.hull_fast
+        and state.hulls.verts.shape[0] == 1
+        and state.hulls.verts.shape[1] > 1
+    )
+
+
+def _pair_contacts_hulls_fast(state: SimState, cand: PairCandidates,
+                              cfg: SimConfig) -> Contacts:
+    """Contacts for hulls_only single-shared-hull scenes (mesh rain),
+    slot-major end to end: the manifold pieces arrive as [P] component
+    rows (ops/hullhull_batched.shared_hull_manifolds_sm), per-pair top-k
+    selection is `k` unrolled argmax passes over the S depth rows, and
+    ONLY the selected slots' world points are reconstructed (3 slot
+    selects + a few flops each) — no [P, S, 3] tensors, no top_k +
+    take_along_axis gathers on minor-dim-3 layouts.
+
+    Emits the same feature keys as the generic epilogue
+    ((min·n + max)·S + slot — the pre-selection slot id is the stable
+    feature identity) so warm-start matching is path-independent;
+    contact ORDER differs (slot-major, like _pair_contacts_boxes_pallas)
+    which downstream consumers never rely on (rank compaction re-sorts,
+    keys are content-based)."""
+    from physics_tpu.ops.boxbox_batched import _argmax_unrolled, _select
+    from physics_tpu.ops.hullhull_batched import shared_hull_manifolds_sm
+
+    ia, ib = cand.body_a, cand.body_b
+    p = ia.shape[0]
+    sm = shared_hull_manifolds_sm(state, cand, cfg)
+    cap = sm.pu.shape[0]
+    ns = cap + 1                                           # slots incl. edge
+
+    is_hull = state.shapes.stype == SHAPE_HULL
+    movable = (state.inv_mass[ia] > 0) | (state.inv_mass[ib] > 0)
+    base_valid = cand.mask & movable & is_hull[ia] & is_hull[ib]
+
+    big_neg = jnp.float32(-1e30)
+    score = [jnp.where(base_valid & (sm.depth[s] > 0.0), sm.depth[s],
+                       big_neg) for s in range(ns)]
+
+    n = state.num_bodies
+    amin = jnp.minimum(ia, ib)
+    amax = jnp.maximum(ia, ib)
+    has_key = n * n * ns < 2**31 - 1
+    base_key = (amin * n + amax) * ns if has_key else None
+    mu = jnp.sqrt(state.shapes.friction[ia] * state.shapes.friction[ib])
+    rest = jnp.maximum(state.shapes.restitution[ia],
+                       state.shapes.restitution[ib])
+
+    kk = min(cfg.max_contacts_per_pair, ns)
+    pu_rows = [sm.pu[s] for s in range(cap)] + [jnp.zeros((p,), jnp.float32)]
+    pv_rows = [sm.pv[s] for s in range(cap)] + [jnp.zeros((p,), jnp.float32)]
+    ps_rows = [sm.ps[s] for s in range(cap)] + [jnp.zeros((p,), jnp.float32)]
+    pt_c = [[], [], []]
+    nm_c = [[], [], []]
+    d_c, act_c, key_c = [], [], []
+    for _ in range(kk):
+        best, bidx = _argmax_unrolled(score)
+        act = best > 0.0
+        is_edge = bidx == jnp.int32(cap)
+        u_sel = _select(bidx, pu_rows)
+        v_sel = _select(bidx, pv_rows)
+        s_sel = _select(bidx, ps_rows)
+        for c in range(3):
+            pt_face = (sm.p0[c] + u_sel * sm.t1[c] + v_sel * sm.t2[c]
+                       + s_sel * sm.n_ref[c])
+            pt_c[c].append(jnp.where(is_edge, sm.edge_point[c], pt_face))
+            nm_c[c].append(jnp.where(is_edge, sm.n_edge[c], sm.n_face[c]))
+        d_c.append(jnp.where(act, best, 0.0))
+        act_c.append(act)
+        if has_key:
+            key_c.append(jnp.where(act, base_key + bidx, 0))
+        else:
+            key_c.append(jnp.zeros((p,), jnp.int32))
+        score = [jnp.where(bidx == s, big_neg, score[s])
+                 for s in range(ns)]
+
+    cat = jnp.concatenate
+    rep = lambda x: jnp.concatenate([x] * kk)
+    return Contacts(
+        body_a=rep(ia),
+        body_b=rep(ib),
+        point=jnp.stack([cat(pt_c[c]) for c in range(3)]),
+        normal=jnp.stack([cat(nm_c[c]) for c in range(3)]),
+        depth=cat(d_c),
+        active=cat(act_c),
+        friction=rep(mu),
+        restitution=rep(rest),
+        key=cat(key_c),
+    )
+
+
 def pair_contacts(state: SimState, cvx: ConvexData,
                   cand: PairCandidates, cfg: SimConfig,
                   chunked: bool = False) -> Contacts:
@@ -469,6 +638,10 @@ def pair_contacts(state: SimState, cvx: ConvexData,
     `chunked=True`: `cand` is one shard's slice of the candidate array
     (row-sharded narrow phase) — propagated to the banded Pallas kernel so
     it derives tile bases dynamically instead of from bucket indices."""
+    if hulls_fast_path(state, cfg):
+        # single shared hull shape: slot-major manifolds + slot-major
+        # top-k epilogue — no [P, S, 3] tensors anywhere in the hot loop
+        return _pair_contacts_hulls_fast(state, cand, cfg)
     if cfg.boxes_only and cfg.narrowphase_pallas and (
         cfg.broadphase == "sweep" and cfg.pair_buckets
     ):

@@ -655,12 +655,24 @@ def resolve_contacts(
             )
         return _resolve_contacts_table(state, cfg)
 
-    cvx = convex_data(state)
+    from physics_tpu.ops.narrowphase import hulls_fast_path
+
+    boxes_fast = cfg.boxes_only and jax.default_backend() == "tpu"
+    hulls_fast = hulls_fast_path(state, cfg)
+    pallas_pairs = (
+        cfg.narrowphase_pallas and cfg.boxes_only
+        and cfg.broadphase == "sweep" and cfg.pair_buckets
+    )
+    # the convex presentation ([N, Vc, 3] vertex/face tensors, minor dim
+    # 3 padded to 128 lanes) is only read by the GENERIC narrow-phase
+    # paths — the slot-major fast paths (boxes on TPU, banded Pallas
+    # pairs, shared-hull scenes) never touch it; skip the build entirely
+    need_cvx = not (hulls_fast or boxes_fast)
+    cvx = convex_data(state) if need_cvx else None
     groups = []
     lo_rows, rb_rows = [], []
     metrics: Dict = {}
     axis_name = shard[0] if shard else None
-    boxes_fast = cfg.boxes_only and jax.default_backend() == "tpu"
 
     # body rank table for the banded solver's rank-row carries: sweep order
     # when pair collisions use the sweep, identity otherwise. Zero
@@ -684,8 +696,9 @@ def resolve_contacts(
             # lockstep with the contacts
             cg = gc.body_a.shape[0]
             kg = cg // n
-            if boxes_fast:
-                # _ground_contacts_boxes: slot-major [k·N], body = iota
+            if boxes_fast or hulls_fast:
+                # _ground_contacts_boxes / _ground_contacts_hulls_fast:
+                # slot-major [k·N], body = iota
                 lo_g = jnp.concatenate([rank_arr] * kg)
             else:
                 # generic ground_contacts: body-major [N, k]
@@ -726,12 +739,9 @@ def resolve_contacts(
             # path is TPU-gated — keying this off the backend alone
             # misaligned ranks with contacts on CPU (impulses landed on
             # the wrong bodies; caught by experiments/table_diff.py)
-            pallas_pairs = (
-                cfg.narrowphase_pallas and cfg.boxes_only
-                and cfg.broadphase == "sweep" and cfg.pair_buckets
-            )
-            if boxes_fast or pallas_pairs:
-                # _pair_contacts_boxes[_pallas]: slot-major concat([x]*kk)
+            if boxes_fast or pallas_pairs or hulls_fast:
+                # _pair_contacts_boxes[_pallas] and the shared-hull fast
+                # epilogue: slot-major concat([x]*kk)
                 lo_p = jnp.concatenate([cand.rank_a] * kk)
                 rb_p = jnp.concatenate([cand.rank_b] * kk)
             else:
