@@ -74,6 +74,16 @@ class SimConfig:
     # relative rotation — only taken when the scene registers exactly one
     # hull shape; ignored otherwise
     hull_fast: bool = True
+    # two-phase hull narrow phase (hulls_only shared-hull scenes): an OBB
+    # face-axis SAT prefilter (the shared hull's local AABB, ~60 VPU flops
+    # per pair, no vertex factor) drops candidates whose bounding boxes
+    # are separated, and the survivors compact to this many lanes before
+    # the full hull SAT — whose support matmuls ([D²·V, 9] × [9, P])
+    # dominate the rain narrow phase and scale with candidate lanes.
+    # Conservative: hull ⊆ OBB, so an OBB separation is a hull
+    # separation. Survivors beyond the cap are dropped lowest-pair-first
+    # and counted (metrics prefilter_overflow). 0 = off.
+    hull_prefilter_cap: int = 0
     # broad phase: 'allpairs' for small N, 'sweep' (sorted x-axis window),
     # 'env_blocks' (batched envs packed into one block-diagonal scene —
     # static per-env upper-triangular pairs, see envs.pack_envs)

@@ -533,6 +533,81 @@ def _pair_contacts_boxes_pallas(state: SimState, cand: PairCandidates,
     )
 
 
+def hull_obb_prefilter(
+    state: SimState, cand: PairCandidates, cap2: int
+) -> Tuple[PairCandidates, Array]:
+    """Two-phase hull narrow phase, phase 1: OBB face-axis SAT.
+
+    Each body's shared hull is bounded by its local AABB (center co,
+    half extents h — padded hull vertices repeat vertex 0, so min/max
+    over the full capacity is exact). A pair whose OBBs are separated on
+    one of the 6 FACE axes has separated hulls (hull ⊆ OBB) and is
+    dropped; survivors compact order-preservingly to `cap2` lanes.
+    Pure component form — ~60 [P]-row flops per pair, no vertex factor.
+
+    Returns (compacted candidates [cap2], overflow [] int32 — survivors
+    dropped beyond cap2, never silent). The rank rows ride the same
+    compaction so the banded solver's carries stay aligned.
+    """
+    from physics_tpu.maths import vec3c as v3
+
+    verts = state.hulls.verts[0]                           # [V, 3]
+    lo = jnp.min(verts, axis=0)
+    hi = jnp.max(verts, axis=0)
+    co = (lo + hi) * 0.5                                   # [3] local center
+    h = (hi - lo) * 0.5                                    # [3] half extents
+
+    ia, ib = cand.body_a, cand.body_b
+    ra9 = v3.quat_to_mat(state.quat[ia])                   # 9 × [P]
+    rb9 = v3.quat_to_mat(state.quat[ib])
+
+    def obb_center(r9, pos):
+        return tuple(
+            pos[:, c] + r9[3 * c] * co[0] + r9[3 * c + 1] * co[1]
+            + r9[3 * c + 2] * co[2]
+            for c in range(3))
+
+    ca = obb_center(ra9, state.pos[ia])
+    cb = obb_center(rb9, state.pos[ib])
+    t = v3.sub(cb, ca)
+
+    # |column_i(Ra) · column_j(Rb)| — the box face-SAT radii terms
+    cabs = [[jnp.abs(ra9[i] * rb9[j] + ra9[3 + i] * rb9[3 + j]
+                     + ra9[6 + i] * rb9[6 + j]) for j in range(3)]
+            for i in range(3)]
+    sep = None
+    for i in range(3):
+        ut = ra9[i] * t[0] + ra9[3 + i] * t[1] + ra9[6 + i] * t[2]
+        rad = (h[i] + h[0] * cabs[i][0] + h[1] * cabs[i][1]
+               + h[2] * cabs[i][2])
+        s = jnp.abs(ut) - rad
+        sep = s if sep is None else jnp.maximum(sep, s)
+    for j in range(3):
+        wt = rb9[j] * t[0] + rb9[3 + j] * t[1] + rb9[6 + j] * t[2]
+        rad = (h[j] + h[0] * cabs[0][j] + h[1] * cabs[1][j]
+               + h[2] * cabs[2][j])
+        sep = jnp.maximum(sep, jnp.abs(wt) - rad)
+
+    keep = cand.mask & (sep < 0.0)
+    p = keep.shape[0]
+    # order-preserving compaction: unique integer keys (kept pairs keep
+    # their index, dropped pairs shift past P) — stability for free
+    key = jnp.where(keep, 0, p) + jnp.arange(p, dtype=jnp.int32)
+    idx = jnp.argsort(key)[:cap2]
+    kept = keep[idx]
+    overflow = jnp.maximum(
+        jnp.sum(keep.astype(jnp.int32)) - cap2, 0)
+    sel = lambda x: jnp.where(kept, x[idx], 0)
+    return PairCandidates(
+        body_a=sel(cand.body_a),
+        body_b=sel(cand.body_b),
+        mask=kept,
+        overflow=cand.overflow,
+        rank_a=sel(cand.rank_a),
+        rank_b=sel(cand.rank_b),
+    ), overflow
+
+
 def hulls_fast_path(state: SimState, cfg: SimConfig) -> bool:
     """True when pair_contacts routes through the slot-major shared-hull
     fast path (_pair_contacts_hulls_fast) — the solver's rank-carry

@@ -248,6 +248,11 @@ def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         broadphase="sweep",
         sweep_window=32,
         max_pair_candidates=8 * n_bodies,
+        # two-phase narrow phase: OBB face-SAT prefilter compacts the 8N
+        # AABB candidates to the ~true-overlap set (≈3/body settled)
+        # before the full hull-SAT support matmuls; overflow-counted
+        # (metrics prefilter_overflow, watch it through drop+settle)
+        hull_prefilter_cap=4 * n_bodies,
         max_contacts_per_pair=6,
         max_contacts=8 * n_bodies,
         # fused banded Pallas sweep solver (generic-contact path): the

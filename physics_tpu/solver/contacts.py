@@ -536,12 +536,23 @@ def contact_capacity(state: SimState, cfg: SimConfig) -> int:
         return table_shape(state.num_bodies, cfg)[2]
 
     def gen(s):
+        from physics_tpu.ops.narrowphase import (
+            hull_obb_prefilter,
+            hulls_fast_path,
+        )
+
         cvx = convex_data(s)
         groups = []
         if cfg.ground_plane:
             groups.append(ground_contacts(s, cvx, cfg))
         if cfg.pair_collisions and s.num_bodies > 1:
-            groups.append(pair_contacts(s, cvx, pair_candidates(s, cfg), cfg))
+            cand = pair_candidates(s, cfg)
+            if hulls_fast_path(s, cfg) and cfg.hull_prefilter_cap > 0:
+                # mirror resolve_contacts' prefilter so the warm-start
+                # buffer capacity matches the runtime contact shape
+                cand, _ = hull_obb_prefilter(s, cand,
+                                             cfg.hull_prefilter_cap)
+            groups.append(pair_contacts(s, cvx, cand, cfg))
         if not groups:
             return jnp.zeros((0,), jnp.int32)
         contacts = concat_contacts(*groups)
@@ -715,6 +726,16 @@ def resolve_contacts(
         groups.append(gc)
     if cfg.pair_collisions and state.num_bodies > 1:
         cand = pair_candidates(state, cfg)
+        if hulls_fast and cfg.hull_prefilter_cap > 0 and shard is None:
+            # two-phase hull narrow phase: OBB face-SAT prefilter drops
+            # separated pairs and compacts survivors before the full
+            # hull-SAT support matmuls (whose cost scales with candidate
+            # lanes); the rank rows ride the same compaction
+            from physics_tpu.ops.narrowphase import hull_obb_prefilter
+
+            cand, pre_ovf = hull_obb_prefilter(
+                state, cand, cfg.hull_prefilter_cap)
+            metrics["prefilter_overflow"] = pre_ovf
         if shard:
             from physics_tpu.ops.broadphase import PairCandidates
 

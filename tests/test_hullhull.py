@@ -285,7 +285,7 @@ s = state.replace(
 # drop-by-lowest-rank policy keeps a different (order-dependent) subset
 # per emission layout, which is documented behavior, not a parity bug
 cfg = dataclasses.replace(rain_config(24), max_contacts=768,
-                          max_pair_candidates=768)
+                          max_pair_candidates=768, hull_prefilter_cap=768)
 cfg_slow = dataclasses.replace(cfg, hull_fast=False)
 assert cfg.hull_fast  # default ON for single-hull-type scenes
 
@@ -367,3 +367,61 @@ def test_batched_hull_fast_path_matches_vmapped():
     )
     assert out.returncode == 0, (out.stdout, out.stderr)
     assert "HULL_FAST_PARITY_OK" in out.stdout
+
+
+def test_hull_obb_prefilter():
+    """Phase-1 OBB face-SAT prefilter (cfg.hull_prefilter_cap): the
+    compacted candidate set yields the IDENTICAL active contact set when
+    the cap doesn't overflow (conservative: only OBB-separated pairs are
+    dropped), and a fully separated scene keeps nothing."""
+    import dataclasses
+
+    from physics_tpu.ops import narrowphase as nph
+    from physics_tpu.ops.broadphase import pair_candidates
+    from physics_tpu.ops.narrowphase import hull_obb_prefilter
+    from physics_tpu.scenes import mesh_rain, rain_config
+
+    state = mesh_rain(24, seed=0)
+    rng = np.random.default_rng(3)
+    g = np.stack(np.meshgrid(*[np.arange(3) * 0.72] * 2,
+                             np.arange(3) * 0.72,
+                             indexing="ij"), -1).reshape(-1, 3)[:24]
+    q = rng.normal(size=(24, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    import jax.numpy as jnp
+    tight = state.replace(
+        pos=jnp.asarray((g + rng.uniform(-0.05, 0.05, (24, 3))
+                         ).astype(np.float32)),
+        quat=jnp.asarray(q))
+    cfg = dataclasses.replace(rain_config(24), max_pair_candidates=768,
+                              hull_prefilter_cap=0)
+
+    cand = pair_candidates(tight, cfg)
+    cand2, ovf = hull_obb_prefilter(tight, cand, 512)
+    assert int(ovf) == 0
+    c_full = nph.pair_contacts(tight, None, cand, cfg)
+    c_pre = nph.pair_contacts(tight, None, cand2, cfg)
+    kf = np.asarray(c_full.key)
+    kp = np.asarray(c_pre.key)
+    assert (kf != 0).sum() > 20
+    assert sorted(kf[kf != 0].tolist()) == sorted(kp[kp != 0].tolist())
+    # depths travel with the keys
+    df = np.asarray(c_full.depth)[kf != 0]
+    dp = np.asarray(c_pre.depth)[kp != 0]
+    np.testing.assert_allclose(np.sort(df), np.sort(dp), atol=1e-6)
+
+    # rank rows rode the compaction: active slots carry rank_a < rank_b
+    m2 = np.asarray(cand2.mask)
+    assert np.all(np.asarray(cand2.rank_a)[m2]
+                  < np.asarray(cand2.rank_b)[m2])
+
+    # fully separated grid: every pair's OBBs are disjoint -> zero kept
+    spread = tight.replace(pos=tight.pos * 10.0)
+    cand_s = pair_candidates(spread, cfg)
+    cand_s2, ovf_s = hull_obb_prefilter(spread, cand_s, 512)
+    assert int(ovf_s) == 0
+    assert int(np.asarray(cand_s2.mask).sum()) == 0
+
+    # tiny cap: overflow is counted, never silent
+    _, ovf_t = hull_obb_prefilter(tight, cand, 128)
+    assert int(ovf_t) > 0
