@@ -13,6 +13,8 @@ import sys
 import time
 from functools import partial
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -257,17 +257,40 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         winovf = jnp.float32(0.0)
         if bp_k:
             # ---- phase 0: whole broad phase in-kernel ----
-            # Raw candidate (d, i) = sorted ranks (start+i, start+i+d),
-            # i ∈ [0, 128), d ∈ [1, bp_k]. Endpoint A's geometry is the
-            # window's first 128 lanes broadcast over d; endpoint B's is
-            # a static shifted slice — NO gathers anywhere in the filter.
-            def nb2(v):
-                return jnp.stack([
-                    jax.lax.slice_in_dim(v, d, d + 128)
-                    for d in range(1, bp_k + 1)])          # [bp_k, 128]
+            # Raw candidate (d, i2) = sorted ranks (start + i2 − d,
+            # start + i2), d ∈ [1, bp_k], valid lanes d ≤ i2 < 128 + d.
+            # Endpoint B's fields are the window rows broadcast over d
+            # (lane i2 IS b's window lane); endpoint A's fields come
+            # from ONE strided lane-roll per field (row d−1 right-rolled
+            # by d, small positive shifts — tpu.dynamic_rotate). The
+            # natural orientation (A = lane i broadcast, B = left-
+            # shifted slices) is NOT Mosaic-lowerable: stacking
+            # unaligned lane slices trips the concatenate layout check
+            # (offset mismatch on the non-concat dim), and left rolls
+            # (≡ right rolls by wtot − d > 128) exceed the rotate
+            # unit's max in-vreg shift. Wrapped lanes (i2 < d) carry
+            # garbage from the window tail — masked by `valid`.
+            def aroll(v):
+                # strided roll in 8-row groups: the rotate unit handles a
+                # sublane-replicated single-vreg input (row j of group g
+                # shifts by 8g+1+j), but a multi-vreg broadcast input
+                # crashes the compiler's strided-rotate lowering
+                # (array.h limits check, 48 rows = 6 vregs vs 1).
+                b2 = jnp.broadcast_to(v[None, :], (8, wtot))
+                groups = [
+                    pltpu.roll(b2, 8 * g + 1, 1, stride=1, stride_axis=0)
+                    for g in range(-(-bp_k // 8))
+                ]
+                out = jnp.concatenate(groups, axis=0)
+                return out if out.shape[0] == bp_k else out[:bp_k]
 
-            def cur(v):
-                return jax.lax.slice_in_dim(v, 0, 128)[None, :]
+            def bcast(v):
+                return jnp.broadcast_to(v[None, :], (bp_k, wtot))
+
+            ii2 = jax.lax.broadcasted_iota(jnp.int32, (bp_k, wtot), 1)
+            dd = jax.lax.broadcasted_iota(
+                jnp.int32, (bp_k, wtot), 0) + 1
+            valid = (ii2 >= dd) & (ii2 < dd + BLOCK)
 
             ext = []
             for c in range(3):
@@ -278,40 +301,51 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             mins = tuple(pos3[c] - ext[c] for c in range(3))
             maxs = tuple(pos3[c] + ext[c] for c in range(3))
 
-            x_ov = nb2(mins[0]) <= cur(maxs[0])            # sorted by min-x
-            keep = x_ov
+            # sorted by min-x: pair (a, a+d) overlaps iff b's min-x ≤
+            # a's max-x
+            x_ov = bcast(mins[0]) <= aroll(maxs[0])
+            keep = valid & x_ov
             for c in range(3):
                 keep = keep & (
-                    jnp.maximum(cur(mins[c]), nb2(mins[c]))
-                    <= jnp.minimum(cur(maxs[c]), nb2(maxs[c])))
-            live = (cur(win[19]) > 0.0) & (nb2(win[19]) > 0.0)
+                    jnp.maximum(aroll(mins[c]), bcast(mins[c]))
+                    <= jnp.minimum(aroll(maxs[c]), bcast(maxs[c])))
+            live = (aroll(win[19]) > 0.0) & (bcast(win[19]) > 0.0)
             keep = keep & live
-            keep = keep & ((cur(win[17]) > 0.0) | (nb2(win[17]) > 0.0))
+            keep = keep & ((aroll(win[17]) > 0.0)
+                           | (bcast(win[17]) > 0.0))
 
-            # face-axis SAT on the raw [bp_k, 128] candidates (2-D slices
-            # of the same window fields)
-            t2 = tuple(nb2(pos3[c]) - cur(pos3[c]) for c in range(3))
-            ra2 = tuple(cur(win[3 + k2]) for k2 in range(9))
-            rb2 = tuple(nb2(win[3 + k2]) for k2 in range(9))
-            ha2 = tuple(cur(win[12 + c]) for c in range(3))
-            hb2 = tuple(nb2(win[12 + c]) for c in range(3))
+            # face-axis SAT on the raw [bp_k, wtot] candidates (strided
+            # rolls / broadcasts of the same window fields)
+            t2 = tuple(bcast(pos3[c]) - aroll(pos3[c]) for c in range(3))
+            ra2 = tuple(aroll(win[3 + k2]) for k2 in range(9))
+            rb2 = tuple(bcast(win[3 + k2]) for k2 in range(9))
+            ha2 = tuple(aroll(win[12 + c]) for c in range(3))
+            hb2 = tuple(bcast(win[12 + c]) for c in range(3))
             keep = keep & (face_sat_sep(t2, ra2, rb2, ha2, hb2) < 0.0)
             if env_k:
                 # packed-env mode: only within-env pairs are real —
-                # rank r belongs to env r // env_k, so (r, r+d) is
-                # same-env iff (r mod env_k) + d < env_k. Independent
-                # envs may overlap spatially (each is its own world).
-                ii = jax.lax.broadcasted_iota(jnp.int32, (bp_k, 128), 1)
-                dd = jax.lax.broadcasted_iota(
-                    jnp.int32, (bp_k, 128), 0) + 1
-                keep = keep & ((ii % env_k) + dd < env_k)
+                # rank r belongs to env r // env_k, so (a, a+d) is
+                # same-env iff (a mod env_k) + d < env_k, a = i2 − d.
+                # Independent envs may overlap spatially (each is its
+                # own world).
+                keep = keep & (((ii2 - dd) % env_k) + dd < env_k)
             keepf = keep.astype(jnp.float32)
 
-            la2 = jax.lax.broadcasted_iota(
-                jnp.int32, (bp_k, 128), 1).astype(jnp.float32)
-            lb2 = la2 + 1.0 + jax.lax.broadcasted_iota(
-                jnp.int32, (bp_k, 128), 0).astype(jnp.float32)
-            la, lb, dropped2 = compact_pair_lanes(keepf, la2, lb2, cap)
+            la2 = (ii2 - dd).astype(jnp.float32)
+            lb2 = ii2.astype(jnp.float32)
+
+            def tiles128(m):
+                # [bp_k, wtot] → [bp_k·(wtot/128), 128]: aligned lane
+                # slices with uniform offsets concat fine; the chunked
+                # sublane→lane flatten inside compact_pair_lanes is only
+                # proven for 128-lane rows
+                return jnp.concatenate(
+                    [jax.lax.slice_in_dim(m, j * 128, (j + 1) * 128,
+                                          axis=1)
+                     for j in range(wtot // 128)], axis=0)
+
+            la, lb, dropped2 = compact_pair_lanes(
+                tiles128(keepf), tiles128(la2), tiles128(lb2), cap)
             if env_k:
                 # the band is exact in env mode (d = env_k - 1 covers the
                 # whole within-env triangle): no window-edge overflow
@@ -321,7 +355,7 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                 # window neighbor: pairs may exist beyond d = bp_k —
                 # counted, never silent (matches
                 # ops/broadphase.sweep_candidates overflow)
-                lov = (x_ov[bp_k - 1] & live[bp_k - 1]).astype(
+                lov = ((x_ov & live & valid)[bp_k - 1]).astype(
                     jnp.float32)
                 winovf = jnp.sum(lov)
         else:
