@@ -10,8 +10,11 @@ pile (ground plane + pair collisions + sweep broad phase + SAT narrow phase
 Compilation through this environment's remote-compile tunnel costs minutes
 per program, so the harness compiles exactly ONE program (a fixed-length
 scan chunk of the 4k-pile step), reuses it for settle + timing, and prints
-the JSON line immediately after the primary measurement. Secondary numbers
-(batched envs, 1k pile) run only with BENCH_FULL=1 and go to stderr.
+the JSON line immediately after the primary measurement. Every other
+BASELINE.md row (1k pile, 4096x8 packed envs, mesh-rain 128/1024) then
+runs with small timing windows and appends one JSON line each to stdout,
+so regressions on the secondary rows are visible every round
+(BENCH_SECONDARY=0 skips them; BENCH_FULL=1 is the legacy alias).
 """
 
 from __future__ import annotations
@@ -138,6 +141,38 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1,
     return n_bodies * sps, wall_ms, trace_ms
 
 
+def bench_rain(n_bodies: int, chunk: int = 60, timed_chunks: int = 4):
+    """Mesh-rain row: real cube.obj hulls raining onto the ground."""
+    from physics_tpu.engine import prepare_contacts
+    from physics_tpu.scenes import mesh_rain, rain_config
+
+    cfg = rain_config(n_bodies)
+    state = prepare_contacts(mesh_rain(n_bodies), cfg)
+
+    @partial(jax.jit, donate_argnums=0)
+    def run(s):
+        out, _ = jax.lax.scan(lambda s2, _: (step(s2, cfg), None), s,
+                              None, length=chunk)
+        return out
+
+    t0 = time.perf_counter()
+    state = run(state)
+    _fence(state.pos)
+    log(f"rain[{n_bodies}]: compile+first chunk "
+        f"{time.perf_counter()-t0:.1f}s")
+    state = run(state)
+    _fence(state.pos)
+    t0 = time.perf_counter()
+    for _ in range(timed_chunks):
+        state = run(state)
+    _fence(state.pos)
+    dt = time.perf_counter() - t0
+    sps = timed_chunks * chunk / dt
+    log(f"rain[{n_bodies}]: {n_bodies * sps / 1e6:.3f}M body-steps/s, "
+        f"{1e3 / sps:.2f} ms/step")
+    return n_bodies * sps
+
+
 def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     from physics_tpu.config import SimConfig
     from physics_tpu.engine import prepare_contacts
@@ -191,15 +226,24 @@ def main() -> None:
         flush=True,
     )
 
-    if os.environ.get("BENCH_FULL") == "1":
+    if os.environ.get("BENCH_SECONDARY", "1") == "0":
+        return
+
+    def emit(metric, thunk):
         try:
-            bench_batched_envs()
+            v = thunk()
         except Exception as e:
-            log(f"batched env bench failed: {e}")
-        try:
-            bench_pile(1024)
-        except Exception as e:
-            log(f"1k pile bench failed: {e}")
+            log(f"{metric} failed: {e}")
+            return
+        print(json.dumps({"metric": metric, "value": round(float(v), 1),
+                          "unit": "body-steps/sec/chip"}), flush=True)
+
+    os.environ.setdefault("BENCH_TRACE", "0")  # secondaries: wall only
+    emit("body_steps_per_sec_1k_pile",
+         lambda: bench_pile(1024, timed_chunks=4)[0])
+    emit("body_steps_per_sec_packed_envs_4096x8", bench_batched_envs)
+    emit("body_steps_per_sec_mesh_rain_128", lambda: bench_rain(128))
+    emit("body_steps_per_sec_mesh_rain_1024", lambda: bench_rain(1024))
 
 
 if __name__ == "__main__":
