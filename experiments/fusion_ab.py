@@ -29,6 +29,30 @@ RUNGS = {
     "prep": {"bp_inkernel": True, "fuse_prep": True},
     "integ": {"bp_inkernel": True, "fuse_prep": True,
               "fuse_integrate": True},
+    # solver-iteration lever on top of the full fusion stack (watch
+    # max_penetration in the metrics line for stability regressions)
+    "iters66": {"bp_inkernel": True, "fuse_prep": True,
+                "fuse_integrate": True, "contact_iters": 6,
+                "position_iters": 6},
+    # tighter two-phase prefilter cap (watch pair_overflow)
+    "cap2_384": {"bp_inkernel": True, "fuse_prep": True,
+                 "fuse_integrate": True, "bucket_cap2": 384},
+    # the same levers on top of BASE (the fusion stack measured neutral
+    # on trace in /tmp/fa1.log — base 1.056 ms vs integ 1.100 ms)
+    "b_iters66": {"contact_iters": 6, "position_iters": 6},
+    "b_cap384": {"bucket_cap2": 384},
+    "b_both": {"contact_iters": 6, "position_iters": 6,
+               "bucket_cap2": 384},
+    # asymmetric sweep probes — 6+6 destabilized the pile (max_pen 2.51
+    # vs 0.345 at 8+8; /tmp/fa2.log): find which pass carries stability
+    "b_v6": {"contact_iters": 6, "bucket_cap2": 384},
+    "b_p6": {"position_iters": 6, "bucket_cap2": 384},
+    "b_v6p7": {"contact_iters": 6, "position_iters": 7,
+               "bucket_cap2": 384},
+    # single-pass bf16 z movement (docs/PERFORMANCE.md lever 4): halves
+    # the solve kernel's MXU matmuls; watch penetration/overflow vs
+    # b_cap384's envelope (pen 0.345, overflow 0)
+    "b_zbf16": {"bucket_cap2": 384, "z_bf16": True},
 }
 
 

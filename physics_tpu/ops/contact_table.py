@@ -39,6 +39,7 @@ SURVEY.md §0); the TPU-shaping rules it follows are docs/PERFORMANCE.md.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as onp
@@ -89,6 +90,12 @@ GEOM_ROWS = 24
 BLOCK = 128      # ranks per bucket — fixed: ground slice + bases stay
                  # 128-aligned with zero scalar prefetch
 
+# compile-crash bisect gate (experiments/ct_bp_run.py): > 0 truncates the
+# kernel after the numbered bp-phase stage and writes a reduction of that
+# stage's tensor, so the Mosaic-crashing op can be located on real TPU.
+# Never set in production (0 = full kernel).
+_BP_DBG = int(os.environ.get("CT_BP_DEBUG", "0"))
+
 _BOX_SIGNS = [
     (sx, sy, sz)
     for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)
@@ -106,21 +113,29 @@ def _split(x):
 
 
 def _exclusive_prefix(mask):
-    """mask [SUB, 128] 0/1 f32 → exclusive prefix counts, row-major order."""
-    sub = mask.shape[0]
-    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    """mask [SUB, L] 0/1 f32 (L a lane multiple) → exclusive prefix
+    counts in row-major order, via triangular matmuls ONLY — no
+    reshape/transpose anywhere. The earlier [1, SUB] ↔ [SUB, 1]
+    reshapes crashed Mosaic's layout assignment once SUB exceeded one
+    vreg of sublanes (the bp_inkernel shapes: SUB = 48/96 — array.h
+    limits check; bisected via CT_BP_DEBUG stage 3), so the row-offset
+    term is now a [SUB, SUB] × [SUB, L] matmul against the row totals
+    broadcast over lanes."""
+    sub, lanes = mask.shape
+    ci = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
     t_l = (ci < cj).astype(jnp.float32)
     within = jax.lax.dot_general(
         mask, t_l, (((1,), (0,)), ((), ())), precision=HIGHEST)
-    totals = jnp.sum(mask, axis=1, keepdims=True)
+    totals_b = jnp.broadcast_to(
+        jnp.sum(mask, axis=1, keepdims=True), (sub, lanes))
     ri = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     t_r = (ri < rj).astype(jnp.float32)
+    # offs[i, c] = Σ_j (j < i) · totals[j]  (contract the FIRST dims)
     offs = jax.lax.dot_general(
-        totals.reshape(1, sub), t_r, (((1,), (0,)), ((), ())),
-        precision=HIGHEST)
-    return within + offs.reshape(sub, 1)
+        t_r, totals_b, (((0,), (0,)), ((), ())), precision=HIGHEST)
+    return within + offs
 
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
@@ -175,6 +190,12 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             (out_ref, meta_ref), prev_ref, warm_ref = refs, None, None
         b = pl.program_id(0)
         start = pl.multiple_of(b * BLOCK, 128)
+
+        def _dbg(val):
+            out_ref[:] = jnp.zeros((CT_ROWS, ccap), jnp.float32) + val
+            meta_ref[:] = jnp.zeros((8, 128), jnp.float32)
+            if warm:
+                warm_ref[:] = jnp.zeros((8, ccap), jnp.float32)
         # row0=24 when fed the unified table (this kernel's block sits
         # after the solve layout; see unified_geom)
         win = geom_ref[row0:row0 + GEOM_ROWS,
@@ -223,10 +244,15 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
 
         def compact_pair_lanes(keepf, la2, lb2, out_cap):
             """Order-preserving compaction of candidate lanes: keepf
-            [SUB, 128] 0/1 f32, la2/lb2 [SUB, 128] f32 local ranks.
-            Returns (la [out_cap] i32, lb [out_cap] i32, dropped f32) —
-            empty slots −1. Local ranks < 2¹⁶ ⇒ exact in bf16 hi/lo."""
-            nsub = keepf.shape[0]
+            [SUB, L] 0/1 f32 (L a 128-multiple), la2/lb2 [SUB, L] f32
+            local ranks. Returns (la [out_cap] i32, lb [out_cap] i32,
+            dropped f32) — empty slots −1. Local ranks < 2¹⁶ ⇒ exact in
+            bf16 hi/lo. Scatter chunks are [chunk_rows, 128] tiles taken
+            with 128-aligned lane slices and flattened [CR,128]→[1,CW]
+            (the one Mosaic-proven flatten); wider flattens and the
+            [SUB·(L/128), 128] re-tiling both crash layout assignment at
+            bp_inkernel shapes."""
+            nsub, lanes = keepf.shape
             slot1 = _exclusive_prefix(keepf)
             slot1 = slot1 * keepf + (1.0 - keepf) * jnp.float32(out_cap)
             pay_a = (la2 + 1.0) * keepf
@@ -237,17 +263,21 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             for r0 in range(0, nsub, chunk_rows):
                 cr = min(chunk_rows, nsub - r0)
                 cwr = cr * 128
-                sl = slot1[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
-                oht = (ohr[:, :cwr] == sl).astype(jnp.bfloat16)
-                pay = jnp.stack([pay_a[r0:r0 + cr].reshape(1, cwr)[0],
-                                 pay_b[r0:r0 + cr].reshape(1, cwr)[0]])
-                p_hi, p_lo = _split(pay)
-                acc2 += jax.lax.dot_general(
-                    p_hi, oht, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc2 += jax.lax.dot_general(
-                    p_lo, oht, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                for h in range(lanes // 128):
+                    hs = slice(h * 128, (h + 1) * 128)
+                    sl = slot1[r0:r0 + cr, hs].reshape(
+                        1, cwr).astype(jnp.int32)
+                    oht = (ohr[:, :cwr] == sl).astype(jnp.bfloat16)
+                    pay = jnp.stack(
+                        [pay_a[r0:r0 + cr, hs].reshape(1, cwr)[0],
+                         pay_b[r0:r0 + cr, hs].reshape(1, cwr)[0]])
+                    p_hi, p_lo = _split(pay)
+                    acc2 += jax.lax.dot_general(
+                        p_hi, oht, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc2 += jax.lax.dot_general(
+                        p_lo, oht, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             dropped = jnp.maximum(
                 jnp.sum(keepf) - jnp.float32(out_cap), 0.0)
             return (acc2[0].astype(jnp.int32) - 1,
@@ -313,6 +343,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             keep = keep & live
             keep = keep & ((aroll(win[17]) > 0.0)
                            | (bcast(win[17]) > 0.0))
+            if _BP_DBG == 1:
+                _dbg(jnp.sum(keep.astype(jnp.float32)))
+                return
 
             # face-axis SAT on the raw [bp_k, wtot] candidates (strided
             # rolls / broadcasts of the same window fields)
@@ -322,6 +355,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             ha2 = tuple(aroll(win[12 + c]) for c in range(3))
             hb2 = tuple(bcast(win[12 + c]) for c in range(3))
             keep = keep & (face_sat_sep(t2, ra2, rb2, ha2, hb2) < 0.0)
+            if _BP_DBG == 2:
+                _dbg(jnp.sum(keep.astype(jnp.float32)))
+                return
             if env_k:
                 # packed-env mode: only within-env pairs are real —
                 # rank r belongs to env r // env_k, so (a, a+d) is
@@ -334,18 +370,10 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             la2 = (ii2 - dd).astype(jnp.float32)
             lb2 = ii2.astype(jnp.float32)
 
-            def tiles128(m):
-                # [bp_k, wtot] → [bp_k·(wtot/128), 128]: aligned lane
-                # slices with uniform offsets concat fine; the chunked
-                # sublane→lane flatten inside compact_pair_lanes is only
-                # proven for 128-lane rows
-                return jnp.concatenate(
-                    [jax.lax.slice_in_dim(m, j * 128, (j + 1) * 128,
-                                          axis=1)
-                     for j in range(wtot // 128)], axis=0)
-
-            la, lb, dropped2 = compact_pair_lanes(
-                tiles128(keepf), tiles128(la2), tiles128(lb2), cap)
+            la, lb, dropped2 = compact_pair_lanes(keepf, la2, lb2, cap)
+            if _BP_DBG == 3:
+                _dbg(jnp.sum(la.astype(jnp.float32)) + dropped2)
+                return
             if env_k:
                 # the band is exact in env mode (d = env_k - 1 covers the
                 # whole within-env triangle): no window-edge overflow
@@ -365,6 +393,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         oh_a, oh_b = onehots(la, lb)
         ga = bgather(oh_a)
         gb = bgather(oh_b)        # inactive (la = −1): all-zero columns
+        if _BP_DBG == 4:
+            _dbg(jnp.sum(ga) + jnp.sum(gb))
+            return
 
         if cap2:
             # ---- phase 1: face-axis SAT prefilter on all candidates ----
@@ -409,6 +440,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             (gb[12], gb[13], gb[14]),
             mosaic=mosaic,
         )
+        if _BP_DBG == 5:
+            _dbg(jnp.sum(man.depth[0]) + jnp.sum(man.normal[0]))
+            return
 
         movable = (ga[17] > 0.0) | (gb[17] > 0.0)
         mu_p = jnp.sqrt(ga[15] * gb[15])
@@ -479,6 +513,10 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                     for s in range(_CAP)
                 ]
 
+        if _BP_DBG == 6:
+            _dbg(sum(jnp.sum(r[0]) for r in rows if r))
+            return
+
         # ---- ground contacts for the bucket's own 128 ranks ----
         if kg > 0:
             gl = win[:, 0:BLOCK]                           # [24, 128]
@@ -526,6 +564,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             pay2 = [jnp.stack(r) for r in rows]            # 16 × [sub, 128]
         else:
             pay2 = [jnp.concatenate(r).reshape(sub, 128) for r in rows]
+        if _BP_DBG == 7:
+            _dbg(jnp.sum(pay2[CT_ACT]))
+            return
 
         # ---- per-bucket compaction (order-preserving) ----
         mask = pay2[CT_ACT]                                # [sub, 128]

@@ -178,10 +178,50 @@ class SceneBuilder:
         self._joints.append((JOINT_DISTANCE, body_a, body_b, p, ks, kd))
 
     # ------------------------------------------------------------------ build
-    def build(self, joint_capacity: Optional[int] = None) -> SimState:
+    def build(self, joint_capacity: Optional[int] = None,
+              mixed_as_hulls: bool = True) -> SimState:
+        """Build the immutable SimState.
+
+        mixed_as_hulls (default True): when the scene registers BOTH box
+        and hull colliders, every box is converted to an equivalent
+        8-vertex convex hull (same half extents, friction, restitution,
+        inertia) so box↔hull pairs ride the complete hull-hull SAT
+        manifold (face axes + edge-edge, ops/hullhull.py) instead of the
+        vertex-face-only generic path, which misses edge-edge contacts
+        between deeply crossed shapes. Pure-box and pure-hull scenes are
+        unaffected (their dedicated fast paths stay engaged). Pass False
+        to keep raw boxes in a mixed scene (the generic path then applies
+        and is approximate for crossed pairs)."""
         n = len(self._pos)
         if n == 0:
             raise ValueError("scene has no bodies")
+
+        stypes = np.asarray(self._stype, np.int32)
+        if (mixed_as_hulls and self._hulls
+                and np.any(stypes == SHAPE_BOX)):
+            import logging
+
+            logging.getLogger(__name__).info(
+                "mixed box+hull scene: converting %d boxes to 8-vertex "
+                "hulls for a uniform convex narrow phase "
+                "(build(mixed_as_hulls=False) keeps raw boxes)",
+                int(np.sum(stypes == SHAPE_BOX)),
+            )
+            box_hull_ids = {}
+            for body in range(n):
+                if self._stype[body] != SHAPE_BOX:
+                    continue
+                he = tuple(float(x) for x in self._sparams[body])
+                if he not in box_hull_ids:
+                    hx, hy, hz = he
+                    corners = np.array(
+                        [(sx * hx, sy * hy, sz * hz)
+                         for sx in (-1, 1) for sy in (-1, 1)
+                         for sz in (-1, 1)], np.float32)
+                    box_hull_ids[he] = self.add_hull(corners)
+                self.set_hull(body, box_hull_ids[he],
+                              friction=float(self._friction[body]),
+                              restitution=float(self._restitution[body]))
 
         jn = len(self._joints)
         cap = joint_capacity if joint_capacity is not None else jn

@@ -5,6 +5,7 @@ safe at any pair density (round-2 fix for the round-1 gating bug).
 Kept small-N: every distinct SimConfig is a new XLA program on one CPU
 core."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 import jax
@@ -85,6 +86,7 @@ def test_bucket_overflow_counted():
     assert dropped == n_active - 128
 
 
+@pytest.mark.slow
 def test_bucketed_step_matches_flat_step():
     from physics_tpu.engine import step_with_metrics
 
@@ -100,6 +102,7 @@ def test_bucketed_step_matches_flat_step():
         np.asarray(out_b.vel), np.asarray(out_f.vel), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bucketed_pallas_narrowphase_sparse_state():
     """The round-1 failure mode: sparse active pairs spread over many ranks
     must NOT lose contacts through the banded narrow phase when bucketed

@@ -5,6 +5,7 @@ Interpret-mode on CPU exercises the identical kernel code path as TPU.
 Kept small-N: every distinct SimConfig is a new XLA program on one CPU
 core."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -60,6 +61,7 @@ def test_table_step_matches_np_pallas_path():
         np.asarray(out_t.vel), np.asarray(out_n.vel), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_table_stack_rolls_out_stable():
     """Warm-started rollout through the table path: a 3-box stack settles
     (exercises the in-kernel feature keys through the sort-merge warm
@@ -90,6 +92,7 @@ def test_table_overflow_counted():
     assert int(m["contact_count"]) <= 128
 
 
+@pytest.mark.slow
 def test_table_two_phase_prefilter_identical():
     """bucket_cap2 (face-axis SAT prefilter + survivor compaction inside
     the kernel) must be a pure optimization: the emitted table is
@@ -127,6 +130,7 @@ def test_table_two_phase_prefilter_identical():
     assert np.all(gaps > 0.9) and np.all(gaps < 1.1), y
 
 
+@pytest.mark.slow
 def test_table_inkernel_broadphase_same_contacts():
     """bp_inkernel (the ENTIRE broad phase folded into the kernel: shifted
     static window slices → AABB + face-SAT filter → in-kernel candidate
@@ -162,6 +166,7 @@ def test_table_inkernel_broadphase_same_contacts():
     assert meta[:, 2].sum() == 0 and meta[:, 3].sum() == 0
 
 
+@pytest.mark.slow
 def test_table_fused_integration_matches_xla():
     """cfg.fuse_integrate (position integration inside the solve kernel's
     final sweep) must reproduce the XLA epilogue: same math, same op
@@ -203,6 +208,7 @@ def test_table_fused_integration_matches_xla():
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
 
 
+@pytest.mark.slow
 def test_table_fused_prep_matches_separate_kernels():
     """cfg.fuse_prep (solve constants built inside the solve kernel's
     sweep 0 from the raw contact table) must reproduce the separate
@@ -240,6 +246,7 @@ def test_table_fused_prep_matches_separate_kernels():
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.02
 
 
+@pytest.mark.slow
 def test_table_inkernel_broadphase_step_and_rollout():
     """Full step through cfg.bp_inkernel matches the candidate-pipeline
     table step, and a warm-started stack rollout stays stable (exercises

@@ -46,6 +46,7 @@ def test_cold_parity():
     np.testing.assert_allclose(sj.quat, sp.quat, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_warm_parity_and_capacity():
     cfgj = _cfg()
     cfgp = cfgj.replace(contact_solver="pallas_banded")
@@ -62,6 +63,7 @@ def test_warm_parity_and_capacity():
     assert float(jnp.sum(sp.contact_lam[0])) > 0.0
 
 
+@pytest.mark.slow
 def test_stack_stays_up():
     cfgp = _cfg(contact_iters=16).replace(contact_solver="pallas_banded")
     s = prepare_contacts(box_stack(5), cfgp)
@@ -121,3 +123,26 @@ def test_requires_sweep_broadphase():
         contact_solver="pallas_banded")
     with pytest.raises(ValueError, match="sweep"):
         step(box_stack(3), cfg)
+
+
+@pytest.mark.slow
+def test_z_bf16_movement_close_to_exact():
+    """cfg.z_bf16 (single-pass bf16 z movement, docs/PERFORMANCE.md
+    lever 4) must track the exact hi/lo-split solve closely on a settled
+    stack: per-movement rounding is ~2⁻⁸ relative and the f32 z
+    accumulator keeps resting velocities near-exact in absolute terms."""
+    from physics_tpu.engine import prepare_contacts
+    from physics_tpu.scenes import box_stack
+
+    cfg = _cfg(contact_iters=8).replace(contact_solver="pallas_banded")
+    cfgl = cfg.replace(z_bf16=True)
+    s = prepare_contacts(box_stack(5), cfg)
+    sl = prepare_contacts(box_stack(5), cfgl)
+    for _ in range(5):
+        s = step(s, cfg)
+        sl = step(sl, cfgl)
+    pos, posl = np.asarray(s.pos), np.asarray(sl.pos)
+    assert np.all(np.isfinite(posl))
+    np.testing.assert_allclose(posl, pos, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sl.vel), np.asarray(s.vel),
+                               atol=5e-2)

@@ -1,5 +1,6 @@
 """Hull-hull narrow phase (face-SAT + clipping) and GJK distance tests."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -107,6 +108,7 @@ def test_face_case_unchanged_by_edge_axes():
     assert np.asarray(v).sum() == 4
 
 
+@pytest.mark.slow
 def test_deep_penetration_vs_support_oracle():
     """Deep-overlap stress (VERDICT item 9: evidence for the no-EPA
     design). Hulls overlapping by up to a full half-extent at randomized
@@ -221,6 +223,7 @@ def test_gjk_diagonal_direction():
     )
 
 
+@pytest.mark.slow
 def test_beveled_hull_stack_stable():
     """Flat-face hull stacking — the degenerate case vertex-face can't do."""
     hv, ht = beveled_cube_mesh(0.5, 0.08)
@@ -240,6 +243,7 @@ def test_beveled_hull_stack_stable():
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.01
 
 
+@pytest.mark.slow
 def test_cube_drop_rests_on_ground():
     """BASELINE config 1: single cube.obj hull dropped onto the ground
     (scenes.cube_drop — real res/cube.obj hull when mounted, procedural
@@ -340,6 +344,7 @@ print("HULL_FAST_PARITY_OK")
 """
 
 
+@pytest.mark.slow
 def test_batched_hull_fast_path_matches_vmapped():
     """ops/hullhull_batched (single-shared-hull SAT via static [rows, 9]
     coefficient matmuls against the relative rotation) must reproduce the
@@ -369,6 +374,7 @@ def test_batched_hull_fast_path_matches_vmapped():
     assert "HULL_FAST_PARITY_OK" in out.stdout
 
 
+@pytest.mark.slow
 def test_hull_obb_prefilter():
     """Phase-1 OBB face-SAT prefilter (cfg.hull_prefilter_cap): the
     compacted candidate set yields the IDENTICAL active contact set when

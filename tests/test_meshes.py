@@ -1,5 +1,6 @@
 """Mesh pipeline tests: primitives, hulls, inertia, OBJ round trip, hull sim."""
 
+import pytest
 import os
 
 import numpy as np
@@ -100,6 +101,7 @@ def test_obj_parses_quads_and_materials(tmp_path):
     np.testing.assert_allclose(mat.diffuse_color, (0.5, 0.25, 0.125))
 
 
+@pytest.mark.slow
 def test_hull_bodies_rest_on_ground():
     from physics_tpu import SceneBuilder, SimConfig
     from physics_tpu.engine import rollout
@@ -120,6 +122,7 @@ def test_hull_bodies_rest_on_ground():
     assert float(np.max(np.abs(np.asarray(final.vel)))) < 0.05
 
 
+@pytest.mark.slow
 def test_mesh_rain_scene_builds_and_steps():
     from physics_tpu.scenes import mesh_rain, rain_config
     from physics_tpu.engine import step

@@ -5,6 +5,7 @@ active-pair distributions — see docs/ROADMAP.md); these tests pin the
 kernel's manifold math on a dense case and that the default path is
 unaffected by the flag's existence."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,7 @@ CFG = SimConfig(
 )
 
 
+@pytest.mark.slow
 def test_dense_stack_manifolds():
     state = _stack_state(4)
     cand = pair_candidates(state, CFG)

@@ -1,5 +1,8 @@
 """Packed block-diagonal envs vs vmapped envs: same physics, one scene."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

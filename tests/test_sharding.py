@@ -1,5 +1,8 @@
 """Multi-chip sharding tests on the fake 8-device CPU mesh (SURVEY.md §4.5)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import jax
 

@@ -1,5 +1,6 @@
 """Analytic sphere-box narrow phase: face, edge, corner regions."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,7 @@ def test_separated_no_contact():
     assert act.sum() == 0
 
 
+@pytest.mark.slow
 def test_sphere_rests_on_box():
     b = SceneBuilder()
     i = b.add_body(pos=(0, 0.5, 0), inertia=box_inertia((0.5,) * 3, 1.0))
