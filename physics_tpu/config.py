@@ -155,6 +155,16 @@ class SimConfig:
     # HBM on every sweep. Deletes one kernel launch and the consts HBM
     # roundtrip. Table path only.
     fuse_prep: bool = False
+    # single-pass bf16 z-table movement in the banded solve kernels: the
+    # per-sweep endpoint gathers and delta scatters use ONE bf16 matmul
+    # instead of the exact hi/lo split pair — halving the solve kernel's
+    # MXU work (docs/PERFORMANCE.md lever 4). Impulse DELTAS round to
+    # ~2⁻⁸ relative per movement; the z accumulator stays f32, so resting
+    # velocities (→ 0) lose no absolute accuracy and split-impulse
+    # positions are tolerant. Keep OFF for restitution-heavy scenes and
+    # trajectory-parity work; piles/stacks measured stable (same
+    # penetration/overflow envelope as exact movement).
+    z_bf16: bool = False
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

@@ -90,9 +90,16 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # two-phase narrow phase: face-axis prefilter compacts the 1024
         # AABB-overlap candidates per bucket to the ~true-overlap set
         # before the full manifold/emit/compaction (whose cost scales
-        # with candidate lanes); 512 ≈ 2x the settled pile's per-bucket
-        # true-overlap max, overflow-counted
-        bucket_cap2=512,
+        # with candidate lanes); 384 ≈ 1.5x the settled pile's per-bucket
+        # true-overlap max — measured on the 4k pile drop+settle: same
+        # contact set/penetration as 512, pair_overflow unchanged, trace
+        # 1.056 → 0.995 ms/step (/tmp/fa2.log, round 3)
+        bucket_cap2=384,
+        # single-pass bf16 z movement in the solve kernel: solve trace
+        # 0.361 → 0.252 ms on the settled 4k pile with the SAME
+        # penetration/overflow envelope as exact movement (/tmp/fa4.log,
+        # round 3; parity: tests/test_contacts_pallas.py z_bf16 test)
+        z_bf16=True,
         max_contacts_per_pair=4,
         max_contacts=6 * n_bodies,
         contact_iters=16,

@@ -90,7 +90,8 @@ def _split(x):
 
 
 def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
-                     vel_on, pos_on, is_warm_f, degf, oh=None):
+                     vel_on, pos_on, is_warm_f, degf, oh=None,
+                     lowp=False):
     """One Jacobi sweep over one contact tile — the shared math of the
     fused multi-sweep kernel and the single-sweep (sharded) kernel.
 
@@ -103,7 +104,14 @@ def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
     (lam_new [4, TILE], ca, cb, oh_a, oh_b) where ca/cb are the [16, TILE]
     per-endpoint contribution stacks ready for the one-hot scatter.
     """
-    w_hi, w_lo = _split(win)
+    if lowp:
+        # single-pass movement (cfg.z_bf16): one bf16 matmul per gather
+        # — z reads round to ~2⁻⁸ relative; the f32 accumulator and the
+        # per-sweep shrinking deltas keep resting contacts exact enough
+        # (docs/PERFORMANCE.md lever 4)
+        w_hi, w_lo = win.astype(jnp.bfloat16), None
+    else:
+        w_hi, w_lo = _split(win)
     if oh is None:
         row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
         oh_a = (row == la[None, :]).astype(jnp.bfloat16)  # [WTOT, TILE]
@@ -115,6 +123,8 @@ def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
         g1 = jax.lax.dot_general(
             w_hi, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if w_lo is None:
+            return g1
         return g1 + jax.lax.dot_general(
             w_lo, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [16, TILE]
@@ -198,7 +208,11 @@ def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
     return lam_new, ca, cb, oh_a, oh_b
 
 
-def _bscatter(cmat, oh):
+def _bscatter(cmat, oh, lowp=False):
+    if lowp:
+        return jax.lax.dot_general(
+            cmat.astype(jnp.bfloat16), oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [16, WTOT]
     c_hi, c_lo = _split(cmat)
     d1 = jax.lax.dot_general(
         c_hi, oh, (((1,), (1,)), ((), ())),
@@ -209,7 +223,8 @@ def _bscatter(cmat, oh):
 
 
 def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
-                 persist_oh=False, integrate=None, prep=None):
+                 persist_oh=False, integrate=None, prep=None,
+                 lowp=False):
     """Kernel body closure over the static solve shape.
 
     Grid is (n_sweeps, ntiles). Sweep s=0 is a combined pre-pass: it
@@ -377,11 +392,12 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
         lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
             win, la, lb, cs, lam4, tile=tile, wtot=wtot,
             vel_on=vel_on, pos_on=pos_on, is_warm_f=is_warm_f, degf=degf,
-            oh=oh)
+            oh=oh, lowp=lowp)
 
         lam_s[:, pl.ds(coff, tile)] = lam_new
-        tab_acc[:, pl.ds(start, wtot)] += _bscatter(ca, oh_a) + _bscatter(
-            cb, oh_b)
+        tab_acc[:, pl.ds(start, wtot)] += (
+            _bscatter(ca, oh_a, lowp=lowp) + _bscatter(cb, oh_b,
+                                                       lowp=lowp))
         lam_ref[:] = lam_new
 
         if integrate is not None:
@@ -465,6 +481,7 @@ def banded_sweeps(
     persist_oh: bool | None = None,
     posq: Array | None = None,
     integrate: Tuple[float, bool] | None = None,
+    lowp: bool = False,
 ) -> Tuple[Array, Array, Array | None]:
     """Run the fused sweep loop; returns (z [16, NPAD], lam [4, Cp],
     integrated posq [8, NPAD] | None).
@@ -495,7 +512,7 @@ def banded_sweeps(
     assert (posq is None) == (integrate is None)
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
                           warm_sweep, persist_oh=persist_oh,
-                          integrate=integrate)
+                          integrate=integrate, lowp=lowp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_sweeps, ntiles),
@@ -593,7 +610,8 @@ def banded_sweeps_fused(
     )
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
                           warm_sweep=use_split, persist_oh=True,
-                          integrate=integrate, prep=prep)
+                          integrate=integrate, prep=prep,
+                          lowp=cfg.z_bf16)
 
     def once(s, t, b):
         # stream each table/warm block exactly once (sweep 0); later
@@ -1182,7 +1200,7 @@ def solve_impulses_banded(
             z0, bases, la, lb, consts,
             tile=tile, wtot=wtot,
             vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
-            warm_sweep=use_split,
+            warm_sweep=use_split, lowp=cfg.z_bf16,
         )
 
     if order is None:
@@ -1363,7 +1381,7 @@ def solve_impulses_table(
         z0, bases, la, lb, consts,
         tile=tile, wtot=wtot,
         vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
-        warm_sweep=use_split,
+        warm_sweep=use_split, lowp=cfg.z_bf16,
         posq=posq, integrate=integrate,
     )
 
