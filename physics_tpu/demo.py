@@ -12,6 +12,16 @@ wgpu pass.
 
 Run:  python -m physics_tpu.demo [--steps N] [--render-every K]
                                  [--out DIR] [--dt DT] [--correct]
+                                 [--live]
+
+`--live` is the live-viewer equivalent of the reference's winit loop
+(src/lib.rs:44-106): the sim steps while each frame is rasterized by the
+native renderer and drawn to the terminal (ANSI half-block cells), with
+WASD/space/shift camera motion and arrow-key look routed to the same
+CameraController math as the reference (src/rendering/camera.rs:73-183),
+plus the steps/s readout standing in for the imgui FPS window. On a
+non-tty stdin the loop still runs (no input) so the mode is testable
+headlessly.
 """
 
 from __future__ import annotations
@@ -39,6 +49,13 @@ def main(argv=None) -> None:
     parser.add_argument("--correct", action="store_true",
                         help="use the corrected physics instead of "
                              "reference-compat semantics")
+    parser.add_argument("--live", action="store_true",
+                        help="live terminal viewer: step + rasterize + "
+                             "present each frame with WASD/arrow camera "
+                             "input (the reference's winit loop, "
+                             "src/lib.rs:44-106)")
+    parser.add_argument("--fps", type=float, default=30.0,
+                        help="target present rate for --live")
     args = parser.parse_args(argv)
 
     import jax
@@ -57,6 +74,25 @@ def main(argv=None) -> None:
 
     state = demo_scene()
     step_fn = jax.jit(step, static_argnums=1)
+
+    if args.live:
+        from physics_tpu.io.primitives import beveled_cube_mesh
+        from physics_tpu.render.live import run_live
+        from physics_tpu.render.rasterizer import render_state
+
+        v, t = beveled_cube_mesh(1.0, 0.1)
+        state = step_fn(state, cfg)  # compile before the frame loop
+
+        def render_frame(s, view_proj):
+            return render_state(s, v, t, view_proj=view_proj,
+                                width=320, height=240)
+
+        final = run_live(state, lambda s: step_fn(s, cfg), render_frame,
+                         steps=args.steps, target_fps=args.fps)
+        pos = np.asarray(final.pos[0])
+        print(f"cube position: ({pos[0]:+.4f}, {pos[1]:+.4f}, "
+              f"{pos[2]:+.4f})")
+        return
 
     mesh = None
     if args.render_every > 0:

@@ -177,3 +177,43 @@ def test_camera_controller_reference_semantics():
     ctl.process_mouse(0.0, 1e6)
     ctl.update_camera(cam, 1.0)
     assert abs(cam.pitch - (np.pi / 2 - 0.0001)) < 1e-6
+
+
+def test_live_viewer_headless_loop():
+    """--live (render/live.py): the input→camera→present loop runs
+    headlessly (non-tty stdin disables input, frames still render), the
+    ANSI presenter emits valid half-block rows, and the sim advances —
+    the reference's winit live loop (src/lib.rs:44-106) equivalent."""
+    import io
+
+    import jax
+
+    from physics_tpu.config import compat_config
+    from physics_tpu.engine import step
+    from physics_tpu.io.primitives import beveled_cube_mesh
+    from physics_tpu.render.live import ansi_frame, run_live
+    from physics_tpu.render.rasterizer import render_state
+    from physics_tpu.scene import demo_scene
+
+    img = np.zeros((24, 32, 3), np.uint8)
+    img[:12] = (255, 0, 0)
+    s = ansi_frame(img, cols=16, rows=6)
+    assert s.count("▀") == 16 * 6
+    assert "38;2;255;0;0m" in s and "48;2;0;0;0m" in s
+
+    cfg = compat_config(dt=1.0 / 60.0)
+    state = demo_scene()
+    step_fn = jax.jit(step, static_argnums=1)
+    v, t = beveled_cube_mesh(1.0, 0.1)
+
+    def render_frame(st, view_proj):
+        return render_state(st, v, t, view_proj=view_proj,
+                            width=64, height=48)
+
+    out = io.StringIO()
+    p0 = np.asarray(state.pos[0]).copy()
+    final = run_live(state, lambda st: step_fn(st, cfg), render_frame,
+                     steps=3, cols=16, rows=6, target_fps=1000.0, out=out)
+    text = out.getvalue()
+    assert "steps/s" in text and text.count("▀") >= 3 * 16 * 6
+    assert not np.allclose(np.asarray(final.pos[0]), p0)
