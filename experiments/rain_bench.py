@@ -66,6 +66,12 @@ def main():
         f"{1e3/sps:.2f} ms/step, finite="
         f"{bool(np.all(np.isfinite(np.asarray(state.pos))))}")
 
+    from physics_tpu.engine import step_with_metrics
+
+    _, m = jax.jit(step_with_metrics, static_argnums=1)(state, cfg)
+    log(f"rain[{n}]: metrics "
+        f"{ {k: float(v) for k, v in sorted(m.items())} }")
+
     if os.environ.get("RAIN_TRACE", "1") == "1":
         import tempfile
 

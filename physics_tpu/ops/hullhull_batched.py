@@ -232,12 +232,23 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
     oh_ref = (f_iota == ref_idx[None, :]).astype(jnp.float32)   # [F, P]
 
     # ---- incident face: most anti-parallel face of the OTHER hull ----
-    align = (ht.ff @ m_mat).reshape(f, f, p)               # n_a·(M n_b)
+    # contract the ref one-hot with the STATIC ff coefficients first
+    # ([F·9, F] × [F, P] matmuls), then dot the 9 rotation components —
+    # never materializing the [F, F, P] alignment tensor
     big_col = jnp.where(ht.face_mask > 0, 0.0, BIG)
-    # ref on A → other is B: contract ref one-hot over the A axis
-    al_b = jnp.einsum("abp,ap->bp", align, oh_ref) + big_col[:, None]
-    # ref on B → other is A
-    al_a = jnp.einsum("abp,bp->ap", align, oh_ref) + big_col[:, None]
+    ff3 = ht.ff.reshape(f, f, 9)
+
+    def align_against_ref(c_tab):
+        # c_tab [F_other, F_ref, 9] (contraction over the ref axis)
+        ce = jax.lax.dot_general(
+            c_tab.transpose(1, 0, 2).reshape(f, f * 9), oh_ref,
+            (((0,), (0,)), ((), ())))                      # [F_other·9, P]
+        return jnp.sum(ce.reshape(f, 9, p) * m_mat[None, :, :], axis=1)
+
+    # ref on A → other is B: align[a, b] = ff[(a, b)] : M, contract a
+    al_b = align_against_ref(ff3.transpose(1, 0, 2)) + big_col[:, None]
+    # ref on B → other is A: contract b
+    al_a = align_against_ref(ff3) + big_col[:, None]
     inc_idx = jnp.where(ref_is_a,
                         jnp.argmin(al_b, axis=0), jnp.argmin(al_a, axis=0))
     oh_inc = (f_iota == inc_idx[None, :]).astype(jnp.float32)   # [F, P]
@@ -340,9 +351,19 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
     ax_u = v3.scale(ax_sel, sgn / jnp.maximum(alen_sel, 1e-9))  # unit, B→A
     n_edge = v3.mat_vec(ra9, ax_u)                         # world
 
-    # endpoint supports straight from the precomputed axis-support tables
-    sa_sel = jnp.einsum("ap,aup->up", oh_e, s_av)          # [V, P] A verts
-    sb_sel = jnp.einsum("ap,aup->up", oh_e, s_bv)          # [V, P] B verts
+    # endpoint supports of the SELECTED axis: contract the one-hot with
+    # the static coefficient tables FIRST ([V·9, D²] × [D², P] matmul),
+    # then dot the 9 rotation components per pair — NOT with the full
+    # [D², V, P] support tensors (re-reading s_av/s_bv here was 2×63 MB
+    # of HBM per step at 1k rain, the top hot line of the profile)
+    def sel_axis_supports(c_tab):
+        c3 = c_tab.reshape(d2, vc * 9)                     # static
+        ce = jax.lax.dot_general(
+            c3, oh_e, (((0,), (0,)), ((), ())))            # [V·9, P]
+        return jnp.sum(ce.reshape(vc, 9, p) * m_mat[None, :, :], axis=1)
+
+    sa_sel = sel_axis_supports(ht.c_av)                    # [V, P] A verts
+    sb_sel = sel_axis_supports(ht.c_bv)                    # [V, P] B verts
     sa_sel = sa_sel * sgn[None, :]
     sb_sel = sb_sel * sgn[None, :]
     # A supports −n, B supports +n (world); per-edge score = min(endpoints)

@@ -597,14 +597,18 @@ def hull_obb_prefilter(
     kept = keep[idx]
     overflow = jnp.maximum(
         jnp.sum(keep.astype(jnp.int32)) - cap2, 0)
-    sel = lambda x: jnp.where(kept, x[idx], 0)
+    # ONE row-stacked gather for all four index fields (four separate
+    # [P]→[cap2] gathers were the hottest XLA line of the 1k-rain step)
+    packed = jnp.stack(
+        [cand.body_a, cand.body_b, cand.rank_a, cand.rank_b])[:, idx]
+    packed = jnp.where(kept[None, :], packed, 0)
     return PairCandidates(
-        body_a=sel(cand.body_a),
-        body_b=sel(cand.body_b),
+        body_a=packed[0],
+        body_b=packed[1],
         mask=kept,
         overflow=cand.overflow,
-        rank_a=sel(cand.rank_a),
-        rank_b=sel(cand.rank_b),
+        rank_a=packed[2],
+        rank_b=packed[3],
     ), overflow
 
 

@@ -260,7 +260,11 @@ def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # before the full hull-SAT support matmuls; overflow-counted
         # (metrics prefilter_overflow, watch it through drop+settle)
         hull_prefilter_cap=4 * n_bodies,
-        max_contacts_per_pair=6,
+        # 4 manifold points per pair (same as the box pile): the top-k
+        # slot-selection epilogue is ~kk [P]-row argmax/select passes,
+        # and 4-point face manifolds are the standard stable-stacking
+        # budget; measured stable on the hull stack/drop tests
+        max_contacts_per_pair=4,
         max_contacts=8 * n_bodies,
         # fused banded Pallas sweep solver (generic-contact path): the
         # hull manifolds ride the same rank-banded machinery as the box
