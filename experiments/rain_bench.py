@@ -41,6 +41,23 @@ def main():
     log(f"devices: {jax.devices()}")
     state = mesh_rain(n)
     cfg = rain_config(n)
+    # capacity/precision A-B knobs (multipliers of N, see BASELINE.md)
+    import dataclasses
+
+    over = {}
+    if os.environ.get("RAIN_PAIR_MULT"):
+        over["max_pair_candidates"] = int(
+            float(os.environ["RAIN_PAIR_MULT"]) * n)
+    if os.environ.get("RAIN_CT_MULT"):
+        over["max_contacts"] = int(float(os.environ["RAIN_CT_MULT"]) * n)
+    if os.environ.get("RAIN_PF_MULT"):
+        over["hull_prefilter_cap"] = int(
+            float(os.environ["RAIN_PF_MULT"]) * n)
+    if os.environ.get("RAIN_ZBF16"):
+        over["z_bf16"] = bool(int(os.environ["RAIN_ZBF16"]))
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
+        log(f"rain[{n}]: overrides {over}")
     state = prepare_contacts(state, cfg)
 
     @partial(jax.jit, donate_argnums=0)

@@ -254,7 +254,10 @@ def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         hulls_only=True,
         broadphase="sweep",
         sweep_window=32,
-        max_pair_candidates=8 * n_bodies,
+        # 12N caps: measured on TPU (rain_ab A/B) — the settled 1024-rain
+        # pile holds ~9.5k contacts, so 8N overflowed (contact_overflow
+        # 807); 12N runs overflow-free at the same wall time
+        max_pair_candidates=12 * n_bodies,
         # two-phase narrow phase: OBB face-SAT prefilter compacts the 8N
         # AABB candidates to the ~true-overlap set (≈3/body settled)
         # before the full hull-SAT support matmuls; overflow-counted
@@ -265,12 +268,15 @@ def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # and 4-point face manifolds are the standard stable-stacking
         # budget; measured stable on the hull stack/drop tests
         max_contacts_per_pair=4,
-        max_contacts=8 * n_bodies,
+        max_contacts=12 * n_bodies,
         # fused banded Pallas sweep solver (generic-contact path): the
         # hull manifolds ride the same rank-banded machinery as the box
         # pile — the XLA jacobi solve's one-hot body gathers were 2.0 ms
         # of the 9.2 ms 1k-rain step
         contact_solver="pallas_banded",
         contact_iters=8,
+        # bf16 z-movement in the banded sweeps (f32 accumulation):
+        # measured +8% on 1024-rain, parity within solver tolerance
+        z_bf16=True,
         dt=dt,
     )
