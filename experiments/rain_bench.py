@@ -55,6 +55,14 @@ def main():
             float(os.environ["RAIN_PF_MULT"]) * n)
     if os.environ.get("RAIN_ZBF16"):
         over["z_bf16"] = bool(int(os.environ["RAIN_ZBF16"]))
+    if os.environ.get("RAIN_TABLE"):
+        # fused hull contact table (ops/hull_table.py) + optional
+        # fuse_prep/fuse_integrate composition on top
+        over.update(pair_buckets=True, bucket_block=128,
+                    contact_table=True, hull_table=True,
+                    bucket_cap2=int(os.environ.get("RAIN_CAP2", "512")))
+    if os.environ.get("RAIN_FUSE"):
+        over.update(fuse_prep=True, fuse_integrate=True)
     if over:
         cfg = dataclasses.replace(cfg, **over)
         log(f"rain[{n}]: overrides {over}")

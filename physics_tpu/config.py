@@ -155,6 +155,16 @@ class SimConfig:
     # HBM on every sweep. Deletes one kernel launch and the consts HBM
     # roundtrip. Table path only.
     fuse_prep: bool = False
+    # fused bucket-aligned HULL contact table (ops/hull_table.py): the
+    # shared-hull SAT narrow phase (face supports / edge axes / incident-
+    # face clip / edge-edge closest point), hull-vertex ground contacts,
+    # per-bucket contact compaction and warm-start key matching in ONE
+    # kernel — the hulls_only analogue of contact_table. Engages for
+    # contact_solver='pallas_banded' + hulls_only single-shared-hull
+    # scenes + bucketed sweep with bucket_block=128; reuses bucket_ccap /
+    # bucket_cap2 (in-kernel OBB prefilter cap) and feeds the same banded
+    # solve (fuse_prep/fuse_integrate compose).
+    hull_table: bool = False
     # single-pass bf16 z-table movement in the banded solve kernels: the
     # per-sweep endpoint gathers and delta scatters use ONE bf16 matmul
     # instead of the exact hi/lo split pair — halving the solve kernel's

@@ -62,7 +62,7 @@ from physics_tpu.ops.broadphase import (
     band_window,
     bucket_shape,
 )
-from physics_tpu.state import SHAPE_BOX, SimState
+from physics_tpu.state import SHAPE_BOX, SHAPE_HULL, SimState
 
 Array = jnp.ndarray
 
@@ -654,7 +654,7 @@ def geom_pad(n: int, cfg: SimConfig) -> Tuple[int, int]:
 
 
 def unified_geom(state: SimState, cfg: SimConfig,
-                 order: Array | None) -> Array:
+                 order: Array | None, hulls: bool = False) -> Array:
     """ONE rank-space geometry table [48, NPAD] for the whole contact
     step — built once, gathered through `order` once, shared by the
     contact-table kernel, the solve-constants kernel, and the solve
@@ -666,15 +666,34 @@ def unified_geom(state: SimState, cfg: SimConfig,
       rows 24:48  narrow-phase layout (this kernel's existing rows,
                   offset by 24 — pos is duplicated so BOTH kernels read
                   one contiguous 24-row block)
+
+    hulls=True (ops/hull_table.py): the shape rows describe the shared
+    hull instead of a box — half extents carry the hull's local-AABB
+    half extents, the movable/live rows use is_hull, and rows 44:47 hold
+    the world OBB center (pos + R·co) for the in-kernel prefilter.
     """
     n = state.num_bodies
     _, npad = geom_pad(n, cfg)
     movable = (state.inv_mass > 0.0).astype(jnp.float32)
-    is_box = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
     r9 = v3.quat_to_mat(state.quat)
     iw9 = v3.sandwich(r9, v3.mat_unpack(state.inv_inertia))
     zero = jnp.zeros((n,), jnp.float32)
     pos3 = [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
+    if hulls:
+        is_shape = (state.shapes.stype == SHAPE_HULL).astype(jnp.float32)
+        verts = state.hulls.verts[0]
+        lo = jnp.min(verts, axis=0)
+        hi = jnp.max(verts, axis=0)
+        co = (lo + hi) * 0.5
+        hh = (hi - lo) * 0.5
+        half3 = [jnp.broadcast_to(hh[c], (n,)) for c in range(3)]
+        tail = [pos3[c] + r9[3 * c] * co[0] + r9[3 * c + 1] * co[1]
+                + r9[3 * c + 2] * co[2] for c in range(3)] + [zero]
+    else:
+        is_shape = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
+        half3 = [state.shapes.params[:, 0], state.shapes.params[:, 1],
+                 state.shapes.params[:, 2]]
+        tail = [zero] * 4
     rows = jnp.stack(
         pos3
         + list(iw9)
@@ -685,11 +704,11 @@ def unified_geom(state: SimState, cfg: SimConfig,
            state.quat[:, 3], zero]
         + pos3
         + list(r9)
-        + [state.shapes.params[:, 0], state.shapes.params[:, 1],
-           state.shapes.params[:, 2], state.shapes.friction,
-           state.shapes.restitution, movable * is_box,
-           jnp.arange(n, dtype=jnp.float32), is_box]
-        + [zero] * 4
+        + half3
+        + [state.shapes.friction,
+           state.shapes.restitution, movable * is_shape,
+           jnp.arange(n, dtype=jnp.float32), is_shape]
+        + tail
     )                                                     # [48, N]
     if order is not None:
         rows = rows[:, order]

@@ -530,7 +530,7 @@ def contact_capacity(state: SimState, cfg: SimConfig) -> int:
     """Total contact-slot count of one step under `cfg` (static), via
     eval_shape on the generation pipeline — used to size the warm-start
     buffers (engine.prepare_contacts)."""
-    if table_path(state, cfg):
+    if table_path(state, cfg) or hull_table_path(state, cfg):
         from physics_tpu.ops.contact_table import table_shape
 
         return table_shape(state.num_bodies, cfg)[2]
@@ -621,11 +621,27 @@ def table_path(state: SimState, cfg: SimConfig) -> bool:
     return False
 
 
+def hull_table_path(state: SimState, cfg: SimConfig) -> bool:
+    """True when the contact step routes through the fused HULL contact
+    table (ops/hull_table.py) — the hulls_only analogue of table_path.
+    Static: cfg + array shapes only."""
+    from physics_tpu.ops.narrowphase import hulls_fast_path
+
+    return bool(
+        cfg.contact_solver == "pallas_banded" and cfg.contact_table
+        and cfg.hull_table and cfg.pair_collisions
+        and cfg.broadphase == "sweep" and cfg.pair_buckets
+        and state.num_bodies > 1 and not cfg.bp_inkernel
+        and hulls_fast_path(state, cfg)
+    )
+
+
 def fused_integration(state: SimState, cfg: SimConfig) -> bool:
     """True when the solve kernel's fused integration epilogue replaces
     engine.integrate_positions' pos/quat math (cfg.fuse_integrate on the
     table path; compat semantics Q2/Q6 stay in XLA)."""
-    return cfg.fuse_integrate and not cfg.compat and table_path(state, cfg)
+    return cfg.fuse_integrate and not cfg.compat and (
+        table_path(state, cfg) or hull_table_path(state, cfg))
 
 
 def resolve_contacts(
@@ -655,7 +671,7 @@ def resolve_contacts(
     # fused bucket-aligned contact table: broad phase → ONE kernel (SAT +
     # ground + per-bucket compaction) → banded solve with static bases —
     # no XLA narrow phase, no contact sort/gather/pad (ops/contact_table.py)
-    if table_path(state, cfg):
+    if table_path(state, cfg) or hull_table_path(state, cfg):
         if shard is not None:
             # warm-start buffers were sized for the table layout
             # (contact_capacity) — a silent fallback to the sharded
@@ -886,6 +902,7 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     from physics_tpu.solver.contacts_pallas import solve_impulses_table
 
     n = state.num_bodies
+    hulls = hull_table_path(state, cfg)
     if cfg.broadphase == "env_blocks":
         # packed envs: the body id IS the rank (envs.pack_envs layout) —
         # no sort anywhere in the step
@@ -899,12 +916,18 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
 
     # ONE rank-space geometry table shared by the narrow-phase and solve
     # kernels (one stack, one order-gather, quat_to_mat computed once)
-    geom = unified_geom(state, cfg, body_order)
+    geom = unified_geom(state, cfg, body_order, hulls=hulls)
     fuse = fused_integration(state, cfg)
     use_warm = state.contact_key.shape[0] == cp
     prev = (state.contact_key, state.contact_lam) if use_warm else None
-    table, meta, warm_rows = bucket_contact_table(
-        state, cand, cfg, body_order, prev=prev, geom=geom)
+    if hulls:
+        from physics_tpu.ops.hull_table import bucket_hull_contact_table
+
+        table, meta, warm_rows = bucket_hull_contact_table(
+            state, cand, cfg, body_order, prev=prev, geom=geom)
+    else:
+        table, meta, warm_rows = bucket_contact_table(
+            state, cand, cfg, body_order, prev=prev, geom=geom)
     vel, omega, pvel, pomega, lam3, solve_metrics, keys, posquat = (
         solve_impulses_table(state, table, cfg, body_order,
                              warm_rows=warm_rows, geom=geom, fuse=fuse)

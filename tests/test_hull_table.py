@@ -1,0 +1,150 @@
+"""Fused bucket-aligned HULL contact table (ops/hull_table.py,
+cfg.hull_table) — the hulls_only analogue of the box contact table.
+
+Interpret-mode on CPU exercises the identical kernel code path as TPU.
+Small N: the hull kernel's clip/SAT phases are heavy in interpret mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from physics_tpu.engine import prepare_contacts, rollout, step_with_metrics
+from physics_tpu.scenes import mesh_rain, rain_config
+
+
+def _cfgs(n):
+    cfg_x = rain_config(n)
+    cfg_t = cfg_x.replace(
+        pair_buckets=True, bucket_block=128, contact_table=True,
+        hull_table=True, bucket_cap2=256,
+    )
+    return cfg_x, cfg_t
+
+
+def test_hull_table_path_engages():
+    from physics_tpu.solver.contacts import hull_table_path
+
+    state = mesh_rain(32)
+    cfg_x, cfg_t = _cfgs(32)
+    assert not hull_table_path(state, cfg_x)
+    assert hull_table_path(state, cfg_t)
+
+
+def test_hull_table_contact_set_matches_fast_paths():
+    """The fused kernel must produce the SAME contact set (by feature
+    key, with matching depth/point/normal payloads) as the XLA shared-
+    hull fast paths (_pair_contacts_hulls_fast +
+    _ground_contacts_hulls_fast) on a settled rain scene."""
+    from physics_tpu.ops.broadphase import (
+        body_aabbs, pair_candidates, sweep_order,
+    )
+    from physics_tpu.ops.contact_table import table_keys, unified_geom
+    from physics_tpu.ops.hull_table import bucket_hull_contact_table
+    from physics_tpu.ops.narrowphase import (
+        _ground_contacts_hulls_fast,
+        _pair_contacts_hulls_fast,
+        hull_obb_prefilter,
+    )
+    from physics_tpu.solver.contacts import concat_contacts
+
+    n = 32
+    state = mesh_rain(n)
+    cfg_x, cfg_t = _cfgs(n)
+    state = prepare_contacts(state, cfg_x)
+    stepj = jax.jit(lambda s: step_with_metrics(s, cfg_x)[0])
+    for _ in range(2):
+        state = stepj(state)
+
+    cand = pair_candidates(state, cfg_x)
+    cand, _ = hull_obb_prefilter(state, cand, cfg_x.hull_prefilter_cap)
+    pc = _pair_contacts_hulls_fast(state, cand, cfg_x)
+    gc = _ground_contacts_hulls_fast(state, cfg_x)
+    ca = concat_contacts(gc, pc)
+    act_a = np.asarray(ca.active) & (np.asarray(ca.key) != 0)
+    ka = np.asarray(ca.key)[act_a]
+    da = np.asarray(ca.depth)[act_a]
+
+    order = sweep_order(state, body_aabbs(state))
+    geom = unified_geom(state, cfg_t, order, hulls=True)
+    cand_b = pair_candidates(state, cfg_t)
+    table, meta, _ = bucket_hull_contact_table(
+        state, cand_b, cfg_t, order, prev=None, geom=geom)
+    keys_b = np.asarray(table_keys(table))
+    act_b = keys_b != 0
+    kb = keys_b[act_b]
+    db = np.asarray(table)[6][act_b]
+
+    assert set(ka.tolist()) == set(kb.tolist())
+    assert len(ka) == len(set(ka.tolist()))
+    assert np.asarray(meta)[0, 0::128].sum() == 0    # dropped
+    ib = {k: i for i, k in enumerate(kb.tolist())}
+    for i, k in enumerate(ka.tolist()):
+        assert abs(da[i] - db[ib[k]]) < 1e-4
+
+
+def test_hull_table_step_matches_xla_path():
+    """A full warm-started engine step through cfg.hull_table matches the
+    XLA fast-path step (same contact count, near-identical state — the
+    paths differ only in contact order; Jacobi is order-independent up
+    to f32 summation)."""
+    n = 32
+    state = mesh_rain(n)
+    cfg_x, cfg_t = _cfgs(n)
+    sx = prepare_contacts(state, cfg_x)
+    st = prepare_contacts(state, cfg_t)
+    stepj = jax.jit(step_with_metrics, static_argnums=1)
+    for _ in range(2):
+        sx, _ = stepj(sx, cfg_x)
+        st, _ = stepj(st, cfg_t)
+    ox, mx = stepj(sx, cfg_x)
+    ot, mt = stepj(st, cfg_t)
+    assert int(mt["contact_count"]) == int(mx["contact_count"])
+    assert int(mt["contact_overflow"]) == 0
+    assert int(mt["band_overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(ot.pos), np.asarray(ox.pos), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ot.vel), np.asarray(ox.vel), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_hull_table_fused_prep_integrate():
+    """fuse_prep + fuse_integrate compose with the hull table: the step
+    matches the unfused table step tightly (same kernels' math, only
+    where constants live / where integration runs differs)."""
+    n = 32
+    state = mesh_rain(n)
+    _, cfg_t = _cfgs(n)
+    cfg_f = cfg_t.replace(fuse_prep=True, fuse_integrate=True)
+    st = prepare_contacts(state, cfg_t)
+    stepj = jax.jit(step_with_metrics, static_argnums=1)
+    for _ in range(2):
+        st, _ = stepj(st, cfg_t)
+    ot, mt = stepj(st, cfg_t)
+    of, mf = stepj(st, cfg_f)
+    assert int(mf["contact_count"]) == int(mt["contact_count"])
+    np.testing.assert_allclose(
+        np.asarray(of.pos), np.asarray(ot.pos), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(of.quat), np.asarray(ot.quat), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(of.vel), np.asarray(ot.vel), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_hull_table_rollout_stable():
+    """Warm-started rain rollout through the hull table stays finite and
+    settles (exercises warm keys across steps + ground contacts)."""
+    n = 32
+    state = mesh_rain(n)
+    _, cfg_t = _cfgs(n)
+    st = prepare_contacts(state, cfg_t)
+    final, _ = rollout(st, cfg_t, num_steps=240)
+    pos = np.asarray(final.pos)
+    assert np.all(np.isfinite(pos))
+    # nothing tunnels through the ground (hull inradius ~0.45; the drop
+    # is still settling at 240 steps — transient penetration of a few
+    # tenths matches the XLA path's behavior on the same scene)
+    assert float(pos[:, 1].min()) > 0.05
