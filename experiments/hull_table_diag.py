@@ -26,7 +26,7 @@ def main():
     steps = int(os.environ.get("STEPS", "3"))
     from physics_tpu.engine import prepare_contacts, step
     from physics_tpu.ops.broadphase import body_aabbs, pair_candidates, sweep_order
-    from physics_tpu.ops.contact_table import table_keys, unified_geom
+    from physics_tpu.ops.contact_table import CT_D, table_keys, unified_geom
     from physics_tpu.ops.hull_table import bucket_hull_contact_table, hull_dims
     from physics_tpu.ops.narrowphase import (
         _ground_contacts_hulls_fast,
@@ -78,12 +78,17 @@ def main():
     keys_b = np.asarray(table_keys(table))
     act_b = keys_b != 0
     kb = keys_b[act_b]
-    db = np.asarray(table)[6][act_b]
+    db = np.asarray(table)[CT_D][act_b]
 
     rank_of = np.empty(n, np.int32)
     rank_of[np.asarray(order)] = np.arange(n, dtype=np.int32)
 
     sa, sb = set(ka.tolist()), set(kb.tolist())
+    # duplicate feature keys would silently collapse in the dicts below
+    # (last index wins) and misattribute |Δdepth| — exactly the class of
+    # defect this diagnostic hunts; fail loudly like hull_table_parity.py
+    assert len(ka) == len(sa), f"path A has {len(ka) - len(sa)} dup keys"
+    assert len(kb) == len(sb), f"path B has {len(kb) - len(sb)} dup keys"
     ia = {k: i for i, k in enumerate(ka.tolist())}
     ib = {k: i for i, k in enumerate(kb.tolist())}
 
@@ -108,7 +113,6 @@ def main():
     for e, k in bad[:15]:
         print(f"  dd={e:.3e}", end="")
         show("", [k])
-    # histogram of rank buckets touched by bad keys
     return 0
 
 

@@ -45,8 +45,11 @@ def bench(dtype, nb=32, width=6144, iters=200):
     def run(k):
         def body(k2, _):
             s = jax.lax.sort(k2, dimension=1)
-            # feed the output back (xor keeps the value distribution)
-            return s ^ jnp.asarray(1, s.dtype), None
+            # feed back a lane-rolled xor of the output so each iteration
+            # sorts genuinely unsorted data (sorting already-sorted keys
+            # would understate cost if the TPU sort were data-dependent)
+            return jnp.roll(s ^ jnp.asarray(0x55, s.dtype), width // 3,
+                            axis=1), None
         out, _ = jax.lax.scan(body, k, None, length=iters)
         return out
 

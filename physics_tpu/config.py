@@ -173,7 +173,9 @@ class SimConfig:
     # velocities (→ 0) lose no absolute accuracy and split-impulse
     # positions are tolerant. Keep OFF for restitution-heavy scenes and
     # trajectory-parity work; piles/stacks measured stable (same
-    # penetration/overflow envelope as exact movement).
+    # penetration/overflow envelope as exact movement). Guarded at
+    # engine.prepare_contacts: restitution > 0.25 anywhere in the scene
+    # refuses outright, any restitution > 0 warns — never silent.
     z_bf16: bool = False
 
     # --- integrator extras (non-compat mode) ---

@@ -212,8 +212,58 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
     state's `contact_key`/`contact_lam` buffers match the step's contact
     capacity; this sizes them via eval_shape. Optional — without it the
     solver starts each step from zero impulses.
+
+    Also the cfg/scene compatibility gate for `cfg.z_bf16` (single-pass
+    bf16 z movement, ~2⁻⁸ relative error per velocity read): bounce
+    impulses scale with the READ approach velocity, so restitution-heavy
+    scenes must not run it — refused outright above restitution 0.25,
+    warned (never silent) for mild restitution. state here is concrete
+    (this runs outside jit), so per-shape restitution is checkable.
     """
+    import warnings
+
     from physics_tpu.solver.contacts import contact_capacity
+
+    if cfg.z_bf16:
+        import numpy as np
+
+        max_rest = max(
+            float(cfg.restitution),
+            float(np.max(np.asarray(state.shapes.restitution),
+                         initial=0.0)),
+        )
+        if max_rest > 0.25:
+            raise ValueError(
+                f"cfg.z_bf16 with restitution {max_rest:.2f} > 0.25: "
+                "bf16 z reads degrade bounce impulses ~2^-8 relative "
+                "(docs/PERFORMANCE.md lever 4) — disable z_bf16 for "
+                "restitution-heavy scenes"
+            )
+        if max_rest > 0.0:
+            warnings.warn(
+                f"cfg.z_bf16 with restitution {max_rest:.2f}: bounce "
+                "impulses carry ~2^-8 relative error from bf16 z reads "
+                "(fine for damping-dominated scenes; disable z_bf16 for "
+                "trajectory-parity work)",
+                stacklevel=2,
+            )
+
+    # the shared-hull fast paths (hullhull_batched linear-SAT matmuls,
+    # the fused hull table) engage ONLY for exactly one registered hull
+    # shape; multi-hull-type scenes stay correct on the generic
+    # ops/hullhull.py path but run an order of magnitude slower — be
+    # loud about losing the fast path, never silent
+    if (cfg.hulls_only and cfg.hull_fast
+            and state.hulls.verts.shape[0] > 1):
+        warnings.warn(
+            f"scene registers {state.hulls.verts.shape[0]} distinct hull "
+            "shapes: the shared-hull fast path (and cfg.hull_table) needs "
+            "exactly one, falling back to the generic hull-hull narrow "
+            "phase (~10x slower). Share one hull shape across bodies "
+            "where possible (scene.SceneBuilder.add_hull once, set_hull "
+            "many).",
+            stacklevel=2,
+        )
 
     c = contact_capacity(state, cfg)
     return state.replace(

@@ -146,3 +146,39 @@ def test_z_bf16_movement_close_to_exact():
     np.testing.assert_allclose(posl, pos, atol=2e-3)
     np.testing.assert_allclose(np.asarray(sl.vel), np.asarray(s.vel),
                                atol=5e-2)
+
+
+def test_z_bf16_restitution_guard():
+    """cfg.z_bf16 is documented unsafe for restitution-heavy scenes
+    (config.py, docs/PERFORMANCE.md lever 4): prepare_contacts must
+    REFUSE a bouncy scene outright, WARN (never silent) on mild
+    restitution, and stay quiet at restitution 0."""
+    from physics_tpu.io.meshes import box_inertia
+    from physics_tpu.scene import SceneBuilder
+
+    def scene(rest):
+        b = SceneBuilder()
+        i = b.add_body(pos=(0.0, 0.5, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, restitution=rest)
+        return b.build()
+
+    cfg = _cfg().replace(contact_solver="pallas_banded", z_bf16=True)
+
+    # restitution-heavy: refused
+    with pytest.raises(ValueError, match="z_bf16"):
+        prepare_contacts(scene(0.8), cfg)
+    # config-level restitution counts too
+    with pytest.raises(ValueError, match="z_bf16"):
+        prepare_contacts(scene(0.0), cfg.replace(restitution=0.5))
+
+    # mild restitution: runs, but loudly
+    with pytest.warns(UserWarning, match="z_bf16"):
+        prepare_contacts(scene(0.05), cfg)
+
+    # restitution 0: silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        prepare_contacts(scene(0.0), cfg)

@@ -77,3 +77,29 @@ def test_mixed_stack_stable():
     # no lateral escape, settled velocities
     assert np.all(np.abs(pos[:, [0, 2]]) < 0.5), pos
     assert np.max(np.abs(vel)) < 0.05, vel
+
+
+def test_multi_hull_type_fallback_is_loud():
+    """A hulls_only scene with TWO distinct hull shapes loses the
+    shared-hull fast path (ops/hullhull_batched.py engages only for
+    exactly one registered hull); prepare_contacts must warn about the
+    ~10x-slower generic fallback — never silently degrade."""
+    import pytest
+
+    from physics_tpu.io.primitives import beveled_cube_mesh
+
+    b = SceneBuilder()
+    v1, _ = beveled_cube_mesh(size=0.5, bevel=0.1)
+    v2, _ = beveled_cube_mesh(size=0.4, bevel=0.05)
+    h1, h2 = b.add_hull(v1), b.add_hull(v2)
+    for k, h in enumerate((h1, h2)):
+        i = b.add_body(pos=(1.2 * k, 2.0, 0.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_hull(i, h)
+    state = b.build()
+    cfg = SimConfig(
+        compat=False, ground_plane=True, pair_collisions=True,
+        hulls_only=True, contact_iters=8, dt=1.0 / 60.0,
+    )
+    with pytest.warns(UserWarning, match="distinct hull"):
+        prepare_contacts(state, cfg)
