@@ -56,6 +56,12 @@ def main(argv=None) -> None:
                              "src/lib.rs:44-106)")
     parser.add_argument("--fps", type=float, default=30.0,
                         help="target present rate for --live")
+    parser.add_argument("--wall-dt", action="store_true",
+                        help="pace --live by wall-clock time (Q8, "
+                             "reference src/lib.rs:56-58): each frame "
+                             "consumes the elapsed wall time in fixed-dt "
+                             "substeps (a traced per-frame dt would "
+                             "recompile the jitted step)")
     args = parser.parse_args(argv)
 
     import jax
@@ -88,7 +94,8 @@ def main(argv=None) -> None:
                                 width=320, height=240)
 
         final = run_live(state, lambda s: step_fn(s, cfg), render_frame,
-                         steps=args.steps, target_fps=args.fps)
+                         steps=args.steps, target_fps=args.fps,
+                         wall_clock=args.wall_dt, sim_dt=cfg.dt)
         pos = np.asarray(final.pos[0])
         print(f"cube position: ({pos[0]:+.4f}, {pos[1]:+.4f}, "
               f"{pos[2]:+.4f})")

@@ -104,7 +104,8 @@ class _RawInput:
 
 def run_live(state, step_fn, render_frame, *, steps: int = 600,
              cols: int = 0, rows: int = 0, target_fps: float = 30.0,
-             out=None) -> object:
+             wall_clock: bool = False, sim_dt: float = 1.0 / 60.0,
+             max_substeps: int = 4, out=None) -> object:
     """Step the sim live, presenting each frame to the terminal.
 
     `step_fn(state) -> state` advances physics; `render_frame(state,
@@ -112,6 +113,16 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
     WASD/space/x move, arrow keys look, q/esc quits — routed to the same
     CameraController as the reference's winit events (lib.rs:74-101).
     Returns the final state.
+
+    `wall_clock=True` is the Q8 analogue: the reference steps physics by
+    raw frame time (reference src/lib.rs:56-58). A traced per-frame dt
+    would recompile the jitted step (cfg.dt is a static arg — the
+    compile-time-constant design, SURVEY.md §5), so wall pacing is done
+    the fixed-timestep-accumulator way: each frame consumes the elapsed
+    wall time in `sim_dt` substeps (≤ `max_substeps`, so a stall never
+    spirals), keeping sim time locked to wall time with bitwise-stable
+    per-step physics. `steps` then counts SUBSTEPS (the sim-time budget
+    is unchanged).
     """
     from physics_tpu.render.camera import Camera, CameraController, Projection
 
@@ -132,13 +143,31 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
     frame_t = 1.0 / target_fps
     last = time.perf_counter()
     shown = 0
+    acc = 0.0        # wall-clock accumulator (unconsumed sim time)
+    stepped = 0
 
     with _RawInput() as inp:
         out.write(f"{_CSI}2J")                   # clear once
-        for k in range(steps):
-            state = step_fn(state)
+        while stepped < steps:
+            if wall_clock:
+                # consume elapsed wall time in fixed-dt substeps
+                # (bounded — a stall drops sim time instead of spiraling)
+                nsub = min(int(acc / sim_dt), max_substeps,
+                           steps - stepped)
+                nsub = max(nsub, 1)
+                acc -= nsub * sim_dt
+                acc = max(acc, 0.0)
+                for _ in range(nsub):
+                    state = step_fn(state)
+                stepped += nsub
+            else:
+                nsub = 1
+                state = step_fn(state)
+                stepped += 1
+            k = stepped - 1
             now = time.perf_counter()
             dt, last = now - last, now
+            acc += dt
             pressed = inp.poll()
             if "q" in pressed or "esc" in pressed:
                 break
@@ -162,7 +191,7 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
             view_proj = (proj.matrix() @ cam.view_matrix()).astype(
                 np.float32)
             img = render_frame(state, view_proj)
-            fps = 1.0 / max(dt, 1e-6)
+            fps = nsub / max(dt, 1e-6)
             out.write(f"{_CSI}H" + ansi_frame(img, cols, rows)
                       + f"\n{_CSI}0Kstep {k + 1}/{steps}  "
                       f"{fps:6.1f} steps/s  [wasd/space/x move, "

@@ -217,3 +217,41 @@ def test_live_viewer_headless_loop():
     text = out.getvalue()
     assert "steps/s" in text and text.count("▀") >= 3 * 16 * 6
     assert not np.allclose(np.asarray(final.pos[0]), p0)
+
+
+def test_live_viewer_wall_clock_pacing():
+    """wall_clock=True (Q8, reference src/lib.rs:56-58): sim time tracks
+    wall time via fixed-dt substeps — the substep counter must consume
+    exactly `steps` substeps, stay bounded per frame, and advance the
+    sim identically to the fixed-dt loop (same step_fn, same dt)."""
+    import io
+
+    import jax
+
+    from physics_tpu.config import compat_config
+    from physics_tpu.engine import step
+    from physics_tpu.io.primitives import beveled_cube_mesh
+    from physics_tpu.render.live import run_live
+    from physics_tpu.render.rasterizer import render_state
+    from physics_tpu.scene import demo_scene
+
+    cfg = compat_config(dt=1.0 / 60.0)
+    state = demo_scene()
+    step_fn = jax.jit(step, static_argnums=1)
+    v, t = beveled_cube_mesh(1.0, 0.1)
+
+    def render_frame(st, view_proj):
+        return render_state(st, v, t, view_proj=view_proj,
+                            width=32, height=24)
+
+    out = io.StringIO()
+    final = run_live(state, lambda st: step_fn(st, cfg), render_frame,
+                     steps=6, cols=8, rows=4, target_fps=1000.0,
+                     wall_clock=True, sim_dt=cfg.dt, out=out)
+    # exactly 6 substeps consumed -> bit-identical to 6 fixed-dt steps
+    ref = state
+    for _ in range(6):
+        ref = step_fn(ref, cfg)
+    np.testing.assert_array_equal(np.asarray(final.pos),
+                                  np.asarray(ref.pos))
+    assert "steps/s" in out.getvalue()
