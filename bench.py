@@ -87,7 +87,11 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1,
     from physics_tpu.engine import prepare_contacts
 
     timed_chunks = int(os.environ.get("BENCH_CHUNKS", timed_chunks))
-    state = box_pile(n_bodies)
+    # density-preserving trench: widen the x-aspect with N so each sorted
+    # x-slice keeps ~32 bodies regardless of scale (the 16k/65k rows are
+    # weak scaling along the trench — otherwise the sweep window
+    # overflows and the band structure degrades)
+    state = box_pile(n_bodies, x_aspect=max(16.0, n_bodies / 256))
     # warm-started split-impulse solve: 8 sweeps suffice (see solver docs);
     # the fused banded Pallas kernel runs the whole sweep loop in VMEM
     cfg = pile_config(n_bodies).replace(
@@ -178,14 +182,20 @@ def bench_batched_envs(n_envs: int = 4096, n_bodies: int = 8):
     from physics_tpu.engine import prepare_contacts
     from physics_tpu.envs import pack_envs
 
-    # block-diagonal packed envs: one scene, one fused banded solve, warm
-    # starting at full width (vmapped per-env sorts used to serialize)
+    # block-diagonal packed envs through the FUSED contact-table
+    # pipeline: env_blocks + bp_inkernel derives the within-env candidate
+    # triangle inside the table kernel (identity order — no sorts
+    # anywhere in the step), and the banded solve consumes the
+    # bucket-aligned table with static bases + in-kernel warm matching
+    # (parity: tests/test_pack_envs.py::test_packed_contact_table)
     cfg = SimConfig(
         compat=False, ground_plane=True, pair_collisions=True,
         contact_iters=8, dt=1.0 / 60.0, boxes_only=True,
         broadphase="env_blocks", env_block_size=n_bodies,
         contact_solver="pallas_banded",
         max_contacts=48 * n_envs,
+        contact_table=True, bp_inkernel=True, bucket_block=128,
+        z_bf16=True,
     )
     base = random_env(0, n_bodies)
     rng = np.random.default_rng(1)
@@ -241,6 +251,13 @@ def main() -> None:
     os.environ.setdefault("BENCH_TRACE", "0")  # secondaries: wall only
     emit("body_steps_per_sec_1k_pile",
          lambda: bench_pile(1024, timed_chunks=4)[0])
+    # lane-saturation rows (docs/PERFORMANCE.md roofline): same kernels,
+    # 4x/16x the bodies per program — measures how much of the 4k step
+    # is amortizable fixed cost vs per-body work
+    emit("body_steps_per_sec_16k_pile",
+         lambda: bench_pile(16384, timed_chunks=4)[0])
+    emit("body_steps_per_sec_65k_pile",
+         lambda: bench_pile(65536, timed_chunks=2)[0])
     emit("body_steps_per_sec_packed_envs_4096x8", bench_batched_envs)
     emit("body_steps_per_sec_mesh_rain_128", lambda: bench_rain(128))
     emit("body_steps_per_sec_mesh_rain_1024", lambda: bench_rain(1024))

@@ -17,7 +17,7 @@ def main():
         body_aabbs, pair_candidates, sweep_order,
     )
     from physics_tpu.ops.contact_table import (
-        CT_ACT, CT_D, CT_RA, bucket_contact_table, table_keys,
+        CT_ACT, CT_D, CT_RA, bucket_contact_table, table_keys_scalar,
     )
 
     rng = onp.random.default_rng(3)
@@ -36,9 +36,9 @@ def main():
     )
     order = sweep_order(state, body_aabbs(state))
     cand = pair_candidates(state, cfg)
-    table, meta = bucket_contact_table(state, cand, cfg, order)
+    table, meta, _ = bucket_contact_table(state, cand, cfg, order)
     table.block_until_ready()
-    keys = table_keys(table)
+    keys = table_keys_scalar(table, state.num_bodies, 8, 8)
     act = table[CT_ACT] > 0
     print("backend:", jax.default_backend())
     print("active:", int(jnp.sum(act.astype(jnp.int32))))

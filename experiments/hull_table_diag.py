@@ -26,7 +26,7 @@ def main():
     steps = int(os.environ.get("STEPS", "3"))
     from physics_tpu.engine import prepare_contacts, step
     from physics_tpu.ops.broadphase import body_aabbs, pair_candidates, sweep_order
-    from physics_tpu.ops.contact_table import CT_D, table_keys, unified_geom
+    from physics_tpu.ops.contact_table import CT_D, table_keys_scalar, unified_geom
     from physics_tpu.ops.hull_table import bucket_hull_contact_table, hull_dims
     from physics_tpu.ops.narrowphase import (
         _ground_contacts_hulls_fast,
@@ -75,7 +75,9 @@ def main():
     cand_b = pair_candidates(state, cfg_t)
     table, meta, _ = bucket_hull_contact_table(
         state, cand_b, cfg_t, order, prev=None, geom=geom)
-    keys_b = np.asarray(table_keys(table))
+    from physics_tpu.ops.hull_table import hull_slots
+    keys_b = np.asarray(table_keys_scalar(
+        table, n, hull_slots(state.hulls), state.hulls.verts.shape[1]))
     act_b = keys_b != 0
     kb = keys_b[act_b]
     db = np.asarray(table)[CT_D][act_b]

@@ -24,7 +24,7 @@ def main():
     print("backend:", jax.default_backend())
     from physics_tpu.engine import prepare_contacts, step
     from physics_tpu.ops.broadphase import body_aabbs, pair_candidates, sweep_order
-    from physics_tpu.ops.contact_table import table_keys, unified_geom
+    from physics_tpu.ops.contact_table import table_keys_scalar, unified_geom
     from physics_tpu.ops.hull_table import bucket_hull_contact_table
     from physics_tpu.scenes import mesh_rain, rain_config
     from physics_tpu.solver.contacts import hull_table_path
@@ -57,7 +57,9 @@ def main():
     print(f"compile+run OK in {time.time() - t0:.1f}s  "
           f"HT_DEBUG={os.environ.get('HT_DEBUG', '0')}")
     if os.environ.get("HT_DEBUG", "0") == "0":
-        keys = np.asarray(table_keys(table))
+        from physics_tpu.ops.hull_table import hull_slots
+        keys = np.asarray(table_keys_scalar(
+            table, n, hull_slots(state.hulls), state.hulls.verts.shape[1]))
         act = keys != 0
         print("active:", act.sum(), "neg:", (keys[act] < 0).sum(),
               "pos:", (keys[act] > 0).sum())

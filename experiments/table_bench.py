@@ -103,15 +103,21 @@ def main():
         cfg_b = base.replace(contact_table=True, bucket_block=128)
         run_cfg("B:contact-table", cfg_b, n, chunks)
     # arbitrary flag combos: TB_WHICH=f TB_FLAGS="bp_inkernel,fuse_prep"
-    # (bare name = True; name=0/1 also accepted)
+    # (bare name = True; name=<int|float|bool> also accepted)
     if which == "f":
         over = {}
         for kv in os.environ.get("TB_FLAGS", "").split(","):
             if not kv.strip():
                 continue
             k, _, v = kv.partition("=")
-            over[k.strip()] = (v.strip() in ("1", "true", "True")
-                               if v else True)
+            v = v.strip()
+            if not v:
+                val = True
+            elif v in ("true", "True", "false", "False"):
+                val = v in ("true", "True")
+            else:
+                val = float(v) if "." in v else int(v)
+            over[k.strip()] = val
         run_cfg(f"F:{over}", base.replace(**over), n, chunks)
 
 

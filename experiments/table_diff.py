@@ -44,7 +44,7 @@ def main():
     )
     from physics_tpu.ops.contact_table import (
         CT_ACT, CT_D, CT_MU, CT_N, CT_PT, CT_RA, CT_RB1, CT_REST,
-        bucket_contact_table, table_keys, table_shape,
+        bucket_contact_table, table_keys_scalar, table_shape,
     )
 
     state = cluster_state(24)
@@ -56,8 +56,8 @@ def main():
     # --- table path geometry ---
     order = sweep_order(state, body_aabbs(state))
     cand = pair_candidates(state, cfg_t)
-    table, meta = bucket_contact_table(state, cand, cfg_t, order)
-    keys_t = np.asarray(table_keys(table))
+    table, meta, _ = bucket_contact_table(state, cand, cfg_t, order)
+    keys_t = np.asarray(table_keys_scalar(table, state.num_bodies, 8, 8))
     act_t = np.asarray(table[CT_ACT]) > 0
     print("table: active", act_t.sum(), "dropped", float(meta[0, 0]))
 

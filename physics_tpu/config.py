@@ -137,8 +137,10 @@ class SimConfig:
     # sweep-mask kernel, no segmented candidate sort, no candidate
     # tensors in HBM — each bucket derives its raw candidates (rank i,
     # rank i+d), d ≤ sweep_window, from shifted static slices of its
-    # sorted geometry window and compacts AABB+face-SAT survivors to
-    # bucket_cap2 (or the bucket cap) lanes in-kernel. Requires
+    # sorted geometry window, compacts AABB survivors to the bucket cap
+    # in-kernel, and (with bucket_cap2) runs the face-SAT prefilter on
+    # those gathered lanes before the full manifold — two-stage, so the
+    # expensive SAT never touches the 128·sweep_window raw set. Requires
     # contact_table. Window-edge overlap at d = sweep_window is counted
     # into pair_overflow — never silent.
     bp_inkernel: bool = False

@@ -265,9 +265,16 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
             stacklevel=2,
         )
 
+    from physics_tpu.solver.contacts import hull_table_path, table_path
+
     c = contact_capacity(state, cfg)
+    # table paths store component-form [2, c] keys (exact at any n ≤ 2¹⁶,
+    # ops/contact_table.table_keys); generic paths keep the packed int32
+    # feature key consumed by the sort-merge warm match
+    key_shape = ((2, c) if table_path(state, cfg)
+                 or hull_table_path(state, cfg) else (c,))
     return state.replace(
-        contact_key=jnp.zeros((c,), jnp.int32),
+        contact_key=jnp.zeros(key_shape, jnp.int32),
         contact_lam=jnp.zeros((3, c), jnp.float32),
     )
 

@@ -27,11 +27,13 @@ In-kernel compaction (no cumsum — unsupported; no gathers — rejected):
     rows with hi/lo bf16 splits — f32 payloads exact to ~2⁻¹⁹ relative,
     integer payloads < 2¹⁶ exact (validated in experiments/compact_proto.py).
 
-Feature keys are computed in-kernel in int32 and shipped as three exact
-rows (|key| split 16/16 + sign) — pair keys (min·n + max)·8 + slot match
-the other narrow-phase paths; ground keys are the negative range
-−(body·8 + corner + 1) (see ops/narrowphase.py `_ground_contacts_boxes`,
-reference has no contacts at all — SURVEY.md §0).
+Feature keys are shipped COMPONENT-FORM as four exact-in-f32 rows
+(max id, min id, slot, ground flag — see the CT_K* row comments): the
+legacy packed (min·n + max)·8 + slot int32 of the XLA narrow-phase paths
+overflows at n ≥ 16k bodies, while the components stay exact at any
+supported n. `table_keys_scalar` reconstructs the packed form for parity
+tests against the XLA paths (ops/narrowphase.py `_ground_contacts_boxes`;
+the reference has no contacts at all — SURVEY.md §0).
 
 New capability vs reference (no collision detection in the reference,
 SURVEY.md §0); the TPU-shaping rules it follows are docs/PERFORMANCE.md.
@@ -75,12 +77,25 @@ CT_D = 6         # depth
 CT_MU = 7        # friction
 CT_REST = 8      # restitution
 CT_ACT = 9       # 1.0 = active
-CT_KL = 10       # |key| & 0xFFFF
-CT_KH = 11       # |key| >> 16
-CT_KSGN = 12     # 1.0 ⇒ key < 0 (ground contact)
+CT_KL = 10       # key low component: max body id (pair) / body id (ground)
+CT_KH = 11       # key high component: min body id (pair) / 0 (ground)
+CT_KSGN = 12     # 1.0 ⇒ ground contact
 CT_RA = 13       # global body rank of endpoint a (lower rank)
 CT_RB1 = 14      # global rank of endpoint b + 1 (0 = ghost/world)
+CT_KS = 15       # key slot component: manifold slot / corner / vertex id
 CT_ROWS = 16
+
+# Feature keys are COMPONENT-FORM (three exact-in-f32 rows) rather than one
+# packed integer: a packed (min·n + max)·slots key overflows int32 at
+# n ≥ 16k bodies, while the components stay exact at any supported n
+# (ids < 2¹⁶, slot ids < 128). The warm match compares two derived scalars
+#   ck = KL + 65536·(2·KS + KSGN) + 2·(ACT − 1)   (< 2²⁴, exact in f32)
+#   ch = KH
+# which uniquely identify (pair-or-ground, ids, slot) — same two-compare
+# cost as the old packed halves. `table_keys` packs the components into
+# [2, C] int32 for cross-step storage (row0 = KL | (2·KS + KSGN) << 16,
+# row1 = KH + 1; zeros = inactive).
+_KS_LIMIT = 128   # slot ids must stay < 128 so ck stays < 2^24 (f32-exact)
 
 # geometry body-table rows — identical to ops/narrowphase_pallas.py:
 # pos(0:3) | world R row-major (3:12) | half(12:15) | friction(15) |
@@ -164,22 +179,25 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
     inputs at all — the bucket's raw candidate set is (rank i, rank i+d)
     for i in [0, 128), d in [1, bp_k], and both endpoints' geometry falls
     out of SHIFTED STATIC SLICES of the window (cur = lane i, neighbor =
-    lane i+d — zero gathers). AABB overlap + the face-axis SAT run as
-    [bp_k, 128] 2-D ops on all 128·bp_k raw candidates; survivors compact
-    once into `cap` lanes (iota-derived local ranks ride the one-hot
-    scatter), are gathered, and run the full manifold. Replaces the XLA
-    sweep-mask kernel + segmented candidate sort + la/lb prep (and the
-    cap2 phase, which it subsumes). Survivors beyond `cap` are counted
-    into meta[0, b·128+2]; ranks whose x-interval still overlaps at
-    d = bp_k (pairs may exist beyond the window) into meta[0, b·128+3]."""
-    assert not (bp_k and cap2), "bp_k subsumes the cap2 prefilter"
+    lane i+d — zero gathers). AABB overlap runs as [bp_k, 128] 2-D ops on
+    all 128·bp_k raw candidates (cheap: one roll per AABB field + 6
+    compares); survivors compact once into `cap` lanes (iota-derived
+    local ranks ride the one-hot scatter) and are gathered. With cap2 the
+    face-axis SAT prefilter then runs on those `cap` gathered lanes and
+    compacts to cap2 — two-stage, so the ~100-op SAT never touches the
+    128·bp_k raw set (round-3's single-stage bp_inkernel ran face-SAT on
+    all raw candidates and measured neutral). Replaces the XLA sweep-mask
+    kernel + segmented candidate sort + la/lb prep. Survivors dropped at
+    either compaction are counted into meta[0, b·128+2]; ranks whose
+    x-interval still overlaps at d = bp_k (pairs may exist beyond the
+    window) into meta[0, b·128+3]."""
     sat_cap = cap2 if cap2 else cap
     sub_pair = kk * (sat_cap // 128)
     sub = sub_pair + kg
     m = sub * 128
     chunk_rows = 4                       # scatter chunk: 512 contacts
 
-    def kernel(*args):
+    def kernel(base_ref, *args):
         if bp_k:
             geom_ref, *refs = args
         else:
@@ -189,7 +207,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         else:
             (out_ref, meta_ref), prev_ref, warm_ref = refs, None, None
         b = pl.program_id(0)
-        start = pl.multiple_of(b * BLOCK, 128)
+        # scalar-prefetched global window base: b·128 single-device, or
+        # (bucket0 + b)·128 for this shard's bucket range (row sharding)
+        start = pl.multiple_of(base_ref[b], 128)
 
         def _dbg(val):
             out_ref[:] = jnp.zeros((CT_ROWS, ccap), jnp.float32) + val
@@ -300,6 +320,13 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             # (≡ right rolls by wtot − d > 128) exceed the rotate
             # unit's max in-vreg shift. Wrapped lanes (i2 < d) carry
             # garbage from the window tail — masked by `valid`.
+            # d-axis padded to whole 8-row sublane groups: a [:bp_k]
+            # sublane slice of the rolled groups crashes Mosaic's layout
+            # assignment when bp_k is not a multiple of 8 (array.h
+            # limits check, seen at env bp_k = 7) — mask rows d > bp_k
+            # via `valid` instead of slicing them off.
+            bpp = -(-bp_k // 8) * 8
+
             def aroll(v):
                 # strided roll in 8-row groups: the rotate unit handles a
                 # sublane-replicated single-vreg input (row j of group g
@@ -309,18 +336,18 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                 b2 = jnp.broadcast_to(v[None, :], (8, wtot))
                 groups = [
                     pltpu.roll(b2, 8 * g + 1, 1, stride=1, stride_axis=0)
-                    for g in range(-(-bp_k // 8))
+                    for g in range(bpp // 8)
                 ]
-                out = jnp.concatenate(groups, axis=0)
-                return out if out.shape[0] == bp_k else out[:bp_k]
+                return jnp.concatenate(groups, axis=0)     # [bpp, wtot]
 
             def bcast(v):
-                return jnp.broadcast_to(v[None, :], (bp_k, wtot))
+                return jnp.broadcast_to(v[None, :], (bpp, wtot))
 
-            ii2 = jax.lax.broadcasted_iota(jnp.int32, (bp_k, wtot), 1)
+            ii2 = jax.lax.broadcasted_iota(jnp.int32, (bpp, wtot), 1)
             dd = jax.lax.broadcasted_iota(
-                jnp.int32, (bp_k, wtot), 0) + 1
-            valid = (ii2 >= dd) & (ii2 < dd + BLOCK)
+                jnp.int32, (bpp, wtot), 0) + 1
+            valid = ((ii2 >= dd) & (ii2 < dd + BLOCK)
+                     & (dd <= jnp.int32(bp_k)))
 
             ext = []
             for c in range(3):
@@ -346,15 +373,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             if _BP_DBG == 1:
                 _dbg(jnp.sum(keep.astype(jnp.float32)))
                 return
-
-            # face-axis SAT on the raw [bp_k, wtot] candidates (strided
-            # rolls / broadcasts of the same window fields)
-            t2 = tuple(bcast(pos3[c]) - aroll(pos3[c]) for c in range(3))
-            ra2 = tuple(aroll(win[3 + k2]) for k2 in range(9))
-            rb2 = tuple(bcast(win[3 + k2]) for k2 in range(9))
-            ha2 = tuple(aroll(win[12 + c]) for c in range(3))
-            hb2 = tuple(bcast(win[12 + c]) for c in range(3))
-            keep = keep & (face_sat_sep(t2, ra2, rb2, ha2, hb2) < 0.0)
+            # NOTE: no face-axis SAT here — it runs AFTER compaction on
+            # the `cap` gathered lanes (the cap2 phase below), so the
+            # expensive ~100-op test never touches the 128·bp_k raw set
             if _BP_DBG == 2:
                 _dbg(jnp.sum(keep.astype(jnp.float32)))
                 return
@@ -408,6 +429,7 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             mv1 = (ga[17] > 0.0) | (gb[17] > 0.0)
             keep = (sep_best < 0.0) & mv1 & (la >= 0)
             keepf = keep.astype(jnp.float32)
+            dropped_bp = dropped2         # raw→cap compaction drops
 
             # ---- compact surviving (la, lb) into cap2 lanes ----
             km = jnp.stack([
@@ -427,6 +449,7 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                 la2 = laf.reshape(cap // 128, 128)
                 lb2 = lbf.reshape(cap // 128, 128)
             la, lb, dropped2 = compact_pair_lanes(km, la2, lb2, cap2)
+            dropped2 = dropped2 + dropped_bp
 
             # ---- phase 2: re-gather survivor geometry ----
             oh_a, oh_b = onehots(la, lb)
@@ -449,9 +472,10 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         rest_p = jnp.maximum(ga[16], gb[16])
         ia = ga[18].astype(jnp.int32)
         ib = gb[18].astype(jnp.int32)
-        mn = jnp.minimum(ia, ib)
-        mx = jnp.maximum(ia, ib)
-        pair_base = (mn * n + mx) * _CAP                   # int32 exact
+        # component-form key rows: (min id, max id, slot) — exact in f32
+        # at any n ≤ 2^16 (a packed (mn·n+mx)·slots int32 overflows ≥ 16k)
+        kl_p = jnp.maximum(ia, ib).astype(jnp.float32)
+        kh_p = jnp.minimum(ia, ib).astype(jnp.float32)
 
         big_neg = jnp.float32(-1e30)
         score = [
@@ -476,12 +500,12 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         rows = [[] for _ in range(CT_ROWS)]
 
         def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
-                 kl, kh, ksgn, ra, rb1):
+                 kl, kh, ksgn, ra, rb1, ks):
             af = act.astype(jnp.float32)
             for r, v in enumerate([
                 ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
                 kl * af, kh * af, ksgn * af, ra * af, rb1 * af,
-                jnp.zeros_like(af),
+                ks * af,
             ]):
                 if not mosaic:
                     rows[r].append(v)
@@ -494,13 +518,11 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             best, bidx = _argmax_unrolled(score)
             act = best > 0.0
             pt = _select(bidx, man.points)
-            key = pair_base + bidx                         # int32
-            kl = (key & 0xFFFF).astype(jnp.float32)
-            kh = ((key >> 16) & 0x7FFF).astype(jnp.float32)
+            ks = bidx.astype(jnp.float32)                  # slot < _CAP
             emit(pt[0], pt[1], pt[2],
                  man.normal[0], man.normal[1], man.normal[2],
                  jnp.where(act, best, 0.0), act, mu_p, rest_p,
-                 kl, kh, jnp.zeros_like(kl), ra_p, rb1_p)
+                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks)
             if mosaic:
                 score = [
                     jnp.where(
@@ -538,17 +560,17 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             body_id = gl[18].astype(jnp.int32)
             ra_g = (start + lane).astype(jnp.float32)
             one_g = jnp.ones((BLOCK,), jnp.float32)
+            body_f = body_id.astype(jnp.float32)
             for _ in range(kg):
                 best, bidx = _argmax_unrolled(gsc)
                 act = best > 0.0
                 pt = _select(bidx, pts_g)
-                mag = body_id * 8 + bidx + 1               # |key|, int32
-                kl = (mag & 0xFFFF).astype(jnp.float32)
-                kh = ((mag >> 16) & 0x7FFF).astype(jnp.float32)
+                ks = bidx.astype(jnp.float32)              # corner < 8
                 emit(pt[0], pt[1], pt[2],
                      jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
                      jnp.where(act, best, 0.0), act, gl[15], gl[16],
-                     kl, kh, one_g, ra_g, jnp.zeros_like(one_g))
+                     body_f, jnp.zeros_like(one_g), one_g, ra_g,
+                     jnp.zeros_like(one_g), ks)
                 if mosaic:
                     gsc = [
                         jnp.where((bidx == jnp.int32(s)), big_neg, gsc[s])
@@ -607,7 +629,8 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             # inactive → −1, never within 0.5 of each other or of a real
             # key) so the block compare is TWO |Δ|<0.5 tests, not five —
             # the [128, ccap] compare lanes are most of the warm cost.
-            ck = (acc[CT_KL] + 65536.0 * acc[CT_KSGN]
+            ck = (acc[CT_KL]
+                  + 65536.0 * (2.0 * acc[CT_KS] + acc[CT_KSGN])
                   + 2.0 * (acc[CT_ACT] - 1.0)).reshape(1, ccap)
             ch = acc[CT_KH].reshape(1, ccap)
             lam0 = jnp.zeros((3, ccap), jnp.float32)
@@ -733,6 +756,7 @@ def bucket_contact_table(
     order: Array | None,
     prev: Tuple[Array, Array] | None = None,
     geom: Array | None = None,
+    buckets: Tuple[Array, int] | None = None,
 ) -> Tuple[Array, Array, Array | None]:
     """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
     meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
@@ -748,16 +772,23 @@ def bucket_contact_table(
     segmented candidate sort, no candidate tensors in HBM.
 
     `order` is the sweep's body order (body id per rank); None = identity.
-    `prev = (keys [cp] int32, lam3 [3, cp])` — the previous step's
-    TABLE-ALIGNED feature keys and converged impulses; when given, the
+    `prev = (keys [2, cp] int32 from table_keys, lam3 [3, cp])` — the
+    previous step's TABLE-ALIGNED feature keys and converged impulses; the
     kernel computes warm-start λ₀ per fresh contact in its epilogue
     (rows 0:3 of the warm output) via per-bucket key matching.
     Requires cfg.pair_buckets with bucket_block == 128 (the kernel's
-    ground slice and window bases assume it) and n < 2¹⁶ (body ids ride
-    the geometry table through the hi/lo bf16 split).
+    ground slice and window bases assume it) and n ≤ 2¹⁶ (body ids ride
+    the geometry table through the hi/lo bf16 split, which is exact for
+    integers < 2¹⁶ + 2⁹).
+
+    `buckets = (bucket0, nb_local)` restricts the kernel to the
+    `nb_local` buckets starting at traced scalar `bucket0` (row-sharded
+    steps: each shard builds its own bucket range against the replicated
+    geometry; outputs are the LOCAL [*, nb_local·ccap] blocks). The
+    caller must then pass `cand`/`prev` already sliced to that range.
     """
     n = state.num_bodies
-    assert n < (1 << 16), "contact_table: body ids exceed exact-f32 range"
+    assert n <= (1 << 16), "contact_table: body ids exceed exact-f32 range"
     bp_k = 0
     env_k = 0
     if cfg.broadphase == "env_blocks":
@@ -772,10 +803,9 @@ def bucket_contact_table(
             f"divide {BLOCK} and num_bodies {n}")
     if cand is None:
         bp_k = min(band_window(cfg), BLOCK, n - 1)
-        # compaction width: bucket_cap2 if pinned, else the bucket cap
+        # stage-1 compaction width = the bucket cap; the face-SAT cap2
+        # stage then narrows to bucket_cap2 like the candidate path
         _, cap, _ = bucket_shape(n, cfg)
-        if cfg.bucket_cap2:
-            cap = cfg.bucket_cap2
         cap = min(cap, _round_up(128 * bp_k, 128))
     else:
         block, cap, nb_cand = bucket_shape(n, cfg)
@@ -814,26 +844,35 @@ def bucket_contact_table(
         assert geom.shape == (48, npad), (geom.shape, npad)
         row0 = 24
 
-    cap2 = 0
+    # local bucket range (row sharding): nb_l buckets starting at the
+    # traced bucket0; single-device = the full static range
+    if buckets is not None:
+        bucket0, nb_l = buckets
+        bucket_idx = bucket0 + jnp.arange(nb_l, dtype=jnp.int32)
+    else:
+        bucket0, nb_l = None, nb
+        bucket_idx = jnp.arange(nb, dtype=jnp.int32)
+    cp_l = nb_l * ccap
+    bases = bucket_idx * BLOCK                             # [nb_l] int32
+
+    cap2 = cfg.bucket_cap2
+    if cap2:
+        if cap2 % 128 or cap2 > cap:
+            raise ValueError(
+                f"bucket_cap2 must be a 128-multiple <= bucket cap "
+                f"({cap}); got {cap2}")
+        if cap2 == cap:
+            cap2 = 0        # no-op prefilter: skip the extra pass
     if cand is not None:
-        # candidate locals: bucket-major [NB·cap] ranks → local to b·128
+        # candidate locals: bucket-major [NB_L·cap] ranks → local to
+        # the bucket's base rank
         p = cand.rank_a.shape[0]
-        assert p == nb * cap, (p, nb, cap)
-        bucket_of = jnp.arange(p, dtype=jnp.int32) // cap
-        base_per = bucket_of * BLOCK
+        assert p == nb_l * cap, (p, nb_l, cap)
+        base_per = jnp.repeat(bases, cap)
         la = jnp.where(cand.mask, cand.rank_a - base_per, -1)
         lb = jnp.where(cand.mask, cand.rank_b - base_per, -1)
-        la3 = jnp.broadcast_to(la.reshape(nb, 1, cap), (nb, 8, cap))
-        lb3 = jnp.broadcast_to(lb.reshape(nb, 1, cap), (nb, 8, cap))
-
-        cap2 = cfg.bucket_cap2
-        if cap2:
-            if cap2 % 128 or cap2 > cap:
-                raise ValueError(
-                    f"bucket_cap2 must be a 128-multiple <= bucket cap "
-                    f"({cap}); got {cap2}")
-            if cap2 == cap:
-                cap2 = 0        # no-op prefilter: skip the extra pass
+        la3 = jnp.broadcast_to(la.reshape(nb_l, 1, cap), (nb_l, 8, cap))
+        lb3 = jnp.broadcast_to(lb.reshape(nb_l, 1, cap), (nb_l, 8, cap))
     interpret = jax.default_backend() != "tpu"
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
@@ -842,48 +881,51 @@ def bucket_contact_table(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ] if bp_k else [
-        pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
-        pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, 8, cap), lambda b, bs: (b, 0, 0)),
+        pl.BlockSpec((1, 8, cap), lambda b, bs: (b, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((CT_ROWS, ccap), lambda b: (0, b)),
-        pl.BlockSpec((8, 128), lambda b: (0, b)),
+        pl.BlockSpec((CT_ROWS, ccap), lambda b, bs: (0, b)),
+        pl.BlockSpec((8, 128), lambda b, bs: (0, b)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((CT_ROWS, cp), jnp.float32),
-        jax.ShapeDtypeStruct((8, nb * 128), jnp.float32),
+        jax.ShapeDtypeStruct((CT_ROWS, cp_l), jnp.float32),
+        jax.ShapeDtypeStruct((8, nb_l * 128), jnp.float32),
     ]
     operands = [geom] if bp_k else [la3, lb3, geom]
     if prev is not None:
         pkey, plam = prev
-        act_p = pkey != 0
-        # combined low key: |key|&0xFFFF + 65536·(key<0); −1 when inactive
-        # (fresh inactive combine to −2 — see the kernel's warm match)
-        klo = (jnp.asarray(jnp.abs(pkey) & 0xFFFF, jnp.float32)
-               + 65536.0 * (pkey < 0).astype(jnp.float32))
-        khi = jnp.asarray((jnp.abs(pkey) >> 16) & 0x7FFF, jnp.float32)
-        neg1 = jnp.float32(-1.0)
-        pcols = jnp.stack([
-            jnp.where(act_p, klo, neg1),
-            jnp.where(act_p, khi, neg1),
-            jnp.zeros((cp,), jnp.float32),
-            act_p.astype(jnp.float32),
-            plam[0], plam[1], plam[2],
-            jnp.zeros((cp,), jnp.float32),
-        ], axis=1)                                         # [cp, 8]
-        in_specs.append(pl.BlockSpec((ccap, 8), lambda b: (b, 0)))
-        out_specs.append(pl.BlockSpec((8, ccap), lambda b: (0, b)))
-        out_shape.append(jax.ShapeDtypeStruct((8, cp), jnp.float32))
+        pcols = prev_key_cols(pkey, plam)                  # [cp_l, 8]
+        assert pcols.shape[0] == cp_l, (pcols.shape, cp_l)
+        in_specs.append(pl.BlockSpec((ccap, 8), lambda b, bs: (b, 0)))
+        out_specs.append(pl.BlockSpec((8, ccap), lambda b, bs: (0, b)))
+        out_shape.append(jax.ShapeDtypeStruct((8, cp_l), jnp.float32))
         operands.append(pcols)
-    res = pl.pallas_call(
-        kernel,
-        grid=(nb,),
+    # the geometry table lives whole in VMEM; at large N (≥ ~48k bodies)
+    # it alone approaches the 16 MB default scoped-vmem cap — lift the
+    # cap only when the shapes need it (same policy as banded_sweeps)
+    fixed_bytes = geom.size * 4
+    block_bytes = 2 * 4 * (2 * 8 * cap + CT_ROWS * ccap + 8 * 128
+                           + (2 * 8 * ccap if prev is not None else 0))
+    needed = int((fixed_bytes + block_bytes) * 1.25)
+    params = {}
+    if needed > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=needed)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_l,),
         in_specs=in_specs,
         out_specs=out_specs,
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(*operands)
+        **params,
+    )(bases, *operands)
     if prev is not None:
         out, meta, warm_rows = res
         return out, meta, warm_rows
@@ -892,9 +934,47 @@ def bucket_contact_table(
 
 
 def table_keys(table: Array) -> Array:
-    """Reassemble the int32 feature keys from the split rows (0 = inactive)."""
-    mag = (table[CT_KL].astype(jnp.int32)
-           + table[CT_KH].astype(jnp.int32) * 65536)
-    sgn = table[CT_KSGN] > 0.0
+    """Pack the component-form key rows into [2, C] int32 for cross-step
+    storage (state.contact_key): row0 = KL | (2·KS + KSGN) << 16,
+    row1 = KH + 1; both 0 ⇔ inactive slot. row0 ≥ 1 for every active
+    contact (pair: KL = max id ≥ 1; ground: the KSGN bit)."""
     act = table[CT_ACT] > 0.0
-    return jnp.where(act, jnp.where(sgn, -mag, mag), 0)
+    row0 = (table[CT_KL].astype(jnp.int32)
+            + ((2 * table[CT_KS].astype(jnp.int32)
+                + table[CT_KSGN].astype(jnp.int32)) << 16))
+    row1 = table[CT_KH].astype(jnp.int32) + 1
+    z = jnp.zeros_like(row0)
+    return jnp.stack([jnp.where(act, row0, z), jnp.where(act, row1, z)])
+
+
+def prev_key_cols(pkey: Array, plam: Array) -> Array:
+    """Previous-step (keys [2, C] int32 from `table_keys`, λ [3, C]) →
+    the [C, 8] per-slot column block the table kernels' warm match reads:
+    col 0 = ck (KL + 65536·(2·KS+KSGN); −1 inactive), col 1 = KH (−1
+    inactive), col 3 = activity, cols 4:7 = λ."""
+    cp = pkey.shape[1]
+    act_p = pkey[0] != 0
+    neg1 = jnp.float32(-1.0)
+    return jnp.stack([
+        jnp.where(act_p, pkey[0].astype(jnp.float32), neg1),
+        jnp.where(act_p, (pkey[1] - 1).astype(jnp.float32), neg1),
+        jnp.zeros((cp,), jnp.float32),
+        act_p.astype(jnp.float32),
+        plam[0], plam[1], plam[2],
+        jnp.zeros((cp,), jnp.float32),
+    ], axis=1)                                             # [cp, 8]
+
+
+def table_keys_scalar(table: Array, n: int, pair_stride: int,
+                      ground_stride: int) -> Array:
+    """Reconstruct the legacy packed int32 key per slot — pair:
+    (mn·n + mx)·pair_stride + slot, ground: −(body·ground_stride + slot
+    + 1) — matching the XLA narrow-phase paths' keys for parity tests.
+    Only valid when the packed value fits int32 (n ≲ 16k)."""
+    act = table[CT_ACT] > 0.0
+    sgn = table[CT_KSGN] > 0.0
+    ks = table[CT_KS].astype(jnp.int32)
+    pair = ((table[CT_KH].astype(jnp.int32) * n
+             + table[CT_KL].astype(jnp.int32)) * pair_stride + ks)
+    gnd = -(table[CT_KL].astype(jnp.int32) * ground_stride + ks + 1)
+    return jnp.where(act, jnp.where(sgn, gnd, pair), 0)

@@ -36,10 +36,13 @@ triangular-matmul prefix) turn every "gather the chosen face's data"
 into a static-coefficient matmul — P stays in the lane dimension
 throughout, nothing leaves VMEM between phases.
 
-Feature keys match the XLA fast paths exactly (pair: (min.n+max).S + slot
-with S = 2E+1; ground: -(body.Vcap + vertex + 1)) so warm-start impulses
-survive a path switch. Parity is pinned by tests/test_hull_table.py
-against _pair_contacts_hulls_fast / _ground_contacts_hulls_fast.
+Feature keys are component-form rows (ops/contact_table.py CT_K*
+comment: max id / min id / slot, slot < S = 2E+1 for pairs, the vertex
+id for ground) — identifying the same (pair, slot) features as the XLA
+fast paths' packed keys ((min.n+max).S + slot / -(body.Vcap + vertex
++ 1)) without the int32 overflow at large n. table_keys_scalar
+reconstructs the packed form for parity tests (tests/test_hull_table.py
+against _pair_contacts_hulls_fast / _ground_contacts_hulls_fast).
 
 New capability vs the reference (no collision detection there,
 SURVEY.md §0); TPU shaping rules per docs/PERFORMANCE.md.
@@ -64,13 +67,16 @@ from physics_tpu.ops.contact_table import (
     CT_ACT,
     CT_KH,
     CT_KL,
+    CT_KS,
     CT_KSGN,
     CT_ROWS,
     GEOM_ROWS,
+    _KS_LIMIT,
     _exclusive_prefix,
     _round_up,
     _split,
     geom_pad,
+    prev_key_cols,
     table_shape,
 )
 from physics_tpu.ops.hullhull_batched import build_hull_tables
@@ -682,9 +688,11 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         rest_p = jnp.maximum(ga[16], gb[16])
         ia = ga[18].astype(jnp.int32)
         ib = gb[18].astype(jnp.int32)
-        mn_i = jnp.minimum(ia, ib)
-        mx_i = jnp.maximum(ia, ib)
-        pair_base = (mn_i * n + mx_i) * ns
+        # component-form key rows (ops/contact_table.py CT_K* comment):
+        # exact in f32 at any n ≤ 2^16, vs int32 overflow for the packed
+        # (mn·n + mx)·ns form at large n
+        kl_p = jnp.maximum(ia, ib).astype(jnp.float32)
+        kh_p = jnp.minimum(ia, ib).astype(jnp.float32)
         live = (la >= 0).astype(jnp.float32)
         ra_p = (start + la).astype(jnp.float32) * live
         rb1_p = (start + lb + 1).astype(jnp.float32) * live
@@ -696,12 +704,12 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         rows = [[] for _ in range(CT_ROWS)]
 
         def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
-                 kl, kh, ksgn, ra_r, rb1_r):
+                 kl, kh, ksgn, ra_r, rb1_r, ks):
             af = act.astype(jnp.float32)
             for r, vq in enumerate([
                 ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
                 kl * af, kh * af, ksgn * af, ra_r * af, rb1_r * af,
-                jnp.zeros_like(af),
+                ks * af,
             ]):
                 if not mosaic:
                     rows[r].append(vq)
@@ -744,12 +752,10 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
             nx = jnp.where(is_edge, n_edge[0], n_face[0])
             ny = jnp.where(is_edge, n_edge[1], n_face[1])
             nz = jnp.where(is_edge, n_edge[2], n_face[2])
-            key = pair_base + bidx
-            kl = (key & 0xFFFF).astype(jnp.float32)
-            kh = ((key >> 16) & 0x7FFF).astype(jnp.float32)
+            ks = bidx.astype(jnp.float32)                  # slot < ns
             emit(ptx, pty, ptz, nx, ny, nz,
                  jnp.where(act, best, 0.0), act, mu_p, rest_p,
-                 kl, kh, jnp.zeros_like(kl), ra_p, rb1_p)
+                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks)
             score = [jnp.where(bidx == jnp.int32(s2), big_neg, score[s2])
                      for s2 in range(ns)]
 
@@ -786,14 +792,12 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
                 cx = gl[0] + gl[3] * lx + gl[4] * ly + gl[5] * lz
                 cy = gl[1] + gl[6] * lx + gl[7] * ly + gl[8] * lz
                 cz = gl[2] + gl[9] * lx + gl[10] * ly + gl[11] * lz
-                vidx = _dot(virow, ohg)[0].astype(jnp.int32)
-                mag = body_id * vcap + vidx + 1
-                kl = (mag & 0xFFFF).astype(jnp.float32)
-                kh = ((mag >> 16) & 0x7FFF).astype(jnp.float32)
+                vidx = _dot(virow, ohg)[0]                 # vertex < vcap
                 emit(cx, cy, cz,
                      jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
                      jnp.where(act, bestg, 0.0), act, gl[15], gl[16],
-                     kl, kh, one_g, ra_g, jnp.zeros_like(one_g))
+                     body_id.astype(jnp.float32), jnp.zeros_like(one_g),
+                     one_g, ra_g, jnp.zeros_like(one_g), vidx)
                 gsc = jnp.where(ohg > 0.5, jnp.float32(-BIG), gsc)
 
         if mosaic:
@@ -826,7 +830,8 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         out_ref[:] = acc
 
         if warm:
-            ck = (acc[CT_KL] + 65536.0 * acc[CT_KSGN]
+            ck = (acc[CT_KL]
+                  + 65536.0 * (2.0 * acc[CT_KS] + acc[CT_KSGN])
                   + 2.0 * (acc[CT_ACT] - 1.0)).reshape(1, ccap)
             ch = acc[CT_KH].reshape(1, ccap)
             lam0 = jnp.zeros((3, ccap), jnp.float32)
@@ -883,7 +888,7 @@ def bucket_hull_contact_table(
     OBB half | friction | restitution | movable·is_hull | id | is_hull |
     OBB center)."""
     n = state.num_bodies
-    assert n < (1 << 16), "hull_table: body ids exceed exact-f32 range"
+    assert n <= (1 << 16), "hull_table: body ids exceed exact-f32 range"
     block, cap, nb_cand = bucket_shape(n, cfg)
     if block != BLOCK:
         raise ValueError(
@@ -894,6 +899,9 @@ def bucket_hull_contact_table(
     kk = min(cfg.max_contacts_per_pair, 2 * dm.e + 1)
     kg = (min(cfg.max_contacts_per_pair, 8, dm.vcap)
           if cfg.ground_plane else 0)
+    # slot ids ride the component-form keys (< 2^24-exact ck compound)
+    assert 2 * dm.e + 1 <= _KS_LIMIT and dm.vcap <= _KS_LIMIT, (
+        "hull_table: slot/vertex ids exceed the key slot-row range")
     wtot, npad = geom_pad(n, cfg)
     assert geom is not None and geom.shape == (48, npad), (
         "hull_table consumes the unified hull geometry table")
@@ -942,19 +950,7 @@ def bucket_hull_contact_table(
                 coef.c80, coef.cb, coef.v3c]
     if prev is not None:
         pkey, plam = prev
-        act_p = pkey != 0
-        klo = (jnp.asarray(jnp.abs(pkey) & 0xFFFF, jnp.float32)
-               + 65536.0 * (pkey < 0).astype(jnp.float32))
-        khi = jnp.asarray((jnp.abs(pkey) >> 16) & 0x7FFF, jnp.float32)
-        neg1 = jnp.float32(-1.0)
-        pcols = jnp.stack([
-            jnp.where(act_p, klo, neg1),
-            jnp.where(act_p, khi, neg1),
-            jnp.zeros((cp,), jnp.float32),
-            act_p.astype(jnp.float32),
-            plam[0], plam[1], plam[2],
-            jnp.zeros((cp,), jnp.float32),
-        ], axis=1)                                    # [cp, 8]
+        pcols = prev_key_cols(pkey, plam)             # [cp, 8]
         in_specs.append(pl.BlockSpec((ccap, 8), lambda b: (b, 0)))
         out_specs.append(pl.BlockSpec((8, ccap), lambda b: (0, b)))
         out_shape.append(jax.ShapeDtypeStruct((8, cp), jnp.float32))

@@ -672,15 +672,15 @@ def resolve_contacts(
     # ground + per-bucket compaction) → banded solve with static bases —
     # no XLA narrow phase, no contact sort/gather/pad (ops/contact_table.py)
     if table_path(state, cfg) or hull_table_path(state, cfg):
-        if shard is not None:
-            # warm-start buffers were sized for the table layout
-            # (contact_capacity) — a silent fallback to the sharded
-            # generic path would shape-mismatch downstream; be loud.
+        if shard is not None and hull_table_path(state, cfg):
+            # the hull kernel has no bucket-range mode yet — a silent
+            # fallback to the sharded generic path would shape-mismatch
+            # the warm buffers downstream; be loud.
             raise ValueError(
-                "cfg.contact_table does not support shard= (row-sharded "
-                "steps): set contact_table=False for sharded configs"
+                "cfg.hull_table does not support shard= (row-sharded "
+                "steps): set hull_table=False for sharded hull configs"
             )
-        return _resolve_contacts_table(state, cfg)
+        return _resolve_contacts_table(state, cfg, shard=shard)
 
     from physics_tpu.ops.narrowphase import hulls_fast_path
 
@@ -886,14 +886,27 @@ def resolve_contacts(
     return state, {**metrics, **solve_metrics}
 
 
-def _resolve_contacts_table(state: SimState, cfg: SimConfig
-                            ) -> Tuple[SimState, Dict]:
+def _resolve_contacts_table(
+    state: SimState, cfg: SimConfig,
+    shard: Tuple[str, int] | None = None,
+) -> Tuple[SimState, Dict]:
     """Contact resolution through the fused bucket-aligned contact table
     (cfg.contact_table): broad phase emits bucketed candidates, ONE Pallas
     kernel produces the compacted rank-banded contact table (SAT manifolds
     + ground corners + per-bucket compaction), and the banded solver
-    consumes it with static tile bases. See ops/contact_table.py."""
-    from physics_tpu.ops.broadphase import body_aabbs, sweep_order
+    consumes it with static tile bases. See ops/contact_table.py.
+
+    `shard=(axis_name, n_shards)` (inside shard_map, body state
+    replicated) splits the step by BUCKET RANGE: the rank sort, geometry
+    table and candidate emission run replicated (deterministic —
+    identical on every shard), each shard's table kernel builds its own
+    nb/n_shards buckets, the local tables are all-gathered (tiled, over
+    ICI — [16+8, cp] f32), and the banded solve splits its sweep tiles
+    across the axis with a per-sweep z-delta psum
+    (contacts_pallas.banded_sweeps_sharded). Requires nb % n_shards == 0
+    (i.e. n > 128·n_shards, padded scenes round up) and runs the
+    unfused solve (fuse_prep/fuse_integrate are single-device-only)."""
+    from physics_tpu.ops.broadphase import PairCandidates, body_aabbs, sweep_order
     from physics_tpu.ops.contact_table import (
         bucket_contact_table,
         table_shape,
@@ -917,20 +930,61 @@ def _resolve_contacts_table(state: SimState, cfg: SimConfig
     # ONE rank-space geometry table shared by the narrow-phase and solve
     # kernels (one stack, one order-gather, quat_to_mat computed once)
     geom = unified_geom(state, cfg, body_order, hulls=hulls)
-    fuse = fused_integration(state, cfg)
-    use_warm = state.contact_key.shape[0] == cp
+    fuse = fused_integration(state, cfg) and shard is None
+    # table-aligned warm buffers use the component-form [2, cp] keys
+    # (ops/contact_table.table_keys) — exact at any n, unlike the
+    # generic paths' packed int32 keys
+    use_warm = state.contact_key.shape == (2, cp)
     prev = (state.contact_key, state.contact_lam) if use_warm else None
     if hulls:
         from physics_tpu.ops.hull_table import bucket_hull_contact_table
 
         table, meta, warm_rows = bucket_hull_contact_table(
             state, cand, cfg, body_order, prev=prev, geom=geom)
+    elif shard is not None:
+        axis_name, n_shards = shard
+        assert nb % n_shards == 0, (
+            f"sharded contact_table needs nb ({nb}) divisible by the "
+            f"axis size ({n_shards}) — pad the scene above "
+            f"128·{n_shards} bodies")
+        nb_l = nb // n_shards
+        idx = jax.lax.axis_index(axis_name)
+        bucket0 = idx * nb_l
+
+        def _loc(arr, per_bucket, axis=0):
+            return jax.lax.dynamic_slice_in_dim(
+                arr, bucket0 * per_bucket, nb_l * per_bucket, axis)
+
+        cand_l = None
+        if cand is not None:
+            from physics_tpu.ops.broadphase import bucket_shape
+
+            _, cap, _ = bucket_shape(n, cfg)
+            cand_l = PairCandidates(
+                _loc(cand.body_a, cap), _loc(cand.body_b, cap),
+                _loc(cand.mask, cap), cand.overflow,
+                _loc(cand.rank_a, cap), _loc(cand.rank_b, cap))
+        prev_l = None
+        if prev is not None:
+            prev_l = (_loc(prev[0], ccap, axis=1),
+                      _loc(prev[1], ccap, axis=1))
+        table_l, meta_l, warm_l = bucket_contact_table(
+            state, cand_l, cfg, body_order, prev=prev_l, geom=geom,
+            buckets=(bucket0, nb_l))
+
+        def _ag(x):
+            return jax.lax.all_gather(x, axis_name, axis=x.ndim - 1,
+                                      tiled=True)
+
+        table, meta = _ag(table_l), _ag(meta_l)
+        warm_rows = _ag(warm_l) if warm_l is not None else None
     else:
         table, meta, warm_rows = bucket_contact_table(
             state, cand, cfg, body_order, prev=prev, geom=geom)
     vel, omega, pvel, pomega, lam3, solve_metrics, keys, posquat = (
         solve_impulses_table(state, table, cfg, body_order,
-                             warm_rows=warm_rows, geom=geom, fuse=fuse)
+                             warm_rows=warm_rows, geom=geom, fuse=fuse,
+                             shard=shard)
     )
     # candidates lost anywhere are pair_overflow — never silent:
     # sweep-window overflow (XLA broad phase or in-kernel meta[.., 3])

@@ -542,7 +542,9 @@ def banded_sweeps(
     # v5e physically has more — lift the cap ONLY when the shapes need it
     # (a raised limit measurably degrades scheduling for solves that fit:
     # E=8192 packed runs, but at worse per-body throughput than E=4096).
-    scratch_bytes = ((2 * Z_ROWS * npad + 4 * cp) * 4
+    # 4 × [16, npad]: tab_read/tab_acc scratch + the z0 input + zout
+    # output (both whole-VMEM residents)
+    scratch_bytes = ((4 * Z_ROWS * npad + 4 * cp) * 4
                      + (2 * 8 * npad * 4 if integrate is not None else 0)
                      + (2 * wtot * cp * 2 if persist_oh else 0))
     block_bytes = (2 * 8 * tile + R_CONST * tile + 3 * wtot * tile) * 4 * 2
@@ -985,11 +987,20 @@ def prep_consts(
         ],
         out_specs=pl.BlockSpec((R_CONST, tile), lambda t, b: (0, t)),
     )
+    # whole-geometry VMEM residency needs the cap lifted at large N
+    # (same policy as banded_sweeps)
+    needed = int((geom.size * 4
+                  + 2 * 4 * (2 * 8 + CIN_ROWS + R_CONST) * tile) * 1.25)
+    params = {}
+    if needed > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=needed)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R_CONST, cp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        **params,
     )(bases, la3, lb3, cin, geom)
 
 
@@ -1238,6 +1249,7 @@ def solve_impulses_table(
     warm_rows: Array | None = None,
     geom: Array | None = None,
     fuse: bool = False,
+    shard: Tuple[str, int] | None = None,
 ):
     """Banded solve over the bucket-aligned contact table.
 
@@ -1316,8 +1328,10 @@ def solve_impulses_table(
 
     # merged-prep solve (cfg.fuse_prep): the solve kernel consumes the
     # table/warm/geometry directly — skip the XLA cin/la/lb/z0/posq
-    # builds AND the standalone prep kernel entirely
-    if cfg.fuse_prep and geom is not None and geom.shape[0] == 48:
+    # builds AND the standalone prep kernel entirely (single-device
+    # only: the sharded sweep loop streams consts per sweep)
+    if (cfg.fuse_prep and shard is None and geom is not None
+            and geom.shape[0] == 48):
         assert geom.shape[1] == npad, (geom.shape, npad)
         warm8 = (warm_rows if warm_rows is not None
                  else jnp.zeros((8, cp), jnp.float32))
@@ -1372,6 +1386,20 @@ def solve_impulses_table(
         geom, bases, la, lb, cin, cfg,
         tile=tile, wtot=wtot, use_split=use_split,
     )
+    if shard is not None:
+        # sharded sweeps: prologue above ran replicated (deterministic);
+        # one bucket-tile range per shard, z-delta psum per sweep
+        assert not fuse
+        z, lam4 = banded_sweeps_sharded(
+            z0, bases, la, lb, consts,
+            tile=tile, wtot=wtot,
+            vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
+            warm_sweep=use_split,
+            axis_name=shard[0], n_shards=shard[1],
+        )
+        return _table_solve_outputs(
+            z, lam4, None, jnp.where(act, table[CT_D], 0.0), act, keys,
+            order, n, False)
     if fuse:
         posq = jnp.concatenate(
             [geom[0:3], geom[19:23], jnp.zeros((1, npad), jnp.float32)])

@@ -38,3 +38,17 @@ import jax  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the interpreted Pallas kernels produce
+# large unrolled XLA:CPU graphs whose cold compiles dominate suite wall
+# time (a single table-path step compiles ~70 s cold, ~13 s cached on
+# this class of machine). The cache survives across runs/rounds; set
+# PHYSICS_TPU_NO_CACHE=1 to measure true cold-compile time.
+if os.environ.get("PHYSICS_TPU_NO_CACHE") != "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/root/.jax_cache_cpu" if not _USE_TPU
+                       else "/root/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

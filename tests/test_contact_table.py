@@ -142,7 +142,7 @@ def test_table_inkernel_broadphase_same_contacts():
         body_aabbs, pair_candidates, sweep_order,
     )
     from physics_tpu.ops.contact_table import (
-        CT_ACT, bucket_contact_table, table_keys,
+        CT_ACT, bucket_contact_table, table_keys_scalar,
     )
 
     state = _cluster_state(24)
@@ -154,8 +154,8 @@ def test_table_inkernel_broadphase_same_contacts():
     a0 = np.asarray(t0[CT_ACT]) > 0
     a1 = np.asarray(t1[CT_ACT]) > 0
     assert a0.sum() > 20 and a0.sum() == a1.sum()
-    k0 = np.asarray(table_keys(t0))
-    k1 = np.asarray(table_keys(t1))
+    k0 = np.asarray(table_keys_scalar(t0, 24, 8, 8))
+    k1 = np.asarray(table_keys_scalar(t1, 24, 8, 8))
     assert set(k0[a0].tolist()) == set(k1[a1].tolist())
     i0 = {int(k): i for i, k in enumerate(k0) if a0[i]}
     T0, T1 = np.asarray(t0), np.asarray(t1)

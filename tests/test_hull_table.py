@@ -40,8 +40,12 @@ def test_hull_table_contact_set_matches_fast_paths():
     from physics_tpu.ops.broadphase import (
         body_aabbs, pair_candidates, sweep_order,
     )
-    from physics_tpu.ops.contact_table import table_keys, unified_geom
-    from physics_tpu.ops.hull_table import bucket_hull_contact_table
+    from physics_tpu.ops.contact_table import (
+        table_keys_scalar, unified_geom,
+    )
+    from physics_tpu.ops.hull_table import (
+        bucket_hull_contact_table, hull_slots,
+    )
     from physics_tpu.ops.narrowphase import (
         _ground_contacts_hulls_fast,
         _pair_contacts_hulls_fast,
@@ -71,7 +75,8 @@ def test_hull_table_contact_set_matches_fast_paths():
     cand_b = pair_candidates(state, cfg_t)
     table, meta, _ = bucket_hull_contact_table(
         state, cand_b, cfg_t, order, prev=None, geom=geom)
-    keys_b = np.asarray(table_keys(table))
+    keys_b = np.asarray(table_keys_scalar(
+        table, n, hull_slots(state.hulls), state.hulls.verts.shape[1]))
     act_b = keys_b != 0
     kb = keys_b[act_b]
     db = np.asarray(table)[6][act_b]
