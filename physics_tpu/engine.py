@@ -248,22 +248,39 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
                 stacklevel=2,
             )
 
-    # the shared-hull fast paths (hullhull_batched linear-SAT matmuls,
-    # the fused hull table) engage ONLY for exactly one registered hull
-    # shape; multi-hull-type scenes stay correct on the generic
-    # ops/hullhull.py path but run an order of magnitude slower — be
-    # loud about losing the fast path, never silent
-    if (cfg.hulls_only and cfg.hull_fast
-            and state.hulls.verts.shape[0] > 1):
-        warnings.warn(
-            f"scene registers {state.hulls.verts.shape[0]} distinct hull "
-            "shapes: the shared-hull fast path (and cfg.hull_table) needs "
-            "exactly one, falling back to the generic hull-hull narrow "
-            "phase (~10x slower). Share one hull shape across bodies "
-            "where possible (scene.SceneBuilder.add_hull once, set_hull "
-            "many).",
-            stacklevel=2,
+    # the hull fast path (hullhull_batched linear-SAT matmuls) covers a
+    # small hull-type library via type-pair-segmented candidates, but
+    # needs the OBB prefilter for the segmentation and caps the library
+    # at MAX_FAST_HULL_TYPES (H² coefficient-table sets); scenes outside
+    # that stay correct on the generic ops/hullhull.py path but run an
+    # order of magnitude slower — be loud about losing the fast path
+    if cfg.hulls_only and cfg.hull_fast:
+        from physics_tpu.ops.narrowphase import (
+            MAX_FAST_HULL_TYPES,
+            hulls_fast_path,
         )
+
+        n_hulls = state.hulls.verts.shape[0]
+        if n_hulls > 1 and not hulls_fast_path(state, cfg):
+            why = (f"more than {MAX_FAST_HULL_TYPES} hull types"
+                   if n_hulls > MAX_FAST_HULL_TYPES else
+                   "cfg.hull_prefilter_cap is 0 (the prefilter performs "
+                   "the type-pair segmentation)")
+            warnings.warn(
+                f"scene registers {n_hulls} distinct hull shapes but "
+                f"{why}: falling back to the generic hull-hull narrow "
+                "phase (~10x slower). Set hull_prefilter_cap > 0 and "
+                f"keep the library ≤ {MAX_FAST_HULL_TYPES} types for "
+                "the segmented fast path.",
+                stacklevel=2,
+            )
+        if n_hulls > 1 and cfg.hull_table:
+            warnings.warn(
+                "cfg.hull_table (the fused hull contact-table kernel) "
+                "supports exactly one hull shape; multi-type scenes run "
+                "the XLA fast path instead.",
+                stacklevel=2,
+            )
 
     from physics_tpu.solver.contacts import hull_table_path, table_path
 

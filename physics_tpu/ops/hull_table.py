@@ -167,7 +167,7 @@ def hull_dims(hulls) -> HullDims:
 def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
     """Reorder ops/hullhull_batched.build_hull_tables' coefficient tables
     into the kernel's vertex-major / component-major padded layouts."""
-    ht = build_hull_tables(state.hulls, 0)
+    ht = build_hull_tables(state.hulls, 0)  # single-type: A == B
     dm = hull_dims(state.hulls)
     f, fp, vcap = dm.f, dm.fp, dm.vcap
     d2, d2p, e, e2, e2p = dm.d2, dm.d2p, dm.e, dm.e2, dm.e2p
@@ -177,8 +177,8 @@ def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
         pad[axis] = (0, width - x.shape[axis])
         return jnp.pad(x, pad)
 
-    const = jnp.where(ht.face_mask > 0, -ht.face_off, -jnp.float32(BIG))
-    n32 = padf(ht.face_n, fp, 0)                      # [FP, 3]
+    const = jnp.where(ht.face_mask_a > 0, -ht.face_off_a, -jnp.float32(BIG))
+    n32 = padf(ht.face_n_a, fp, 0)                      # [FP, 3]
     # pad faces MUST carry -BIG in the const column (zero-padding would
     # give them separation 0, which wins the argmax whenever all real
     # faces overlap — selecting a garbage reference face)
@@ -219,11 +219,11 @@ def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
     # ref on B → incident over A: rows [k·FP + o], cols b_ref
     inc_rb = padf(padf(ff3.transpose(2, 0, 1), fp, 1), fp, 2
                   ).reshape(9 * fp, fp)
-    poly = padf(ht.verts[ht.face_verts].transpose(2, 1, 0), fp, 2
+    poly = padf(ht.verts_a[ht.face_verts_a].transpose(2, 1, 0), fp, 2
                 ).reshape(3 * e, fp)                  # [c·E + e, FP]
-    fcnt = padf(ht.face_cnt.astype(jnp.float32), fp, 0)[None, :]
+    fcnt = padf(ht.face_cnt_a.astype(jnp.float32), fp, 0)[None, :]
     fn = n32.T                                        # [3, FP]
-    offr = padf(ht.face_off, fp, 0)[None, :]
+    offr = padf(ht.face_off_a, fp, 0)[None, :]
     _, _, _, _, _, _, c32_rows = _c32_offsets(fp, e)
     c32 = jnp.concatenate([inc_ra, inc_rb, poly, fcnt, fn, offr])
     c32 = jnp.pad(c32, ((0, c32_rows - c32.shape[0]), (0, 0)))
@@ -235,19 +235,19 @@ def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
                ).reshape(9 * vcap, d2p)
     c88 = jnp.concatenate([sav, sbv])
 
-    s0 = padf(jax.nn.one_hot(ht.edge_i0, vcap, dtype=jnp.float32)
-              * ht.edge_mask[:, None], e2p, 0)        # [E2P, V]
-    s1 = padf(jax.nn.one_hot(ht.edge_i1, vcap, dtype=jnp.float32)
-              * ht.edge_mask[:, None], e2p, 0)
-    c48 = jnp.concatenate([s0, s1, ht.verts.T])
+    s0 = padf(jax.nn.one_hot(ht.edge_i0_a, vcap, dtype=jnp.float32)
+              * ht.edge_mask_a[:, None], e2p, 0)        # [E2P, V]
+    s1 = padf(jax.nn.one_hot(ht.edge_i1_a, vcap, dtype=jnp.float32)
+              * ht.edge_mask_a[:, None], e2p, 0)
+    c48 = jnp.concatenate([s0, s1, ht.verts_a.T])
     c48 = jnp.pad(c48, ((0, _round8(c48.shape[0]) - c48.shape[0]), (0, 0)))
 
-    v0e = padf(ht.verts[ht.edge_i0].T, e2p, 1)        # [3, E2P]
-    v1e = padf(ht.verts[ht.edge_i1].T, e2p, 1)
+    v0e = padf(ht.verts_a[ht.edge_i0_a].T, e2p, 1)        # [3, E2P]
+    v1e = padf(ht.verts_a[ht.edge_i1_a].T, e2p, 1)
     c80 = jnp.pad(jnp.concatenate([v0e, v1e]), ((0, 2), (0, 0)))
 
-    fbias = jnp.where(padf(ht.face_mask, fp, 0) > 0, 0.0, jnp.float32(BIG))
-    ebias = jnp.where(padf(ht.edge_mask, e2p, 0) > 0, 0.0, jnp.float32(BIG))
+    fbias = jnp.where(padf(ht.face_mask_a, fp, 0) > 0, 0.0, jnp.float32(BIG))
+    ebias = jnp.where(padf(ht.edge_mask_a, e2p, 0) > 0, 0.0, jnp.float32(BIG))
     vmask = jnp.arange(vcap) < state.hulls.vert_count[0]
     vbias = jnp.where(vmask, 0.0, -jnp.float32(BIG))
     cb = jnp.concatenate([fbias, ebias, vbias])[:, None]
@@ -255,7 +255,7 @@ def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
     assert fp + e2p + vcap <= 160, "bias column layout overflow"
 
     return HullCoef(c16=c16, c32=c32, c88=c88, c48=c48, c80=c80, cb=cb,
-                    v3c=ht.verts), dm
+                    v3c=ht.verts_a), dm
 
 
 def _dot(a, b):

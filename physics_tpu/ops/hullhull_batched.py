@@ -65,64 +65,99 @@ BIG = 1e30
 
 
 class HullTables(NamedTuple):
-    """Device-side coefficient tables for one shared hull (see module doc)."""
+    """Device-side coefficient tables for one hull TYPE PAIR (A, B).
 
-    verts: Array      # [V, 3]
-    face_n: Array     # [F, 3]
-    face_off: Array   # [F] (+inf padding already sanitized to real faces)
-    face_mask: Array  # [F] f32
-    face_verts: Array     # [F, E] int32
-    face_cnt: Array       # [F] int32
-    a_fv: Array       # [F·V, 9]
-    b_fv: Array       # [F·V, 9]
-    l_ax: Array       # [D²·3, 9]
-    c_av: Array       # [D²·V, 9]
-    c_bv: Array       # [D²·V, 9]
-    ff: Array         # [F·F, 9]
-    ax_mask: Array    # [D²] f32
-    edge_i0: Array    # [E2] int32 unique-edge endpoints
-    edge_i1: Array    # [E2]
-    edge_mask: Array  # [E2] f32
+    With a single shared hull type both sides coincide (the original
+    shared-hull identity); for a small hull-type library the cross
+    tables (a_fv/b_fv/l_ax/c_av/c_bv/ff) mix A-side and B-side geometry
+    — all shapes are the HullSet's shared padded capacities, so every
+    type pair produces identically-shaped tables and the manifold
+    pipeline is type-pair-parametric with zero structural change."""
+
+    verts_a: Array      # [V, 3] hull-A local vertices
+    verts_b: Array      # [V, 3] hull-B local vertices
+    face_n_a: Array     # [F, 3]
+    face_n_b: Array     # [F, 3]
+    face_off_a: Array   # [F] (+inf padding sanitized to real faces)
+    face_off_b: Array   # [F]
+    face_mask_a: Array  # [F] f32
+    face_mask_b: Array  # [F] f32
+    face_verts_a: Array  # [F, E] int32
+    face_verts_b: Array  # [F, E] int32
+    face_cnt_a: Array    # [F] int32
+    face_cnt_b: Array    # [F] int32
+    a_fv: Array       # [F·V, 9]  n_f(A) ⊗ u(B)
+    b_fv: Array       # [F·V, 9]  v(A) ⊗ n_f(B)
+    l_ax: Array       # [D²·3, 9] ε d(A) d(B)
+    c_av: Array       # [D²·V, 9] (v(A)×d(A)) ⊗ d(B)
+    c_bv: Array       # [D²·V, 9] d(A) ⊗ (d(B)×v(B))
+    ff: Array         # [F·F, 9]  n(A) ⊗ n(B)
+    ax_mask: Array    # [D²] f32  dmask(A) ⊗ dmask(B)
+    edge_i0_a: Array  # [E2] int32 unique-edge endpoints (A's edge list)
+    edge_i1_a: Array
+    edge_mask_a: Array  # [E2] f32
+    edge_i0_b: Array
+    edge_i1_b: Array
+    edge_mask_b: Array
 
 
-def build_hull_tables(hulls, idx: int = 0) -> HullTables:
-    """Coefficient tables from a HullSet entry (all jnp ops, ~µs)."""
-    v = hulls.verts[idx]                                   # [V, 3]
-    nf = hulls.face_normals[idx]                           # [F, 3]
-    off = hulls.face_offsets[idx]                          # [F]
-    fmask = jnp.isfinite(off).astype(jnp.float32)
-    off = jnp.where(fmask > 0, off, 0.0)
-    d = hulls.edge_dirs[idx]                               # [D, 3]
-    dcnt = hulls.edge_dir_count[idx]
-    dmask = (jnp.arange(d.shape[0]) < dcnt).astype(jnp.float32)
-    ecnt = hulls.edge_count[idx]
-    emask = (jnp.arange(hulls.edge_i0.shape[1]) < ecnt).astype(jnp.float32)
+def build_hull_tables(hulls, idx: int = 0, idx_b: int | None = None
+                      ) -> HullTables:
+    """Coefficient tables for hull type pair (idx, idx_b) from a HullSet
+    (all jnp ops, ~µs). idx_b=None ⇒ the shared-hull case (B = A)."""
+    if idx_b is None:
+        idx_b = idx
 
-    f, vc, dc = nf.shape[0], v.shape[0], d.shape[0]
+    def side(i):
+        v = hulls.verts[i]                                 # [V, 3]
+        nf = hulls.face_normals[i]                         # [F, 3]
+        off = hulls.face_offsets[i]                        # [F]
+        fmask = jnp.isfinite(off).astype(jnp.float32)
+        off = jnp.where(fmask > 0, off, 0.0)
+        d = hulls.edge_dirs[i]                             # [D, 3]
+        dmask = (jnp.arange(d.shape[0])
+                 < hulls.edge_dir_count[i]).astype(jnp.float32)
+        emask = (jnp.arange(hulls.edge_i0.shape[1])
+                 < hulls.edge_count[i]).astype(jnp.float32)
+        return v, nf, off, fmask, d, dmask, emask
+
+    va, nfa, offa, fmaska, da, dmaska, emaska = side(idx)
+    vb, nfb, offb, fmaskb, db, dmaskb, emaskb = side(idx_b)
+
+    f, vc, dc = nfa.shape[0], va.shape[0], da.shape[0]
     eps = jnp.zeros((3, 3, 3), jnp.float32)
     for (i, j, k, s) in [(0, 1, 2, 1.0), (1, 2, 0, 1.0), (2, 0, 1, 1.0),
                          (0, 2, 1, -1.0), (1, 0, 2, -1.0), (2, 1, 0, -1.0)]:
         eps = eps.at[i, j, k].set(s)
 
-    a_fv = jnp.einsum("fk,ul->fukl", nf, v).reshape(f * vc, 9)
-    b_fv = jnp.einsum("uk,fl->fukl", v, nf).reshape(f * vc, 9)
-    l_ax = jnp.einsum("ijk,aj,bl->abikl", eps, d, d).reshape(dc * dc * 3, 9)
-    # c_av[(a,b,u),(k,l)] = (v_u × d_a)_k · d_b_l
-    vxd = jnp.cross(v[None, :, :], d[:, None, :])          # [D, V, 3] v_u × d_a
-    c_av = jnp.einsum("auk,bl->abukl", vxd, d).reshape(dc * dc * vc, 9)
-    # c_bv[(a,b,u),(k,l)] = d_a_k · (d_b × v_u)_l
-    dxv = jnp.cross(d[:, None, :], v[None, :, :])          # [D, V, 3] d_b × v_u
-    c_bv = jnp.einsum("ak,bul->abukl", d, dxv).reshape(dc * dc * vc, 9)
-    ff = jnp.einsum("ak,bl->abkl", nf, nf).reshape(f * f, 9)
-    ax_mask = (dmask[:, None] * dmask[None, :]).reshape(-1)
+    a_fv = jnp.einsum("fk,ul->fukl", nfa, vb).reshape(f * vc, 9)
+    b_fv = jnp.einsum("uk,fl->fukl", va, nfb).reshape(f * vc, 9)
+    l_ax = jnp.einsum("ijk,aj,bl->abikl", eps, da, db).reshape(
+        dc * dc * 3, 9)
+    # c_av[(a,b,u),(k,l)] = (v_u(A) × d_a(A))_k · d_b(B)_l
+    vxd = jnp.cross(va[None, :, :], da[:, None, :])   # [D, V, 3] v_u × d_a
+    c_av = jnp.einsum("auk,bl->abukl", vxd, db).reshape(dc * dc * vc, 9)
+    # c_bv[(a,b,u),(k,l)] = d_a(A)_k · (d_b(B) × v_u(B))_l
+    dxv = jnp.cross(db[:, None, :], vb[None, :, :])   # [D, V, 3] d_b × v_u
+    c_bv = jnp.einsum("ak,bul->abukl", da, dxv).reshape(dc * dc * vc, 9)
+    ff = jnp.einsum("ak,bl->abkl", nfa, nfb).reshape(f * f, 9)
+    ax_mask = (dmaska[:, None] * dmaskb[None, :]).reshape(-1)
 
     return HullTables(
-        verts=v, face_n=nf, face_off=off, face_mask=fmask,
-        face_verts=hulls.face_verts[idx], face_cnt=hulls.face_vert_count[idx],
+        verts_a=va, verts_b=vb,
+        face_n_a=nfa, face_n_b=nfb,
+        face_off_a=offa, face_off_b=offb,
+        face_mask_a=fmaska, face_mask_b=fmaskb,
+        face_verts_a=hulls.face_verts[idx],
+        face_verts_b=hulls.face_verts[idx_b],
+        face_cnt_a=hulls.face_vert_count[idx],
+        face_cnt_b=hulls.face_vert_count[idx_b],
         a_fv=a_fv, b_fv=b_fv, l_ax=l_ax, c_av=c_av, c_bv=c_bv, ff=ff,
         ax_mask=ax_mask,
-        edge_i0=hulls.edge_i0[idx], edge_i1=hulls.edge_i1[idx],
-        edge_mask=emask,
+        edge_i0_a=hulls.edge_i0[idx], edge_i1_a=hulls.edge_i1[idx],
+        edge_mask_a=emaska,
+        edge_i0_b=hulls.edge_i0[idx_b], edge_i1_b=hulls.edge_i1[idx_b],
+        edge_mask_b=emaskb,
     )
 
 
@@ -157,21 +192,26 @@ class SharedManifoldSM(NamedTuple):
     n_edge: Tuple     # v3 — world edge-contact normal, B → A
 
 
-def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
-    """Slot-major manifolds for all candidate pairs of ONE shared hull.
+def shared_hull_manifolds_sm(state, cand, cfg,
+                             types: Tuple[int, int] = (0, 0)
+                             ) -> SharedManifoldSM:
+    """Slot-major manifolds for all candidate pairs of one hull TYPE
+    PAIR: endpoint a of every candidate must be of hull type types[0]
+    and endpoint b of types[1] (the multi-type epilogue segments
+    candidates by type pair; a single shared hull is types=(0, 0)).
 
     See the module doc: every support quantity falls out of static
     [rows, 9] × [9, P] matmuls against the relative rotation; selection
     one-hots are built [rows, P] (iota-compare) so every contraction
     keeps P in the lane dimension.
     """
-    ht = build_hull_tables(state.hulls, 0)
+    ht = build_hull_tables(state.hulls, types[0], types[1])
     ia, ib = cand.body_a, cand.body_b
     p = ia.shape[0]
-    f = ht.face_n.shape[0]
-    vc = ht.verts.shape[0]
+    f = ht.face_n_a.shape[0]
+    vc = ht.verts_a.shape[0]
     d2 = ht.ax_mask.shape[0]
-    e_cap = ht.face_verts.shape[1]
+    e_cap = ht.face_verts_a.shape[1]
     cap = 2 * e_cap
 
     qa = state.quat[ia]                                    # [P, 4]
@@ -190,11 +230,13 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
 
     # ---- all supports in a few static matmuls ----
     sa = (ht.a_fv @ m_mat).reshape(f, vc, p)
-    sep_a = jnp.min(sa, axis=1) + ht.face_n @ dpa_m - ht.face_off[:, None]
-    sep_a = jnp.where(ht.face_mask[:, None] > 0, sep_a, -BIG)   # [F, P]
+    sep_a = (jnp.min(sa, axis=1) + ht.face_n_a @ dpa_m
+             - ht.face_off_a[:, None])
+    sep_a = jnp.where(ht.face_mask_a[:, None] > 0, sep_a, -BIG)  # [F, P]
     sb = (ht.b_fv @ m_mat).reshape(f, vc, p)
-    sep_b = jnp.min(sb, axis=1) + ht.face_n @ dpb_m - ht.face_off[:, None]
-    sep_b = jnp.where(ht.face_mask[:, None] > 0, sep_b, -BIG)
+    sep_b = (jnp.min(sb, axis=1) + ht.face_n_b @ dpb_m
+             - ht.face_off_b[:, None])
+    sep_b = jnp.where(ht.face_mask_b[:, None] > 0, sep_b, -BIG)
 
     s_av = (ht.c_av @ m_mat).reshape(d2, vc, p)
     min_a_e = jnp.min(s_av, axis=1)
@@ -235,7 +277,8 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
     # contract the ref one-hot with the STATIC ff coefficients first
     # ([F·9, F] × [F, P] matmuls), then dot the 9 rotation components —
     # never materializing the [F, F, P] alignment tensor
-    big_col = jnp.where(ht.face_mask > 0, 0.0, BIG)
+    big_col_a = jnp.where(ht.face_mask_a > 0, 0.0, BIG)
+    big_col_b = jnp.where(ht.face_mask_b > 0, 0.0, BIG)
     ff3 = ht.ff.reshape(f, f, 9)
 
     def align_against_ref(c_tab):
@@ -246,9 +289,9 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
         return jnp.sum(ce.reshape(f, 9, p) * m_mat[None, :, :], axis=1)
 
     # ref on A → other is B: align[a, b] = ff[(a, b)] : M, contract a
-    al_b = align_against_ref(ff3.transpose(1, 0, 2)) + big_col[:, None]
+    al_b = align_against_ref(ff3.transpose(1, 0, 2)) + big_col_b[:, None]
     # ref on B → other is A: contract b
-    al_a = align_against_ref(ff3) + big_col[:, None]
+    al_a = align_against_ref(ff3) + big_col_a[:, None]
     inc_idx = jnp.where(ref_is_a,
                         jnp.argmin(al_b, axis=0), jnp.argmin(al_a, axis=0))
     oh_inc = (f_iota == inc_idx[None, :]).astype(jnp.float32)   # [F, P]
@@ -259,16 +302,37 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
     p_ref = v3.where(ref_is_a, pa, pb)
     p_inc = v3.where(ref_is_a, pb, pa)
 
-    poly_local = ht.verts[ht.face_verts]                   # [F, E, 3] static
+    same = types[0] == types[1]            # static: shared-hull case
+    poly_a = ht.verts_a[ht.face_verts_a]                   # [F, E, 3] static
+    poly_b = poly_a if same else ht.verts_b[ht.face_verts_b]
+
+    def owner_sel(oh, tab_a, tab_b, ref_side):
+        """einsum the one-hot against the ref/inc OWNER's static table:
+        A's when (owner is a) else B's — one einsum when types match."""
+        ea = jnp.einsum("fec,fp->ecp", tab_a, oh)
+        if same:
+            return ea
+        eb = jnp.einsum("fec,fp->ecp", tab_b, oh)
+        return jnp.where(ref_side[None, None, :], ea, eb)
+
     # [E, 3, P]: one [E·3, F] × [F, P] matmul under the hood — replaces
     # the old [P, E, 3] gather (minor dim 3 padded to 128 lanes)
-    ref_loc = jnp.einsum("fec,fp->ecp", poly_local, oh_ref)
-    inc_loc = jnp.einsum("fec,fp->ecp", poly_local, oh_inc)
-    fcnt = ht.face_cnt.astype(jnp.float32)
-    ref_cnt = jnp.round(jnp.einsum("fp,f->p", oh_ref, fcnt)
-                        ).astype(jnp.int32)                # [P]
-    inc_cnt = jnp.round(jnp.einsum("fp,f->p", oh_inc, fcnt)
-                        ).astype(jnp.int32)
+    ref_loc = owner_sel(oh_ref, poly_a, poly_b, ref_is_a)
+    inc_loc = owner_sel(oh_inc, poly_a, poly_b, ~ref_is_a)
+
+    def owner_row(oh, row_a, row_b, ref_side):
+        ra_v = jnp.einsum("fp,f->p", oh, row_a)
+        if same:
+            return ra_v
+        rb_v = jnp.einsum("fp,f->p", oh, row_b)
+        return jnp.where(ref_side, ra_v, rb_v)
+
+    fcnt_a = ht.face_cnt_a.astype(jnp.float32)
+    fcnt_b = ht.face_cnt_b.astype(jnp.float32)
+    ref_cnt = jnp.round(
+        owner_row(oh_ref, fcnt_a, fcnt_b, ref_is_a)).astype(jnp.int32)
+    inc_cnt = jnp.round(
+        owner_row(oh_inc, fcnt_a, fcnt_b, ~ref_is_a)).astype(jnp.int32)
 
     def to_world(loc, r, t):
         # loc [E, 3, P] in owner frame → list of E world v3 tuples ([P])
@@ -286,10 +350,11 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
     inc_w = to_world(inc_loc, r_inc, p_inc)
 
     n_ref_loc = tuple(
-        jnp.einsum("fp,f->p", oh_ref, ht.face_n[:, c]) for c in range(3)
+        owner_row(oh_ref, ht.face_n_a[:, c], ht.face_n_b[:, c], ref_is_a)
+        for c in range(3)
     )                                                      # owner frame
     n_ref = v3.mat_vec(r_ref, n_ref_loc)                   # world, ref→inc
-    off_ref = (jnp.einsum("fp,f->p", oh_ref, ht.face_off)
+    off_ref = (owner_row(oh_ref, ht.face_off_a, ht.face_off_b, ref_is_a)
                + v3.dot(n_ref, p_ref))
 
     # ---- 2-D clip in the reference-face frame (fully batched) ----
@@ -367,35 +432,43 @@ def shared_hull_manifolds_sm(state, cand, cfg) -> SharedManifoldSM:
     sa_sel = sa_sel * sgn[None, :]
     sb_sel = sb_sel * sgn[None, :]
     # A supports −n, B supports +n (world); per-edge score = min(endpoints)
-    e2 = ht.edge_i0.shape[0]
-    oh_i0 = jax.nn.one_hot(ht.edge_i0, vc, dtype=jnp.float32)  # [E2, V]
-    oh_i1 = jax.nn.one_hot(ht.edge_i1, vc, dtype=jnp.float32)
-    sa0 = oh_i0 @ sa_sel
-    sa1 = oh_i1 @ sa_sel                                   # [E2, P]
-    sb0 = oh_i0 @ sb_sel
-    sb1 = oh_i1 @ sb_sel
-    edge_pad = jnp.where(ht.edge_mask[:, None] > 0, 0.0, BIG)
-    score_a = jnp.maximum(sa0, sa1) + edge_pad             # support along −n
-    score_b = jnp.minimum(sb0, sb1) - edge_pad             # support along +n
+    e2 = ht.edge_i0_a.shape[0]
+    oh_i0a = jax.nn.one_hot(ht.edge_i0_a, vc, dtype=jnp.float32)  # [E2, V]
+    oh_i1a = jax.nn.one_hot(ht.edge_i1_a, vc, dtype=jnp.float32)
+    if same:
+        oh_i0b, oh_i1b = oh_i0a, oh_i1a
+    else:
+        oh_i0b = jax.nn.one_hot(ht.edge_i0_b, vc, dtype=jnp.float32)
+        oh_i1b = jax.nn.one_hot(ht.edge_i1_b, vc, dtype=jnp.float32)
+    sa0 = oh_i0a @ sa_sel
+    sa1 = oh_i1a @ sa_sel                                  # [E2, P]
+    sb0 = oh_i0b @ sb_sel
+    sb1 = oh_i1b @ sb_sel
+    edge_pad_a = jnp.where(ht.edge_mask_a[:, None] > 0, 0.0, BIG)
+    edge_pad_b = (edge_pad_a if same else
+                  jnp.where(ht.edge_mask_b[:, None] > 0, 0.0, BIG))
+    score_a = jnp.maximum(sa0, sa1) + edge_pad_a           # support along −n
+    score_b = jnp.minimum(sb0, sb1) - edge_pad_b           # support along +n
     ea_idx = jnp.argmin(score_a, axis=0)                   # [P]
     eb_idx = jnp.argmax(score_b, axis=0)
     e2_iota = jax.lax.broadcasted_iota(jnp.int32, (e2, p), 0)
     oh_ea = (e2_iota == ea_idx[None, :]).astype(jnp.float32)  # [E2, P]
     oh_eb = (e2_iota == eb_idx[None, :]).astype(jnp.float32)
 
-    vloc = ht.verts                                        # [V, 3]
-    v0e = oh_i0 @ vloc                                     # [E2, 3] static
-    v1e = oh_i1 @ vloc
+    v0e_a = oh_i0a @ ht.verts_a                            # [E2, 3] static
+    v1e_a = oh_i1a @ ht.verts_a
+    v0e_b = v0e_a if same else oh_i0b @ ht.verts_b
+    v1e_b = v1e_a if same else oh_i1b @ ht.verts_b
 
     def esel(oh, ve):
         # [P] component rows of the selected edge endpoint (owner frame)
         return tuple(
             jnp.einsum("ep,e->p", oh, ve[:, c]) for c in range(3))
 
-    p0a_l = esel(oh_ea, v0e)                               # A frame
-    p1a_l = esel(oh_ea, v1e)
-    p0b_l = esel(oh_eb, v0e)
-    p1b_l = esel(oh_eb, v1e)
+    p0a_l = esel(oh_ea, v0e_a)                             # A frame
+    p1a_l = esel(oh_ea, v1e_a)
+    p0b_l = esel(oh_eb, v0e_b)
+    p1b_l = esel(oh_eb, v1e_b)
     ea0 = v3.add(v3.mat_vec(ra9, p0a_l), pa)               # world
     ea1 = v3.add(v3.mat_vec(ra9, p1a_l), pa)
     eb0 = v3.add(v3.mat_vec(rb9, p0b_l), pb)

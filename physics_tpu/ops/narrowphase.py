@@ -231,13 +231,38 @@ def _ground_contacts_hulls_fast(state: SimState, cfg: SimConfig
     from physics_tpu.maths import vec3c as v3
 
     n = state.num_bodies
-    verts = state.hulls.verts[0]                       # [V, 3]
-    vcap = verts.shape[0]
-    vmask = (jnp.arange(vcap) < state.hulls.vert_count[0])[:, None]
-    vx, vy, vz = verts[:, 0:1], verts[:, 1:2], verts[:, 2:3]   # [V, 1]
+    n_hulls = state.hulls.verts.shape[0]
+    vcap = state.hulls.verts.shape[1]
     r9 = v3.quat_to_mat(state.quat)                    # 9 × [N]
-    wy = (vx * r9[3][None, :] + vy * r9[4][None, :] + vz * r9[5][None, :]
-          + state.pos[:, 1][None, :])                  # [V, N]
+    if n_hulls == 1:
+        t_oh = None
+    else:
+        # per-body hull-type one-hot: each type's [V, N] height table is
+        # computed once and masked in (H small — MAX_FAST_HULL_TYPES)
+        tidx = jnp.clip(state.shapes.hull_index, 0, n_hulls - 1)
+        t_oh = [(tidx == t)[None, :].astype(jnp.float32)
+                for t in range(n_hulls)]
+
+    def typed(fn):
+        """Σ_t mask_t · fn(type t's vertex table) — [V, N] (or [V, 1])."""
+        if t_oh is None:
+            return fn(0)
+        acc = None
+        for t in range(n_hulls):
+            term = fn(t) * t_oh[t]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def vcol(t, c):
+        return state.hulls.verts[t][:, c:c + 1]        # [V, 1]
+
+    wy = typed(lambda t: (
+        vcol(t, 0) * r9[3][None, :] + vcol(t, 1) * r9[4][None, :]
+        + vcol(t, 2) * r9[5][None, :]))
+    wy = wy + state.pos[:, 1][None, :]                 # [V, N]
+    vmask = typed(lambda t: jnp.broadcast_to(
+        (jnp.arange(vcap) < state.hulls.vert_count[t])[:, None]
+        .astype(jnp.float32), (vcap, 1))) > 0.0
     depth = jnp.float32(cfg.ground_height) - wy
     valid = (depth > 0.0) & (state.inv_mass > 0.0)[None, :] & vmask
     big_neg = jnp.float32(-1e30)
@@ -253,9 +278,9 @@ def _ground_contacts_hulls_fast(state: SimState, cfg: SimConfig
         bidx = jnp.argmax(score, axis=0)
         oh = (v_iota == bidx[None, :]).astype(jnp.float32)
         act = best > 0.0
-        lx = jnp.sum(oh * vx, axis=0)                  # selected local vert
-        ly = jnp.sum(oh * vy, axis=0)
-        lz = jnp.sum(oh * vz, axis=0)
+        lx = jnp.sum(oh * typed(lambda t: vcol(t, 0)), axis=0)
+        ly = jnp.sum(oh * typed(lambda t: vcol(t, 1)), axis=0)
+        lz = jnp.sum(oh * typed(lambda t: vcol(t, 2)), axis=0)
         pt_c[0].append(state.pos[:, 0] + r9[0] * lx + r9[1] * ly
                        + r9[2] * lz)
         pt_c[1].append(state.pos[:, 1] + r9[3] * lx + r9[4] * ly
@@ -538,37 +563,57 @@ def hull_obb_prefilter(
 ) -> Tuple[PairCandidates, Array]:
     """Two-phase hull narrow phase, phase 1: OBB face-axis SAT.
 
-    Each body's shared hull is bounded by its local AABB (center co,
-    half extents h — padded hull vertices repeat vertex 0, so min/max
-    over the full capacity is exact). A pair whose OBBs are separated on
-    one of the 6 FACE axes has separated hulls (hull ⊆ OBB) and is
-    dropped; survivors compact order-preservingly to `cap2` lanes.
-    Pure component form — ~60 [P]-row flops per pair, no vertex factor.
+    Each body's hull is bounded by its local AABB (center co, half
+    extents h — padded hull vertices repeat vertex 0, so min/max over
+    the full capacity is exact). A pair whose OBBs are separated on one
+    of the 6 FACE axes has separated hulls (hull ⊆ OBB) and is dropped;
+    survivors compact order-preservingly to `cap2` lanes. Pure component
+    form — ~60 [P]-row flops per pair, no vertex factor.
 
-    Returns (compacted candidates [cap2], overflow [] int32 — survivors
-    dropped beyond cap2, never silent). The rank rows ride the same
-    compaction so the banded solver's carries stay aligned.
+    Multi-hull-type scenes (H > 1): the compaction is SEGMENTED by
+    ordered hull-type pair — output lanes [s·(cap2/H²), (s+1)·(cap2/H²))
+    hold only (type_a, type_b) = (s // H, s % H) candidates, so each
+    downstream manifold segment runs the type pair's own static
+    coefficient tables (ops/hullhull_batched.build_hull_tables) at zero
+    extra lane cost vs the single-type path. Per-segment survivors
+    beyond the segment cap are counted into the returned overflow.
+
+    Returns (compacted candidates [≈cap2], overflow [] int32 — survivors
+    dropped, never silent). The rank rows ride the same compaction so
+    the banded solver's carries stay aligned.
     """
     from physics_tpu.maths import vec3c as v3
 
-    verts = state.hulls.verts[0]                           # [V, 3]
-    lo = jnp.min(verts, axis=0)
-    hi = jnp.max(verts, axis=0)
-    co = (lo + hi) * 0.5                                   # [3] local center
-    h = (hi - lo) * 0.5                                    # [3] half extents
+    hulls = state.hulls
+    n_hulls = hulls.verts.shape[0]
+    lo = jnp.min(hulls.verts, axis=1)                      # [H, 3]
+    hi = jnp.max(hulls.verts, axis=1)
+    co_t = (lo + hi) * 0.5                                 # [H, 3] centers
+    h_t = (hi - lo) * 0.5                                  # [H, 3] halves
 
     ia, ib = cand.body_a, cand.body_b
+    tidx = jnp.clip(state.shapes.hull_index, 0, n_hulls - 1)
+    ta_t = tidx[ia]                                        # [P] type ids
+    tb_t = tidx[ib]
+    if n_hulls == 1:
+        co_a = co_b = tuple(co_t[0, c] for c in range(3))
+        h_a = h_b = tuple(h_t[0, c] for c in range(3))
+    else:
+        co_a = tuple(co_t[ta_t, c] for c in range(3))      # [P] rows
+        co_b = tuple(co_t[tb_t, c] for c in range(3))
+        h_a = tuple(h_t[ta_t, c] for c in range(3))
+        h_b = tuple(h_t[tb_t, c] for c in range(3))
     ra9 = v3.quat_to_mat(state.quat[ia])                   # 9 × [P]
     rb9 = v3.quat_to_mat(state.quat[ib])
 
-    def obb_center(r9, pos):
+    def obb_center(r9, pos, co):
         return tuple(
             pos[:, c] + r9[3 * c] * co[0] + r9[3 * c + 1] * co[1]
             + r9[3 * c + 2] * co[2]
             for c in range(3))
 
-    ca = obb_center(ra9, state.pos[ia])
-    cb = obb_center(rb9, state.pos[ib])
+    ca = obb_center(ra9, state.pos[ia], co_a)
+    cb = obb_center(rb9, state.pos[ib], co_b)
     t = v3.sub(cb, ca)
 
     # |column_i(Ra) · column_j(Rb)| — the box face-SAT radii terms
@@ -578,25 +623,41 @@ def hull_obb_prefilter(
     sep = None
     for i in range(3):
         ut = ra9[i] * t[0] + ra9[3 + i] * t[1] + ra9[6 + i] * t[2]
-        rad = (h[i] + h[0] * cabs[i][0] + h[1] * cabs[i][1]
-               + h[2] * cabs[i][2])
+        rad = (h_a[i] + h_b[0] * cabs[i][0] + h_b[1] * cabs[i][1]
+               + h_b[2] * cabs[i][2])
         s = jnp.abs(ut) - rad
         sep = s if sep is None else jnp.maximum(sep, s)
     for j in range(3):
         wt = rb9[j] * t[0] + rb9[3 + j] * t[1] + rb9[6 + j] * t[2]
-        rad = (h[j] + h[0] * cabs[0][j] + h[1] * cabs[1][j]
-               + h[2] * cabs[2][j])
+        rad = (h_b[j] + h_a[0] * cabs[0][j] + h_a[1] * cabs[1][j]
+               + h_a[2] * cabs[2][j])
         sep = jnp.maximum(sep, jnp.abs(wt) - rad)
 
     keep = cand.mask & (sep < 0.0)
     p = keep.shape[0]
-    # order-preserving compaction: unique integer keys (kept pairs keep
-    # their index, dropped pairs shift past P) — stability for free
-    key = jnp.where(keep, 0, p) + jnp.arange(p, dtype=jnp.int32)
-    idx = jnp.argsort(key)[:cap2]
-    kept = keep[idx]
-    overflow = jnp.maximum(
-        jnp.sum(keep.astype(jnp.int32)) - cap2, 0)
+    if n_hulls == 1:
+        # order-preserving compaction: unique integer keys (kept pairs
+        # keep their index, dropped pairs shift past P)
+        key = jnp.where(keep, 0, p) + jnp.arange(p, dtype=jnp.int32)
+        idx = jnp.argsort(key)[:cap2]
+        kept = keep[idx]
+        overflow = jnp.maximum(
+            jnp.sum(keep.astype(jnp.int32)) - cap2, 0)
+    else:
+        # segmented compaction: one [H², P] row-keyed sort, first
+        # seg_cap survivors per ordered type pair (static bases)
+        n_seg = n_hulls * n_hulls
+        seg_cap = max(cap2 // n_seg, 1)
+        sid = ta_t * n_hulls + tb_t                        # [P]
+        idx_p = jnp.arange(p, dtype=jnp.int32)
+        seg_iota = jnp.arange(n_seg, dtype=jnp.int32)[:, None]
+        keym = jnp.where(keep[None, :] & (sid[None, :] == seg_iota),
+                         idx_p[None, :], p)                # [n_seg, P]
+        keym_s = jax.lax.sort(keym, dimension=1)[:, :seg_cap]
+        idx = jnp.minimum(keym_s, p - 1).reshape(-1)
+        kept = (keym_s < p).reshape(-1)
+        counts = jnp.sum((keym < p).astype(jnp.int32), axis=1)
+        overflow = jnp.sum(jnp.maximum(counts - seg_cap, 0))
     # ONE row-stacked gather for all four index fields (four separate
     # [P]→[cap2] gathers were the hottest XLA line of the 1k-rain step)
     packed = jnp.stack(
@@ -612,14 +673,23 @@ def hull_obb_prefilter(
     ), overflow
 
 
+MAX_FAST_HULL_TYPES = 4   # H² coefficient-table sets + H² segments
+
+
 def hulls_fast_path(state: SimState, cfg: SimConfig) -> bool:
-    """True when pair_contacts routes through the slot-major shared-hull
-    fast path (_pair_contacts_hulls_fast) — the solver's rank-carry
-    layout must mirror this dispatch (solver/contacts.resolve_contacts
-    emits slot-major rank rows for it). Static: cfg + capacities only."""
+    """True when pair_contacts routes through the slot-major hull fast
+    path (_pair_contacts_hulls_fast) — the solver's rank-carry layout
+    must mirror this dispatch (solver/contacts.resolve_contacts emits
+    slot-major rank rows for it). Static: cfg + capacities only.
+
+    Multi-hull-type scenes ride the same path via type-pair-segmented
+    candidates, which requires the OBB prefilter (it performs the
+    segmentation): H ≤ MAX_FAST_HULL_TYPES and hull_prefilter_cap > 0."""
+    n_hulls = state.hulls.verts.shape[0]
     return bool(
         cfg.hulls_only and cfg.hull_fast
-        and state.hulls.verts.shape[0] == 1
+        and 1 <= n_hulls <= MAX_FAST_HULL_TYPES
+        and (n_hulls == 1 or cfg.hull_prefilter_cap > 0)
         and state.hulls.verts.shape[1] > 1
     )
 
@@ -640,12 +710,65 @@ def _pair_contacts_hulls_fast(state: SimState, cand: PairCandidates,
     contact ORDER differs (slot-major, like _pair_contacts_boxes_pallas)
     which downstream consumers never rely on (rank compaction re-sorts,
     keys are content-based)."""
+    n_hulls = state.hulls.verts.shape[0]
+    if n_hulls == 1:
+        segs = [(cand, (0, 0))]
+    else:
+        # type-pair-segmented candidates (hull_obb_prefilter): static
+        # equal-width segments in ordered type-pair order
+        n_seg = n_hulls * n_hulls
+        p_tot = cand.body_a.shape[0]
+        seg_cap = p_tot // n_seg
+        assert seg_cap * n_seg == p_tot, (
+            "multi-hull fast path needs type-pair-segmented candidates "
+            "(run hull_obb_prefilter: cfg.hull_prefilter_cap > 0)")
+        segs = []
+        for s in range(n_seg):
+            sl = slice(s * seg_cap, (s + 1) * seg_cap)
+            c_s = PairCandidates(
+                cand.body_a[sl], cand.body_b[sl], cand.mask[sl],
+                cand.overflow, cand.rank_a[sl], cand.rank_b[sl])
+            segs.append((c_s, (s // n_hulls, s % n_hulls)))
+
+    parts = [_hull_fast_select_rows(state, c_s, cfg, types)
+             for c_s, types in segs]
+    kk = parts[0]["kk"]
+    cat = jnp.concatenate
+
+    def slotcat(field):
+        # slot-major over the FULL candidate list: slot row k = the
+        # segments' k-th rows concatenated — mirrors the rank-carry
+        # layout concat([cand.rank_a] * kk) in resolve_contacts
+        return cat([cat([pt[field][k] for pt in parts])
+                    for k in range(kk)])
+
+    def repcat(field):
+        return cat([cat([pt[field] for pt in parts])] * kk)
+
+    return Contacts(
+        body_a=repcat("ia"),
+        body_b=repcat("ib"),
+        point=jnp.stack([slotcat(f"pt{c}") for c in range(3)]),
+        normal=jnp.stack([slotcat(f"nm{c}") for c in range(3)]),
+        depth=slotcat("d"),
+        active=slotcat("act"),
+        friction=repcat("mu"),
+        restitution=repcat("rest"),
+        key=slotcat("key"),
+    )
+
+
+def _hull_fast_select_rows(state: SimState, cand: PairCandidates,
+                           cfg: SimConfig, types) -> dict:
+    """One type-pair segment of the hull fast path: slot-major manifolds
+    + kk argmax selection passes. Returns per-field row lists ([P] lane
+    rows; kk entries for slot-major fields)."""
     from physics_tpu.ops.boxbox_batched import _argmax_unrolled, _select
     from physics_tpu.ops.hullhull_batched import shared_hull_manifolds_sm
 
     ia, ib = cand.body_a, cand.body_b
     p = ia.shape[0]
-    sm = shared_hull_manifolds_sm(state, cand, cfg)
+    sm = shared_hull_manifolds_sm(state, cand, cfg, types=types)
     cap = sm.pu.shape[0]
     ns = cap + 1                                           # slots incl. edge
 
@@ -672,16 +795,22 @@ def _pair_contacts_hulls_fast(state: SimState, cand: PairCandidates,
     amax = jnp.maximum(ia, ib)
     has_key = n * n * ns < 2**31 - 1
     base_key = (amin * n + amax) * ns if has_key else None
-    mu = jnp.sqrt(ta[2] * tb[2])
-    rest = jnp.maximum(ta[3], tb[3])
+    out = {
+        "ia": ia, "ib": ib,
+        "mu": jnp.sqrt(ta[2] * tb[2]),
+        "rest": jnp.maximum(ta[3], tb[3]),
+        "d": [], "act": [], "key": [], "kk": 0,
+    }
+    for c in range(3):
+        out[f"pt{c}"] = []
+        out[f"nm{c}"] = []
 
     kk = min(cfg.max_contacts_per_pair, ns)
-    pu_rows = [sm.pu[s] for s in range(cap)] + [jnp.zeros((p,), jnp.float32)]
-    pv_rows = [sm.pv[s] for s in range(cap)] + [jnp.zeros((p,), jnp.float32)]
-    ps_rows = [sm.ps[s] for s in range(cap)] + [jnp.zeros((p,), jnp.float32)]
-    pt_c = [[], [], []]
-    nm_c = [[], [], []]
-    d_c, act_c, key_c = [], [], []
+    out["kk"] = kk
+    zero_p = jnp.zeros((p,), jnp.float32)
+    pu_rows = [sm.pu[s] for s in range(cap)] + [zero_p]
+    pv_rows = [sm.pv[s] for s in range(cap)] + [zero_p]
+    ps_rows = [sm.ps[s] for s in range(cap)] + [zero_p]
     for _ in range(kk):
         best, bidx = _argmax_unrolled(score)
         act = best > 0.0
@@ -692,30 +821,19 @@ def _pair_contacts_hulls_fast(state: SimState, cand: PairCandidates,
         for c in range(3):
             pt_face = (sm.p0[c] + u_sel * sm.t1[c] + v_sel * sm.t2[c]
                        + s_sel * sm.n_ref[c])
-            pt_c[c].append(jnp.where(is_edge, sm.edge_point[c], pt_face))
-            nm_c[c].append(jnp.where(is_edge, sm.n_edge[c], sm.n_face[c]))
-        d_c.append(jnp.where(act, best, 0.0))
-        act_c.append(act)
+            out[f"pt{c}"].append(
+                jnp.where(is_edge, sm.edge_point[c], pt_face))
+            out[f"nm{c}"].append(
+                jnp.where(is_edge, sm.n_edge[c], sm.n_face[c]))
+        out["d"].append(jnp.where(act, best, 0.0))
+        out["act"].append(act)
         if has_key:
-            key_c.append(jnp.where(act, base_key + bidx, 0))
+            out["key"].append(jnp.where(act, base_key + bidx, 0))
         else:
-            key_c.append(jnp.zeros((p,), jnp.int32))
+            out["key"].append(jnp.zeros((p,), jnp.int32))
         score = [jnp.where(bidx == s, big_neg, score[s])
                  for s in range(ns)]
-
-    cat = jnp.concatenate
-    rep = lambda x: jnp.concatenate([x] * kk)
-    return Contacts(
-        body_a=rep(ia),
-        body_b=rep(ib),
-        point=jnp.stack([cat(pt_c[c]) for c in range(3)]),
-        normal=jnp.stack([cat(nm_c[c]) for c in range(3)]),
-        depth=cat(d_c),
-        active=cat(act_c),
-        friction=rep(mu),
-        restitution=rep(rest),
-        key=cat(key_c),
-    )
+    return out
 
 
 def pair_contacts(state: SimState, cvx: ConvexData,

@@ -242,6 +242,66 @@ def mesh_rain(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
     return b.build()
 
 
+def mesh_rain_mixed(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
+                    real_assets: bool | None = None) -> SimState:
+    """Two-hull-type rain: alternating bevel-cube hulls and octahedron
+    hulls falling onto the ground — the multi-hull-type fast-path
+    benchmark/test scene (type-pair-segmented candidates through the
+    linear-SAT coefficient matmuls, ops/narrowphase.hull_obb_prefilter)."""
+    from physics_tpu.io.primitives import beveled_cube_mesh
+
+    asset = None
+    if real_assets is not False:
+        try:
+            from physics_tpu.io.assets import load_cube_asset
+
+            asset = load_cube_asset()
+        except FileNotFoundError:
+            if real_assets:
+                raise
+
+    rng = np.random.default_rng(seed)
+    if asset is not None:
+        cube_verts = asset.collision_verts * size
+        cube_inertia = asset.inertia * size**2
+    else:
+        cube_verts, _ = beveled_cube_mesh(size=size, bevel=0.1 * size / 0.5)
+        cube_inertia = box_inertia((size,) * 3, 1.0)
+    s = 1.3 * size
+    octa_verts = np.array(
+        [[s, 0, 0], [-s, 0, 0], [0, s, 0], [0, -s, 0],
+         [0, 0, s], [0, 0, -s]], np.float32)
+    octa_inertia = sphere_inertia(0.7 * s, 1.0)
+
+    b = SceneBuilder()
+    cube = b.add_hull(cube_verts)
+    octa = b.add_hull(octa_verts)
+    side = max(1, int(np.ceil(np.sqrt(n_bodies / 4))))
+    count = 0
+    for layer in range(10**9):
+        if count >= n_bodies:
+            break
+        for gx in range(side):
+            for gz in range(side):
+                if count >= n_bodies:
+                    break
+                jitter = rng.uniform(-0.2, 0.2, 3)
+                use_cube = count % 2 == 0
+                i = b.add_body(
+                    pos=(
+                        (gx - side / 2) * 2.5 * size + jitter[0],
+                        1.5 * size + layer * 3.0 * size + jitter[1],
+                        (gz - side / 2) * 2.5 * size + jitter[2],
+                    ),
+                    euler=rng.uniform(-1.5, 1.5, 3),
+                    inertia=cube_inertia if use_cube else octa_inertia,
+                )
+                b.set_hull(i, cube if use_cube else octa,
+                           friction=0.4, restitution=0.05)
+                count += 1
+    return b.build()
+
+
 def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
     """Solver/broad-phase settings for the mesh-rain hull scenes.
 

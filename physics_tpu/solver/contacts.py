@@ -633,6 +633,9 @@ def hull_table_path(state: SimState, cfg: SimConfig) -> bool:
         and cfg.broadphase == "sweep" and cfg.pair_buckets
         and state.num_bodies > 1 and not cfg.bp_inkernel
         and hulls_fast_path(state, cfg)
+        # the fused hull kernel's static coefficient tables are
+        # single-type; multi-type scenes ride the segmented XLA fast path
+        and state.hulls.verts.shape[0] == 1
     )
 
 
@@ -742,6 +745,13 @@ def resolve_contacts(
         groups.append(gc)
     if cfg.pair_collisions and state.num_bodies > 1:
         cand = pair_candidates(state, cfg)
+        if (hulls_fast and shard is not None
+                and state.hulls.verts.shape[0] > 1):
+            raise ValueError(
+                "multi-hull-type fast path needs the type-pair-"
+                "segmenting OBB prefilter, which does not run under "
+                "shard=: set hull_fast=False (generic path) for "
+                "sharded multi-type hull scenes")
         if hulls_fast and cfg.hull_prefilter_cap > 0 and shard is None:
             # two-phase hull narrow phase: OBB face-SAT prefilter drops
             # separated pairs and compacts survivors before the full
