@@ -12,7 +12,8 @@ from physics_tpu.ops.narrowphase import (
     _pair_contacts_boxes, _pair_contacts_boxes_pallas)
 
 N = 1024
-cfgj = pile_config(N).replace(contact_iters=8)
+cfgj = pile_config(N).replace(contact_iters=8, contact_solver="jacobi",
+                              contact_rebuild=1)
 cfgp = cfgj.replace(contact_solver="pallas_banded")
 
 state = prepare_contacts(box_pile(N), cfgj)

@@ -16,8 +16,9 @@ print("backend:", jax.default_backend(), flush=True)
 
 which = sys.argv[1] if len(sys.argv) > 1 else "pallas"
 cfg = pile_config(N).replace(contact_iters=8)
-if which == "pallas":
-    cfg = cfg.replace(contact_solver="pallas_banded")
+if which != "pallas":
+    # XLA jacobi leg: the anchored rebuild needs the table path
+    cfg = cfg.replace(contact_solver="jacobi", contact_rebuild=1)
 
 state = box_pile(N)
 state = prepare_contacts(state, cfg)

@@ -167,6 +167,25 @@ class SimConfig:
     # bucket_cap2 (in-kernel OBB prefilter cap) and feeds the same banded
     # solve (fuse_prep/fuse_integrate compose).
     hull_table: bool = False
+    # persistent anchored contacts (temporal coherence): run the broad
+    # phase + contact-table kernel every `contact_rebuild` steps and
+    # carry the table (with per-contact BODY-FRAME anchors emitted by
+    # the kernel) in SimState between rebuilds. Every step the fused
+    # solve kernel re-derives each contact's point/normal/depth EXACTLY
+    # from the anchors and the bodies' current transforms (sweep-0 prep,
+    # ~30 VPU ops/contact), so the impulse solve is always run against
+    # fresh geometry — only the DISCOVERY of new contacts is delayed by
+    # up to K-1 steps (departing contacts deactivate the moment their
+    # anchored depth goes non-positive). Body order and ranks freeze
+    # between rebuilds, which keeps the banded window guarantee exact.
+    # Requires the table path with fuse_prep; 1 = rebuild every step.
+    contact_rebuild: int = 1
+    # motion guard for contact_rebuild: ALSO rebuild (ignoring the
+    # K-step schedule) whenever max |v|·dt·K exceeds this multiple of
+    # penetration_slop — a fast-moving body could otherwise tunnel
+    # K−1 steps past discovery. Settled piles stay under it (refresh
+    # dominates); drops rebuild every step (full physics). 0 disables.
+    contact_rebuild_vel_factor: float = 2.0
     # single-pass bf16 z-table movement in the banded solve kernels: the
     # per-sweep endpoint gathers and delta scatters use ONE bf16 matmul
     # instead of the exact hi/lo split pair — halving the solve kernel's

@@ -290,9 +290,38 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
     # feature key consumed by the sort-merge warm match
     key_shape = ((2, c) if table_path(state, cfg)
                  or hull_table_path(state, cfg) else (c,))
+    extra = {}
+    if cfg.contact_rebuild > 1:
+        from physics_tpu.solver.contacts import anchored_path
+
+        if anchored_path(state, cfg):
+            # persistent anchored contacts: carry the table + frozen
+            # order + last rebuild's overflow counters across steps
+            # (step 0 always rebuilds, so zeros are never consumed)
+            from physics_tpu.ops.contact_table import CT2_ROWS
+
+            extra = dict(
+                contact_table=jnp.zeros((CT2_ROWS, c), jnp.float32),
+                contact_order=jnp.arange(state.num_bodies,
+                                         dtype=jnp.int32),
+                contact_meta=jnp.zeros((2,), jnp.int32),
+            )
+        else:
+            # degrade loudly, never silently: the engine rebuilds every
+            # step (full physics) when the anchored preconditions don't
+            # hold — resolve_contacts normalizes contact_rebuild to 1
+            import warnings
+
+            warnings.warn(
+                "cfg.contact_rebuild > 1 has no effect here (needs the "
+                "unsharded box contact-table path with fuse_prep on the "
+                "bucketed sweep broad phase; see "
+                "solver.contacts.anchored_path) — rebuilding contacts "
+                "every step", stacklevel=2)
     return state.replace(
         contact_key=jnp.zeros(key_shape, jnp.int32),
         contact_lam=jnp.zeros((3, c), jnp.float32),
+        **extra,
     )
 
 

@@ -207,6 +207,9 @@ def pack_envs(batched: SimState) -> SimState:
         hulls=take0(batched.hulls),
         contact_key=jnp.zeros((0,), jnp.int32),
         contact_lam=jnp.zeros((3, 0), jnp.float32),
+        contact_table=jnp.zeros((0, 0), jnp.float32),
+        contact_order=jnp.zeros((0,), jnp.int32),
+        contact_meta=jnp.zeros((2,), jnp.int32),
         step_count=batched.step_count[0],
     )
 
@@ -237,6 +240,9 @@ def unpack_envs(state: SimState, n_envs: int) -> SimState:
         hulls=tile(state.hulls),
         contact_key=jnp.zeros((e, 0), jnp.int32),
         contact_lam=jnp.zeros((e, 3, 0), jnp.float32),
+        contact_table=jnp.zeros((e, 0, 0), jnp.float32),
+        contact_order=jnp.zeros((e, 0), jnp.int32),
+        contact_meta=jnp.zeros((e, 2), jnp.int32),
         step_count=jnp.broadcast_to(state.step_count, (e,)),
     )
 

@@ -84,6 +84,16 @@ CT_RA = 13       # global body rank of endpoint a (lower rank)
 CT_RB1 = 14      # global rank of endpoint b + 1 (0 = ghost/world)
 CT_KS = 15       # key slot component: manifold slot / corner / vertex id
 CT_ROWS = 16
+# anchored-table extension (cfg.contact_rebuild > 1): the kernel emits
+# per-contact BODY-FRAME anchors so the solve kernel can re-derive
+# point/normal/depth exactly from current transforms between rebuilds.
+# Both bodies anchor AT the build-time contact point pt₀:
+#   depth(t) = CT_D − n̂(t)·(a_pt(t) − b_pt(t)),  n̂(t) = R_a(t)·n_loc
+# (0 relative displacement at build ⇒ depth(0) = CT_D exactly).
+CT_AAX = 16      # 16:19 anchor in A's body frame: R_aᵀ(pt₀ − pos_a)
+CT_BAX = 19      # 19:22 anchor in B's frame; WORLD pt₀ for ground (no B)
+CT_NLOC = 22     # 22:25 contact normal in A's body frame
+CT2_ROWS = 32    # padded to the sublane multiple
 
 # Feature keys are COMPONENT-FORM (three exact-in-f32 rows) rather than one
 # packed integer: a packed (min·n + max)·slots key overflows int32 at
@@ -154,7 +164,8 @@ def _exclusive_prefix(mask):
 
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
-                    warm=False, cap2=0, bp_k=0, row0=0, env_k=0):
+                    warm=False, cap2=0, bp_k=0, row0=0, env_k=0,
+                    anchors=False):
     """One grid step = one rank bucket: SAT + ground + compaction.
 
     warm=True adds in-kernel warm-start key matching: the previous step's
@@ -212,7 +223,9 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         start = pl.multiple_of(base_ref[b], 128)
 
         def _dbg(val):
-            out_ref[:] = jnp.zeros((CT_ROWS, ccap), jnp.float32) + val
+            out_ref[:] = jnp.zeros(
+                (CT2_ROWS if anchors else CT_ROWS, ccap),
+                jnp.float32) + val
             meta_ref[:] = jnp.zeros((8, 128), jnp.float32)
             if warm:
                 warm_ref[:] = jnp.zeros((8, ccap), jnp.float32)
@@ -497,16 +510,22 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         # lane slices + jnp.stack are proven safe. Interpret mode keeps
         # the single-concatenate form (fewer ops for XLA:CPU's
         # superlinear compile on unrolled graphs).
-        rows = [[] for _ in range(CT_ROWS)]
+        rows_n = CT2_ROWS if anchors else CT_ROWS
+        rows = [[] for _ in range(rows_n)]
 
         def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
-                 kl, kh, ksgn, ra, rb1, ks):
+                 kl, kh, ksgn, ra, rb1, ks, anc=None):
             af = act.astype(jnp.float32)
-            for r, v in enumerate([
+            vals = [
                 ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
                 kl * af, kh * af, ksgn * af, ra * af, rb1 * af,
                 ks * af,
-            ]):
+            ]
+            if anchors:
+                # anc = 9 anchor rows (a_loc, b_loc-or-world, n_loc)
+                vals += [v * af for v in anc]
+                vals += [jnp.zeros_like(af)] * (CT2_ROWS - 25)
+            for r, v in enumerate(vals):
                 if not mosaic:
                     rows[r].append(v)
                     continue
@@ -514,15 +533,31 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                     rows[r].append(
                         jax.lax.slice_in_dim(v, j * 128, (j + 1) * 128))
 
+        def t_apply(g, w):
+            # Rᵀ·w for the geometry rows' row-major R at g[3:12]
+            return (g[3] * w[0] + g[6] * w[1] + g[9] * w[2],
+                    g[4] * w[0] + g[7] * w[1] + g[10] * w[2],
+                    g[5] * w[0] + g[8] * w[1] + g[11] * w[2])
+
         for _ in range(kk):
             best, bidx = _argmax_unrolled(score)
             act = best > 0.0
             pt = _select(bidx, man.points)
             ks = bidx.astype(jnp.float32)                  # slot < _CAP
+            anc = None
+            if anchors:
+                a_loc = t_apply(ga, (pt[0] - ga[0], pt[1] - ga[1],
+                                     pt[2] - ga[2]))
+                b_loc = t_apply(gb, (pt[0] - gb[0], pt[1] - gb[1],
+                                     pt[2] - gb[2]))
+                n_loc = t_apply(ga, (man.normal[0], man.normal[1],
+                                     man.normal[2]))
+                anc = list(a_loc) + list(b_loc) + list(n_loc)
             emit(pt[0], pt[1], pt[2],
                  man.normal[0], man.normal[1], man.normal[2],
                  jnp.where(act, best, 0.0), act, mu_p, rest_p,
-                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks)
+                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks,
+                 anc=anc)
             if mosaic:
                 score = [
                     jnp.where(
@@ -566,11 +601,26 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                 act = best > 0.0
                 pt = _select(bidx, pts_g)
                 ks = bidx.astype(jnp.float32)              # corner < 8
+                anc = None
+                if anchors:
+                    a_loc = ((pt[0] - gl[0]) * gl[3]
+                             + (pt[1] - gl[1]) * gl[6]
+                             + (pt[2] - gl[2]) * gl[9],
+                             (pt[0] - gl[0]) * gl[4]
+                             + (pt[1] - gl[1]) * gl[7]
+                             + (pt[2] - gl[2]) * gl[10],
+                             (pt[0] - gl[0]) * gl[5]
+                             + (pt[1] - gl[1]) * gl[8]
+                             + (pt[2] - gl[2]) * gl[11])
+                    # no body B: the anchor is the WORLD point itself;
+                    # n_loc = Rᵀ·ŷ = R's middle row
+                    anc = (list(a_loc) + [pt[0], pt[1], pt[2]]
+                           + [gl[6], gl[7], gl[8]])
                 emit(pt[0], pt[1], pt[2],
                      jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
                      jnp.where(act, best, 0.0), act, gl[15], gl[16],
                      body_f, jnp.zeros_like(one_g), one_g, ra_g,
-                     jnp.zeros_like(one_g), ks)
+                     jnp.zeros_like(one_g), ks, anc=anc)
                 if mosaic:
                     gsc = [
                         jnp.where((bidx == jnp.int32(s)), big_neg, gsc[s])
@@ -600,7 +650,7 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
         # broadcast along sublanes) because Mosaic accepts the
         # sublanes→lanes flatten [CR,128]→[1,CW] but not a lane-vector →
         # column reshape; the dot then contracts both dim-1s.
-        acc = jnp.zeros((CT_ROWS, ccap), jnp.float32)
+        acc = jnp.zeros((rows_n, ccap), jnp.float32)
         oh_row = jax.lax.broadcasted_iota(
             jnp.int32, (ccap, chunk_rows * 128), 0)
         for r0 in range(0, sub, chunk_rows):
@@ -610,7 +660,7 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             oht = (oh_row[:, :cwr] == sl).astype(jnp.bfloat16)
             pay = jnp.stack(
                 [pay2[r][r0:r0 + cr].reshape(1, cwr)[0]
-                 for r in range(CT_ROWS)])                 # [16, CWR]
+                 for r in range(rows_n)])                  # [rows_n, CWR]
             p_hi, p_lo = _split(pay)
             acc += jax.lax.dot_general(
                 p_hi, oht, (((1,), (1,)), ((), ())),
@@ -874,10 +924,12 @@ def bucket_contact_table(
         la3 = jnp.broadcast_to(la.reshape(nb_l, 1, cap), (nb_l, 8, cap))
         lb3 = jnp.broadcast_to(lb.reshape(nb_l, 1, cap), (nb_l, 8, cap))
     interpret = jax.default_backend() != "tpu"
+    anchors = cfg.contact_rebuild > 1
+    rows_n = CT2_ROWS if anchors else CT_ROWS
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
         mosaic=not interpret, warm=prev is not None, cap2=cap2,
-        bp_k=bp_k, row0=row0, env_k=env_k)
+        bp_k=bp_k, row0=row0, env_k=env_k, anchors=anchors)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ] if bp_k else [
@@ -886,11 +938,11 @@ def bucket_contact_table(
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((CT_ROWS, ccap), lambda b, bs: (0, b)),
+        pl.BlockSpec((rows_n, ccap), lambda b, bs: (0, b)),
         pl.BlockSpec((8, 128), lambda b, bs: (0, b)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((CT_ROWS, cp_l), jnp.float32),
+        jax.ShapeDtypeStruct((rows_n, cp_l), jnp.float32),
         jax.ShapeDtypeStruct((8, nb_l * 128), jnp.float32),
     ]
     operands = [geom] if bp_k else [la3, lb3, geom]

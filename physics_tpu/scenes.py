@@ -67,12 +67,19 @@ def box_pile(
 
 
 def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
-    """Tuned solver/broad-phase capacities for the pile scenes."""
+    """Tuned solver/broad-phase capacities for the pile scenes.
+
+    This IS the production pile pipeline: fused contact table + banded
+    Pallas solve + anchored rebuild. Experiments that want the XLA
+    jacobi path for A/Bs must set contact_solver="jacobi" AND
+    contact_rebuild=1 explicitly (the anchored rebuild requires the
+    table path)."""
     return SimConfig(
         compat=False,
         ground_plane=True,
         pair_collisions=True,
         boxes_only=True,
+        contact_solver="pallas_banded",
         broadphase="sweep",
         sweep_window=48,   # measured: overflow-free on the settled pile (32 overflows)
         max_pair_candidates=8 * n_bodies,
@@ -100,6 +107,25 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # penetration/overflow envelope as exact movement (/tmp/fa4.log,
         # round 3; parity: tests/test_contacts_pallas.py z_bf16 test)
         z_bf16=True,
+        # merged prep + in-kernel integration: measured neutral-to-
+        # slightly-better with better penetration (round 4 A/B), and
+        # required by the anchored rebuild below
+        fuse_prep=True,
+        fuse_integrate=True,
+        # persistent anchored contacts: broad phase + table kernel every
+        # 4th step; between rebuilds the solve kernel re-derives contact
+        # geometry exactly from body-frame anchors (tests/test_rebuild.py)
+        # — only DISCOVERY of new contacts waits ≤ 3 steps. The motion
+        # guard is off for THIS scene on measurement: the pile avalanches
+        # perpetually (max |v| 2–7 m/s — a max-velocity guard would
+        # refuse the refresh path forever), and the 240-step max-
+        # penetration envelope is identical with and without the delay
+        # (K=4: 0.510 vs K=1: 0.525 on v5e; K=8 rejected at 0.977 —
+        # experiments/rebuild_bench.py, round 4). 3.84 → 6.08M
+        # body-steps/s. Scenes with ballistic approaches (drops, rain)
+        # should keep the guard (default 2.0) or contact_rebuild=1.
+        contact_rebuild=4,
+        contact_rebuild_vel_factor=0.0,
         max_contacts_per_pair=4,
         max_contacts=6 * n_bodies,
         contact_iters=16,

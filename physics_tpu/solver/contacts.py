@@ -621,6 +621,20 @@ def table_path(state: SimState, cfg: SimConfig) -> bool:
     return False
 
 
+def anchored_path(state: SimState, cfg: SimConfig) -> bool:
+    """True when contact_rebuild > 1 actually engages the persistent
+    anchored-contact pipeline: the BOX contact-table path with fuse_prep
+    on the bucketed sweep broad phase (no bp_inkernel — the rebuild
+    branch builds candidates in XLA so they can be carried, no hull
+    table yet). Anywhere else the engine rebuilds every step — full
+    physics, just without the amortization (prepare_contacts warns).
+    Static: cfg + shapes only."""
+    return (cfg.contact_rebuild > 1 and cfg.fuse_prep
+            and not cfg.bp_inkernel and cfg.broadphase == "sweep"
+            and table_path(state, cfg)
+            and not hull_table_path(state, cfg))
+
+
 def hull_table_path(state: SimState, cfg: SimConfig) -> bool:
     """True when the contact step routes through the fused HULL contact
     table (ops/hull_table.py) — the hulls_only analogue of table_path.
@@ -660,6 +674,16 @@ def resolve_contacts(
     result matches the single-device solve.
     """
     n = state.num_bodies
+    if cfg.contact_rebuild > 1 and (
+            shard is not None or not anchored_path(state, cfg)):
+        # the persistent anchored pipeline only engages on the unsharded
+        # box contact-table path (anchored_path); everywhere else
+        # contact_rebuild degrades to per-step rebuild — full physics,
+        # just without the amortization. Normalized HERE so every
+        # downstream cfg.contact_rebuild consultation (table kernel
+        # anchor rows, solve-kernel refresh, depth-metric source) sees
+        # one consistent answer. prepare_contacts warns at setup time.
+        cfg = cfg.replace(contact_rebuild=1)
     use_pallas = cfg.contact_solver == "pallas_banded"
     if use_pallas:
         if cfg.pair_collisions and cfg.broadphase not in (
@@ -926,25 +950,113 @@ def _resolve_contacts_table(
 
     n = state.num_bodies
     hulls = hull_table_path(state, cfg)
-    if cfg.broadphase == "env_blocks":
+    # resolve_contacts normalized contact_rebuild: > 1 here implies the
+    # anchored_path preconditions hold and shard is None
+    anchored = cfg.contact_rebuild > 1
+    if anchored:
+        # persistent anchored contacts: the sort + candidates are built
+        # inside the rebuild branch of the cond below, every K-th step
+        body_order = None
+        cand = None
+    elif cfg.broadphase == "env_blocks":
         # packed envs: the body id IS the rank (envs.pack_envs layout) —
         # no sort anywhere in the step
         body_order = None
     else:
         body_order = sweep_order(state, body_aabbs(state))
-    # bp_inkernel: the kernel derives candidates from the sorted window
-    # itself — only the rank sort above survives in XLA
-    cand = None if cfg.bp_inkernel else pair_candidates(state, cfg)
+    if not anchored:
+        # bp_inkernel: the kernel derives candidates from the sorted
+        # window itself — only the rank sort above survives in XLA
+        cand = None if cfg.bp_inkernel else pair_candidates(state, cfg)
     nb, ccap, cp = table_shape(n, cfg)
 
-    # ONE rank-space geometry table shared by the narrow-phase and solve
-    # kernels (one stack, one order-gather, quat_to_mat computed once)
-    geom = unified_geom(state, cfg, body_order, hulls=hulls)
     fuse = fused_integration(state, cfg) and shard is None
     # table-aligned warm buffers use the component-form [2, cp] keys
     # (ops/contact_table.table_keys) — exact at any n, unlike the
     # generic paths' packed int32 keys
     use_warm = state.contact_key.shape == (2, cp)
+
+    if cfg.contact_rebuild > 1:
+        # persistent anchored contacts: the broad phase + table kernel
+        # run every K-th step; between rebuilds the persisted table
+        # (with body-frame anchors) is refreshed in the solve kernel's
+        # prep sweep from CURRENT transforms — contact discovery is
+        # delayed ≤ K−1 steps, everything else is exact per step.
+        from physics_tpu.ops.contact_table import CT2_ROWS
+
+        assert not hulls and shard is None and cfg.fuse_prep \
+            and not cfg.bp_inkernel and cfg.broadphase == "sweep", \
+            "resolve_contacts normalization should make this unreachable"
+        if (state.contact_table.shape != (CT2_ROWS, cp)
+                or state.contact_order.shape[0] != n or not use_warm):
+            raise ValueError(
+                "cfg.contact_rebuild > 1 needs the persisted-table "
+                "buffers — call engine.prepare_contacts(state, cfg)")
+
+        def _rebuild(st):
+            order = sweep_order(st, body_aabbs(st))
+            geom_r = unified_geom(st, cfg, order, hulls=False)
+            cand_r = pair_candidates(st, cfg)
+            table_r, meta_r, warm_r = bucket_contact_table(
+                st, cand_r, cfg, order,
+                prev=(st.contact_key, st.contact_lam), geom=geom_r)
+            m = meta_r[0].reshape(nb, 128)
+            ovf = jnp.stack([
+                cand_r.overflow + jnp.sum(m[:, 2]).astype(jnp.int32),
+                jnp.sum(m[:, 0]).astype(jnp.int32),
+            ])
+            return table_r, order, geom_r, warm_r, ovf
+
+        def _refresh(st):
+            order = st.contact_order
+            geom_r = unified_geom(st, cfg, order, hulls=False)
+            # slot-aligned warm start: last step's impulses, same slots
+            warm_r = jnp.concatenate(
+                [st.contact_lam, jnp.zeros((5, cp), jnp.float32)])
+            return st.contact_table, order, geom_r, warm_r, \
+                st.contact_meta
+
+        pred = state.step_count % cfg.contact_rebuild == 0
+        if cfg.contact_rebuild_vel_factor > 0:
+            # motion guard: a body moving v covers v·dt·K before the
+            # next scheduled rebuild — rebuild NOW if that could tunnel
+            # past the slop (drops run full physics; settled piles
+            # stay on the cheap refresh path)
+            vmax = jnp.max(jnp.abs(state.vel))
+            pred = pred | (
+                vmax * jnp.float32(cfg.dt * cfg.contact_rebuild)
+                > jnp.float32(cfg.contact_rebuild_vel_factor
+                              * cfg.penetration_slop))
+        table, body_order, geom, warm_rows, ovf = jax.lax.cond(
+            pred, _rebuild, _refresh, state)
+        vel, omega, pvel, pomega, lam3, solve_metrics, keys, posquat = (
+            solve_impulses_table(state, table, cfg, body_order,
+                                 warm_rows=warm_rows, geom=geom,
+                                 fuse=fuse)
+        )
+        metrics = {
+            "pair_overflow": ovf[0],
+            "contact_overflow": ovf[1],
+            **solve_metrics,
+        }
+        dt = jnp.float32(cfg.dt)
+        if fuse:
+            new_pos, new_quat = posquat
+        else:
+            new_pos = state.pos + pvel * dt
+            dq = quat.exp_map(pomega * dt)
+            new_quat = quat.normalize(quat.mul(dq, state.quat))
+        state = state.replace(
+            vel=vel, omega=omega, pos=new_pos, quat=new_quat,
+            contact_key=keys, contact_lam=lam3,
+            contact_table=table, contact_order=body_order,
+            contact_meta=ovf,
+        )
+        return state, metrics
+
+    # ONE rank-space geometry table shared by the narrow-phase and solve
+    # kernels (one stack, one order-gather, quat_to_mat computed once)
+    geom = unified_geom(state, cfg, body_order, hulls=hulls)
     prev = (state.contact_key, state.contact_lam) if use_warm else None
     if hulls:
         from physics_tpu.ops.hull_table import bucket_hull_contact_table

@@ -98,11 +98,14 @@ def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
     `win` is the [16, WTOT] snapshot of the z table; `vel_on`/`pos_on`/
     `is_warm_f`/`degf` are 0/1 floats (traced scalars in the fused kernel,
     python constants in the single-sweep kernel). `oh` optionally supplies
-    precomputed (oh_a, oh_b) bf16 one-hots (the fused kernel persists
-    them in VMEM scratch across sweeps — the iota-compare rebuild was
-    ~60% of a sweep's VPU work). Returns
-    (lam_new [4, TILE], ca, cb, oh_a, oh_b) where ca/cb are the [16, TILE]
-    per-endpoint contribution stacks ready for the one-hot scatter.
+    the precomputed MERGED [WTOT, 2·TILE] bf16 one-hot (columns
+    [0, TILE) = endpoint a, [TILE, 2·TILE) = endpoint b — the fused
+    kernel persists it in VMEM scratch across sweeps; the iota-compare
+    rebuild was ~60% of a sweep's VPU work). Both endpoints ride ONE
+    gather matmul and ONE scatter matmul (the per-endpoint pairs halved
+    the MXU op count for the same MACs). Returns
+    (lam_new [4, TILE], cab [16, 2·TILE], oh_ab) where cab is the merged
+    per-endpoint contribution stack ready for the one-hot scatter.
     """
     if lowp:
         # single-pass movement (cfg.z_bf16): one bf16 matmul per gather
@@ -112,25 +115,34 @@ def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
         w_hi, w_lo = win.astype(jnp.bfloat16), None
     else:
         w_hi, w_lo = _split(win)
-    if oh is None:
-        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
-        oh_a = (row == la[None, :]).astype(jnp.bfloat16)  # [WTOT, TILE]
-        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
-    else:
-        oh_a, oh_b = oh
 
-    def bgather(oh):
+    def bgather(oh1):
         g1 = jax.lax.dot_general(
-            w_hi, oh, (((1,), (0,)), ((), ())),
+            w_hi, oh1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if w_lo is None:
             return g1
         return g1 + jax.lax.dot_general(
-            w_lo, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [16, TILE]
+            w_lo, oh1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    ga = bgather(oh_a)
-    gb = bgather(oh_b)       # ghost endpoints (lb = -1): all-zero column
+    if oh is None:
+        # no persisted scratch (sharded single-sweep kernel): build the
+        # endpoint one-hots separately — a 1-D lane concatenate of
+        # la/lb to one [2T] vector crashes Mosaic's layout assignment
+        row = jax.lax.broadcasted_iota(jnp.int32, (wtot, tile), 0)
+        oh_a = (row == la[None, :]).astype(jnp.bfloat16)  # [WTOT, TILE]
+        oh_b = (row == lb[None, :]).astype(jnp.bfloat16)
+        oh_ab = (oh_a, oh_b)
+        ga = bgather(oh_a)
+        gb = bgather(oh_b)   # ghost endpoints (lb = -1): all-zero column
+    else:
+        # persisted merged one-hot [WTOT, 2T]: both endpoints ride ONE
+        # gather matmul (and one scatter matmul downstream)
+        oh_ab = oh
+        gab = bgather(oh_ab)
+        ga = gab[:, :tile]
+        gb = gab[:, tile:]
 
     r_a = (cs[_R_RA], cs[_R_RA + 1], cs[_R_RA + 2])
     r_b = (cs[_R_RB], cs[_R_RB + 1], cs[_R_RB + 2])
@@ -204,11 +216,19 @@ def _sweep_tile_math(win, la, lb, cs, lam4, *, tile, wtot,
 
     ca = contrib(imp, pimp, inv_m_a, iw_a, r_a, 1.0)
     cb = contrib(imp, pimp, inv_m_b, iw_b, r_b, -1.0)
+    cab = jnp.concatenate([ca, cb], axis=1)              # [16, 2T]
     lam_new = jnp.stack([lam_n_new, lam_t1_new, lam_t2_new, lam_b_new])
-    return lam_new, ca, cb, oh_a, oh_b
+    return lam_new, cab, oh_ab
 
 
 def _bscatter(cmat, oh, lowp=False):
+    """Merged scatter: cmat [16, 2T] against the merged one-hot
+    [WTOT, 2T] — both endpoints' deltas in ONE matmul. `oh` may also be
+    the (oh_a, oh_b) pair from the no-scratch path (two matmuls)."""
+    if isinstance(oh, tuple):
+        t = cmat.shape[1] // 2
+        return (_bscatter(cmat[:, :t], oh[0], lowp=lowp)
+                + _bscatter(cmat[:, t:], oh[1], lowp=lowp))
     if lowp:
         return jax.lax.dot_general(
             cmat.astype(jnp.bfloat16), oh, (((1,), (1,)), ((), ())),
@@ -273,8 +293,7 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
             else:
                 zout_ref, lam_ref, *scratch = refs
                 pq_ref = None
-            tab_read, tab_acc, lam_s, oha_s, ohb_s, consts_s = scratch
-            oh_s = (oha_s, ohb_s)
+            tab_read, tab_acc, lam_s, ohab_s, consts_s = scratch
         else:
             la_ref, lb_ref, consts_ref, z0_ref, *refs = refs
             tab_in_ref = warm_ref = geom_ref = consts_s = None
@@ -283,7 +302,11 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
             else:
                 zout_ref, lam_ref, *scratch = refs
                 posq_ref = pq_ref = None
-            tab_read, tab_acc, lam_s, *oh_s = scratch
+            if persist_oh:
+                tab_read, tab_acc, lam_s, ohab_s = scratch
+            else:
+                tab_read, tab_acc, lam_s = scratch
+                ohab_s = None
         s, t = pl.program_id(0), pl.program_id(1)
         ntiles = pl.num_programs(1)
 
@@ -317,15 +340,18 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
         is_warm_f = (jnp.where(s == 0, 1.0, 0.0) if warm_sweep else None)
         degf = jnp.where(s == 0, 1.0, 0.0)
 
+        coff2 = pl.multiple_of(t * 2 * tile, 128)
+        coff2b = pl.multiple_of(t * 2 * tile + tile, 128)
         if prep is not None:
             # sweep 0: derive endpoints from the contact table, build the
-            # one-hots AND the solve constants into scratch (la/lb/consts
-            # never exist in HBM)
+            # merged one-hot AND the solve constants into scratch
+            # (la/lb/consts never exist in HBM)
             @pl.when(s == 0)
             def _():
                 # contact-table rows (ops/contact_table.py): pt 0:3,
                 # n 3:6, d 6, mu 7, rest 8, act 9, ra 13, rb1 14
-                tb = tab_in_ref[:]                       # [16, TILE]
+                # (+ anchors 16:25 when cfg.contact_rebuild > 1)
+                tb = tab_in_ref[:]                       # [trows, TILE]
                 actf = tb[9]
                 act = actf > 0.0
                 ra = tb[13].astype(jnp.int32)
@@ -333,40 +359,98 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
                 la_k = jnp.where(act, ra - start, -1)
                 has_b = act & (rb1 > 0)
                 lb_k = jnp.where(has_b, rb1 - 1 - start, -1)
+                # two 128-aligned halves (a 1-D lane concatenate of
+                # la/lb crashes Mosaic's layout assignment)
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (wtot, tile), 0)
-                oh_a0 = (row == la_k[None, :]).astype(jnp.bfloat16)
-                oh_b0 = (row == lb_k[None, :]).astype(jnp.bfloat16)
-                oha_s[:, pl.ds(coff, tile)] = oh_a0
-                ohb_s[:, pl.ds(coff, tile)] = oh_b0
+                ohab_s[:, pl.ds(coff2, tile)] = (
+                    row == la_k[None, :]).astype(jnp.bfloat16)
+                ohab_s[:, pl.ds(coff2b, tile)] = (
+                    row == lb_k[None, :]).astype(jnp.bfloat16)
+                oh_ab0 = ohab_s[:, pl.ds(coff2, 2 * tile)]
 
                 gwin = geom_ref[0:GEOM_ROWS, pl.ds(start, wtot)]
                 g_hi, g_lo = _split(gwin)
+                gg = jax.lax.dot_general(
+                    g_hi, oh_ab0, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                gg = gg + jax.lax.dot_general(
+                    g_lo, oh_ab0, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [24, 2T]
+                ga_p, gb_p = gg[:, :tile], gg[:, tile:]
 
-                def ggather(oh1):
-                    g1 = jax.lax.dot_general(
-                        g_hi, oh1, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    return g1 + jax.lax.dot_general(
-                        g_lo, oh1, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                if prep.get("anchored"):
+                    # persistent anchored contacts: re-derive
+                    # point/normal/depth from the body-frame anchors and
+                    # CURRENT transforms (exact at the build step;
+                    # between rebuilds this IS the narrow phase —
+                    # depth(t) = d0 − n̂·(a_pt − b_pt), contacts
+                    # deactivate the moment they separate)
+                    def rot9(q):
+                        w, x, y, z = q
+                        return (1 - 2 * (y * y + z * z),
+                                2 * (x * y - w * z), 2 * (x * z + w * y),
+                                2 * (x * y + w * z),
+                                1 - 2 * (x * x + z * z),
+                                2 * (y * z - w * x),
+                                2 * (x * z - w * y), 2 * (y * z + w * x),
+                                1 - 2 * (x * x + y * y))
+
+                    def apply(r, v):
+                        return (r[0] * v[0] + r[1] * v[1] + r[2] * v[2],
+                                r[3] * v[0] + r[4] * v[1] + r[5] * v[2],
+                                r[6] * v[0] + r[7] * v[1] + r[8] * v[2])
+
+                    r_a9 = rot9((ga_p[19], ga_p[20], ga_p[21], ga_p[22]))
+                    r_b9 = rot9((gb_p[19], gb_p[20], gb_p[21], gb_p[22]))
+                    aw = apply(r_a9, (tb[16], tb[17], tb[18]))
+                    a_pt = (ga_p[0] + aw[0], ga_p[1] + aw[1],
+                            ga_p[2] + aw[2])
+                    bw = apply(r_b9, (tb[19], tb[20], tb[21]))
+                    hbf = has_b.astype(jnp.float32)
+                    b_pt = (hbf * (gb_p[0] + bw[0])
+                            + (1.0 - hbf) * tb[19],
+                            hbf * (gb_p[1] + bw[1])
+                            + (1.0 - hbf) * tb[20],
+                            hbf * (gb_p[2] + bw[2])
+                            + (1.0 - hbf) * tb[21])
+                    n_w = apply(r_a9, (tb[22], tb[23], tb[24]))
+                    sep = (n_w[0] * (a_pt[0] - b_pt[0])
+                           + n_w[1] * (a_pt[1] - b_pt[1])
+                           + n_w[2] * (a_pt[2] - b_pt[2]))
+                    d_t = tb[6] - sep
+                    actf_t = actf * (d_t > 0.0).astype(jnp.float32)
+                    p_t, n_t = a_pt, n_w
+                else:
+                    p_t = (tb[0], tb[1], tb[2])
+                    n_t = (tb[3], tb[4], tb[5])
+                    d_t = tb[6]
+                    actf_t = actf
 
                 wm = warm_ref[:]                         # [8, TILE]
-                consts_s[:, pl.ds(coff, tile)] = _prep_consts_math(
-                    ggather(oh_a0), ggather(oh_b0),
-                    (tb[0], tb[1], tb[2]), (tb[3], tb[4], tb[5]),
-                    tb[6], tb[7], tb[8], actf,
+                consts0 = _prep_consts_math(
+                    ga_p, gb_p,
+                    p_t, n_t, d_t, tb[7], tb[8], actf_t,
                     (wm[0], wm[1], wm[2]),
-                    has_b.astype(jnp.float32),
+                    (has_b & (actf_t > 0.0)).astype(jnp.float32),
                     tile=tile, baum_over_dt=prep["baum_over_dt"],
                     slop=prep["slop"],
                     relaxation=prep["relaxation"],
                     use_split=prep["use_split"])
+                if prep.get("anchored"):
+                    # refreshed depth·activity rides spare consts row 45
+                    # → emitted as lam row 3 at the final sweep (the
+                    # caller's penetration/count metrics stay FRESH
+                    # between rebuilds; λ_b itself is never consumed)
+                    ii = jax.lax.broadcasted_iota(
+                        jnp.int32, (R_CONST, tile), 0)
+                    consts0 = jnp.where(ii == 45, d_t * actf_t,
+                                        consts0)
+                consts_s[:, pl.ds(coff, tile)] = consts0
 
             la = lb = None
             cs = consts_s[:, pl.ds(coff, tile)]          # [R_CONST, TILE]
-            oh = (oha_s[:, pl.ds(coff, tile)],
-                  ohb_s[:, pl.ds(coff, tile)])
+            oh = ohab_s[:, pl.ds(coff2, 2 * tile)]
         else:
             la = la_ref[0, 0, :]
             lb = lb_ref[0, 0, :]
@@ -374,31 +458,37 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
 
             oh = None
             if persist_oh:
-                oha_s, ohb_s = oh_s
-
                 @pl.when(s == 0)
                 def _():
                     row = jax.lax.broadcasted_iota(
                         jnp.int32, (wtot, tile), 0)
-                    oha_s[:, pl.ds(coff, tile)] = (
+                    ohab_s[:, pl.ds(coff2, tile)] = (
                         row == la[None, :]).astype(jnp.bfloat16)
-                    ohb_s[:, pl.ds(coff, tile)] = (
+                    ohab_s[:, pl.ds(coff2b, tile)] = (
                         row == lb[None, :]).astype(jnp.bfloat16)
 
-                oh = (oha_s[:, pl.ds(coff, tile)],
-                      ohb_s[:, pl.ds(coff, tile)])
+                oh = ohab_s[:, pl.ds(coff2, 2 * tile)]
 
         lam4 = lam_s[:, pl.ds(coff, tile)]                   # [4, TILE]
-        lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
+        lam_new, cab, oh_ab = _sweep_tile_math(
             win, la, lb, cs, lam4, tile=tile, wtot=wtot,
             vel_on=vel_on, pos_on=pos_on, is_warm_f=is_warm_f, degf=degf,
             oh=oh, lowp=lowp)
 
         lam_s[:, pl.ds(coff, tile)] = lam_new
-        tab_acc[:, pl.ds(start, wtot)] += (
-            _bscatter(ca, oh_a, lowp=lowp) + _bscatter(cb, oh_b,
-                                                       lowp=lowp))
-        lam_ref[:] = lam_new
+        tab_acc[:, pl.ds(start, wtot)] += _bscatter(cab, oh_ab,
+                                                    lowp=lowp)
+        if prep is not None and prep.get("anchored"):
+            # final-sweep output row 3 = refreshed depth·activity (λ_b
+            # is internal-only); earlier sweeps' writes are overwritten
+            lastf = (s == n_sweeps - 1).astype(jnp.float32)
+            lam_ref[:] = jnp.concatenate([
+                lam_new[0:3],
+                (lastf * cs[45:46]
+                 + (1.0 - lastf) * lam_new[3:4]),
+            ])
+        else:
+            lam_ref[:] = lam_new
 
         if integrate is not None:
             dt_i, renorm = integrate
@@ -533,8 +623,7 @@ def banded_sweeps(
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((4, cp), jnp.float32),
         ] + ([
-            pltpu.VMEM((wtot, cp), jnp.bfloat16),
-            pltpu.VMEM((wtot, cp), jnp.bfloat16),
+            pltpu.VMEM((wtot, 2 * cp), jnp.bfloat16),
         ] if persist_oh else []),
     )
     # scratch demand: two z tables + the λ table + streamed blocks. The
@@ -609,6 +698,7 @@ def banded_sweeps_fused(
         slop=cfg.penetration_slop,
         relaxation=cfg.contact_relaxation,
         use_split=use_split,
+        anchored=cfg.contact_rebuild > 1,
     )
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
                           warm_sweep=use_split, persist_oh=True,
@@ -637,8 +727,7 @@ def banded_sweeps_fused(
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((4, cp), jnp.float32),
-            pltpu.VMEM((wtot, cp), jnp.bfloat16),
-            pltpu.VMEM((wtot, cp), jnp.bfloat16),
+            pltpu.VMEM((wtot, 2 * cp), jnp.bfloat16),
             pltpu.VMEM((R_CONST, cp), jnp.float32),
         ],
     )
@@ -695,7 +784,7 @@ def _make_sweep1_kernel(tile, wtot, vel_on, pos_on, warm, deg_pass):
         cs = consts_ref[:]
         lam4 = lam_in_ref[:]                              # [4, TILE]
 
-        lam_new, ca, cb, oh_a, oh_b = _sweep_tile_math(
+        lam_new, cab, oh_ab = _sweep_tile_math(
             win, la, lb, cs, lam4, tile=tile, wtot=wtot,
             vel_on=jnp.float32(1.0 if vel_on else 0.0),
             pos_on=jnp.float32(1.0 if pos_on else 0.0),
@@ -703,8 +792,7 @@ def _make_sweep1_kernel(tile, wtot, vel_on, pos_on, warm, deg_pass):
             degf=jnp.float32(1.0 if deg_pass else 0.0))
 
         lam_out_ref[:] = lam_new
-        acc[:, pl.ds(start, wtot)] += _bscatter(ca, oh_a) + _bscatter(
-            cb, oh_b)
+        acc[:, pl.ds(start, wtot)] += _bscatter(cab, oh_ab)
 
         @pl.when(t == ntiles - 1)
         def _():
@@ -898,12 +986,15 @@ def _prep_consts_math(ga, gb, p, nrm, depth, fric, rest, actf, lam0,
     relax = jnp.float32(relaxation) * actf
 
     zero = jnp.zeros((tile,), jnp.float32)
+    # λ₀ masked by activity here (idempotent for the pre-masked callers;
+    # load-bearing for anchored refresh, where a slot can deactivate
+    # between rebuilds and must not re-apply its cached impulse)
     return jnp.stack(
         list(r_a) + list(r_b) + list(nrm) + list(t1) + list(t2)
         + [inv_k_n, inv_k_t1, inv_k_t2, v_target, bias, fric,
            relax, inv_m_a, inv_m_b]
         + list(iw_a) + list(iw_b)
-        + list(lam0)
+        + [l * actf for l in lam0]
         + [zero] * (R_CONST - 45)
     )                                                    # [48, TILE]
 
@@ -1341,9 +1432,17 @@ def solve_impulses_table(
             vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
             use_split=use_split, integrate=integrate,
         )
+        if cfg.contact_rebuild > 1:
+            # anchored refresh: depth/activity were re-derived in-kernel
+            # and ride lam row 3 — the table's CT_D/CT_ACT are the
+            # build-step values, stale between rebuilds
+            depth_act = lam4[3]
+            act_t = depth_act > 0.0
+        else:
+            depth_act = jnp.where(act, table[CT_D], 0.0)
+            act_t = act
         return _table_solve_outputs(
-            z, lam4, pq, jnp.where(act, table[CT_D], 0.0), act, keys,
-            order, n, fuse)
+            z, lam4, pq, depth_act, act_t, keys, order, n, fuse)
 
     if warm_rows is not None:
         lam0_n, lam0_t1, lam0_t2 = warm_rows[0], warm_rows[1], warm_rows[2]

@@ -185,6 +185,14 @@ class SimState:
     # engine.prepare_contacts(state, cfg) to allocate the right capacity
     contact_key: Array  # [K] int32
     contact_lam: Array  # [3, K] (xyz-major, see ops.narrowphase.Contacts)
+    # persistent anchored contact table (cfg.contact_rebuild > 1,
+    # ops/contact_table.py CT2 layout) + the frozen broad-phase body
+    # order + the last rebuild's overflow counters
+    # [pair_overflow, contact_overflow]. Empty when rebuilding every
+    # step — engine.prepare_contacts sizes them.
+    contact_table: Array  # [32, K] f32 (or [0, 0])
+    contact_order: Array  # [N] int32 (or [0])
+    contact_meta: Array   # [2] int32
 
     # bookkeeping
     step_count: Array   # [] int32
@@ -268,6 +276,9 @@ def make_state(
         hulls=hulls,
         contact_key=np.zeros((max(max_contacts, 0),), np.int32),
         contact_lam=np.zeros((3, max(max_contacts, 0)), np.float32),
+        contact_table=np.zeros((0, 0), np.float32),
+        contact_order=np.zeros((0,), np.int32),
+        contact_meta=np.zeros((2,), np.int32),
         step_count=np.zeros((), np.int32),
     )
     return jax.device_put(state)
