@@ -21,7 +21,9 @@ CHUNK = 120
 print("backend:", jax.default_backend(), "K:", K, "vf:", VF, flush=True)
 
 cfg = pile_config(N).replace(contact_iters=8, contact_rebuild=K,
-                             contact_rebuild_vel_factor=VF)
+                             contact_rebuild_vel_factor=VF,
+                             contact_refresh_iters=int(
+                                 os.environ.get("RIT", "0")))
 state = prepare_contacts(box_pile(N), cfg)
 
 
@@ -62,3 +64,15 @@ for k in ("pair_overflow", "contact_overflow", "band_overflow",
           "max_penetration", "contact_count"):
     if k in m:
         print(f"  {k}: {np.asarray(m[k])}", flush=True)
+
+if os.environ.get("TRACE") == "1":
+    from physics_tpu.utils.profiling import trace, summarize_trace
+    tdir = f"/tmp/trace_rebuild_k{K}"
+    with trace(tdir):
+        state, pen, cc = run(state)
+        _ = fence(state.pos)
+    summ = summarize_trace(tdir, top=24)
+    tot = sum(ms for ms, _ in summ.values())
+    print(f"device total {tot/CHUNK:.3f} ms/step", flush=True)
+    for src, (ms, cnt) in summ.items():
+        print(f"  {ms/CHUNK*1000:8.1f} us x{cnt/CHUNK:6.2f} {src[:86]}", flush=True)

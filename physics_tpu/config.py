@@ -186,6 +186,13 @@ class SimConfig:
     # K−1 steps past discovery. Settled piles stay under it (refresh
     # dominates); drops rebuild every step (full physics). 0 disables.
     contact_rebuild_vel_factor: float = 2.0
+    # shorter solve schedule on REFRESH steps (contact_rebuild > 1
+    # only): the warm start there is slot-exact and geometry moved one
+    # step, so warm PGS re-converges in fewer sweeps than a rebuild
+    # step needs. 0 = same as contact_iters (single shared kernel);
+    # > 0 compiles a second solve kernel with this velocity-sweep
+    # count for the refresh branch.
+    contact_refresh_iters: int = 0
     # single-pass bf16 z-table movement in the banded solve kernels: the
     # per-sweep endpoint gathers and delta scatters use ONE bf16 matmul
     # instead of the exact hi/lo split pair — halving the solve kernel's

@@ -48,17 +48,23 @@ def integrate_velocities(state: SimState, cfg: SimConfig) -> SimState:
     else:
         vel = state.vel + state.force * (state.inv_mass[:, None] * dt)
         rot = quat.to_matrix(state.quat)
-        inv_inertia_w = jnp.einsum(
-            "nij,njk,nlk->nil", rot, state.inv_inertia, rot
-        )
+
+        def mv(m, v):
+            # [N,3,3]·[N,3] as broadcast mul+sum: XLA lowers tiny
+            # batched 3×3 matmuls poorly on TPU (measured 34 µs/step at
+            # 4k bodies for the R·I⁻¹·Rᵀ sandwich); the matvec chain
+            # R·(I⁻¹·(Rᵀ·τ)) is pure elementwise VPU work
+            return jnp.sum(m * v[:, None, :], axis=-1)
+
+        def mtv(m, v):
+            return jnp.sum(m * v[:, :, None], axis=-2)
+
         torque = state.torque
         if cfg.gyroscopic:
-            inertia_w = jnp.einsum("nij,njk,nlk->nil", rot, state.inertia, rot)
-            l_w = jnp.einsum("nij,nj->ni", inertia_w, state.omega)
+            l_w = mv(rot, mv(state.inertia, mtv(rot, state.omega)))
             torque = torque - jnp.cross(state.omega, l_w)
-        omega = state.omega + jnp.einsum(
-            "nij,nj->ni", inv_inertia_w, torque * dt
-        )
+        omega = state.omega + mv(
+            rot, mv(state.inv_inertia, mtv(rot, torque * dt)))
         if cfg.max_velocity > 0.0:
             vel = jnp.clip(vel, -cfg.max_velocity, cfg.max_velocity)
             omega = jnp.clip(omega, -cfg.max_velocity, cfg.max_velocity)

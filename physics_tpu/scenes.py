@@ -126,6 +126,13 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # should keep the guard (default 2.0) or contact_rebuild=1.
         contact_rebuild=4,
         contact_rebuild_vel_factor=0.0,
+        # refresh steps re-converge the slot-exact warm start in 4
+        # sweeps (vel AND split-impulse pos — the kernel grid is
+        # max(vel, pos) + 1): 6.08 → 7.25M body-steps/s at the same
+        # envelope/overflow; 3 sweeps starts overflowing the table
+        # (16 drops), 2 degrades the envelope to 0.64 — rejected
+        # (experiments/rebuild_bench.py RIT=…, round 4)
+        contact_refresh_iters=4,
         max_contacts_per_pair=4,
         max_contacts=6 * n_bodies,
         contact_iters=16,

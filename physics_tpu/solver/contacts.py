@@ -1027,13 +1027,42 @@ def _resolve_contacts_table(
                 vmax * jnp.float32(cfg.dt * cfg.contact_rebuild)
                 > jnp.float32(cfg.contact_rebuild_vel_factor
                               * cfg.penetration_slop))
-        table, body_order, geom, warm_rows, ovf = jax.lax.cond(
-            pred, _rebuild, _refresh, state)
-        vel, omega, pvel, pomega, lam3, solve_metrics, keys, posquat = (
-            solve_impulses_table(state, table, cfg, body_order,
-                                 warm_rows=warm_rows, geom=geom,
-                                 fuse=fuse)
-        )
+        r_it = cfg.contact_refresh_iters
+        if 0 < r_it < cfg.contact_iters:
+            # refresh steps run a SHORTER sweep schedule: the warm start
+            # is slot-exact (same contacts, λ carried) and geometry
+            # moved one step, so warm PGS re-converges in a few sweeps.
+            # The solve moves inside both cond branches (each compiles
+            # its own kernel; the rebuild branch keeps the full
+            # schedule). Envelope re-measured on adoption — see
+            # scenes.pile_config.
+            def _with_solve(mk, c2):
+                def br(st):
+                    table_r, order, geom_r, warm_r, ovf_r = mk(st)
+                    out = solve_impulses_table(
+                        st, table_r, c2, order, warm_rows=warm_r,
+                        geom=geom_r, fuse=fuse)
+                    return out, (table_r, order, ovf_r)
+                return br
+
+            # the kernel's sweep count is max(vel, pos) + 1 — both
+            # schedules must shrink or the grid doesn't
+            refresh_cfg = cfg.replace(
+                contact_iters=r_it,
+                position_iters=min(cfg.position_iters, r_it))
+            (vel, omega, pvel, pomega, lam3, solve_metrics, keys,
+             posquat), (table, body_order, ovf) = jax.lax.cond(
+                pred,
+                _with_solve(_rebuild, cfg),
+                _with_solve(_refresh, refresh_cfg),
+                state)
+        else:
+            table, body_order, geom, warm_rows, ovf = jax.lax.cond(
+                pred, _rebuild, _refresh, state)
+            vel, omega, pvel, pomega, lam3, solve_metrics, keys, \
+                posquat = solve_impulses_table(
+                    state, table, cfg, body_order, warm_rows=warm_rows,
+                    geom=geom, fuse=fuse)
         metrics = {
             "pair_overflow": ovf[0],
             "contact_overflow": ovf[1],

@@ -22,7 +22,9 @@ from tests.test_contact_table import CFG_TABLE
 
 CFG_K1 = CFG_TABLE.replace(fuse_prep=True, dt=1.0 / 120.0,
                            contact_iters=8)
-CFG_K4 = CFG_K1.replace(contact_rebuild=4)
+# production shape: shorter refresh schedule (second solve kernel in
+# the cond's refresh branch — scenes.pile_config ships this)
+CFG_K4 = CFG_K1.replace(contact_rebuild=4, contact_refresh_iters=4)
 
 
 def _drop_stack(n=24, seed=5):
