@@ -36,6 +36,14 @@ if os.environ.get("TABLE") == "1":
     cfg = cfg.replace(contact_table=True, bp_inkernel=True,
                       bucket_block=128, fuse_prep=True,
                       fuse_integrate=True)
+# REBUILD=K: persistent anchored contacts on the packed path (table
+# kernel every K-th step; VF/RIT as in experiments/rebuild_bench.py)
+if int(os.environ.get("REBUILD", "1")) > 1:
+    cfg = cfg.replace(
+        contact_rebuild=int(os.environ["REBUILD"]),
+        contact_rebuild_vel_factor=float(os.environ.get("VF", "2.0")),
+        contact_refresh_iters=int(os.environ.get("RIT", "0")),
+        z_bf16=os.environ.get("ZBF", "1") == "1")
 packed = prepare_contacts(pack_envs(batched), cfg)
 print("contact capacity:", packed.contact_key.shape[0], flush=True)
 

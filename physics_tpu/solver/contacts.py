@@ -623,16 +623,21 @@ def table_path(state: SimState, cfg: SimConfig) -> bool:
 
 def anchored_path(state: SimState, cfg: SimConfig) -> bool:
     """True when contact_rebuild > 1 actually engages the persistent
-    anchored-contact pipeline: the BOX contact-table path with fuse_prep
-    on the bucketed sweep broad phase (no bp_inkernel — the rebuild
-    branch builds candidates in XLA so they can be carried, no hull
-    table yet). Anywhere else the engine rebuilds every step — full
-    physics, just without the amortization (prepare_contacts warns).
-    Static: cfg + shapes only."""
-    return (cfg.contact_rebuild > 1 and cfg.fuse_prep
-            and not cfg.bp_inkernel and cfg.broadphase == "sweep"
+    anchored-contact pipeline: the BOX contact-table path with
+    fuse_prep, on either the bucketed sweep broad phase (no bp_inkernel
+    — the rebuild branch builds candidates in XLA) or the env_blocks
+    packed-env broad phase (identity order, in-kernel candidates; the
+    whole table kernel amortizes over K steps). No hull table yet.
+    Anywhere else the engine rebuilds every step — full physics, just
+    without the amortization (prepare_contacts warns). Static: cfg +
+    shapes only."""
+    if not (cfg.contact_rebuild > 1 and cfg.fuse_prep
             and table_path(state, cfg)
-            and not hull_table_path(state, cfg))
+            and not hull_table_path(state, cfg)):
+        return False
+    if cfg.broadphase == "env_blocks":
+        return True          # table_path already requires bp_inkernel
+    return cfg.broadphase == "sweep" and not cfg.bp_inkernel
 
 
 def hull_table_path(state: SimState, cfg: SimConfig) -> bool:
@@ -984,36 +989,46 @@ def _resolve_contacts_table(
         # delayed ≤ K−1 steps, everything else is exact per step.
         from physics_tpu.ops.contact_table import CT2_ROWS
 
-        assert not hulls and shard is None and cfg.fuse_prep \
-            and not cfg.bp_inkernel and cfg.broadphase == "sweep", \
+        assert not hulls and shard is None and cfg.fuse_prep, \
             "resolve_contacts normalization should make this unreachable"
         if (state.contact_table.shape != (CT2_ROWS, cp)
                 or state.contact_order.shape[0] != n or not use_warm):
             raise ValueError(
                 "cfg.contact_rebuild > 1 needs the persisted-table "
                 "buffers — call engine.prepare_contacts(state, cfg)")
+        # env_blocks packed envs: the body id IS the rank (identity
+        # order, no sorts); candidates derive in-kernel (bp_inkernel).
+        # The persisted contact_order stays the prepared arange — the
+        # geometry table and solve take order=None (no gather at all).
+        env_mode = cfg.broadphase == "env_blocks"
 
         def _rebuild(st):
-            order = sweep_order(st, body_aabbs(st))
+            if env_mode:
+                order, cand_r = None, None
+            else:
+                order = sweep_order(st, body_aabbs(st))
+                cand_r = pair_candidates(st, cfg)
             geom_r = unified_geom(st, cfg, order, hulls=False)
-            cand_r = pair_candidates(st, cfg)
             table_r, meta_r, warm_r = bucket_contact_table(
                 st, cand_r, cfg, order,
                 prev=(st.contact_key, st.contact_lam), geom=geom_r)
             m = meta_r[0].reshape(nb, 128)
+            win_ovf = (jnp.sum(m[:, 3]).astype(jnp.int32)
+                       if cand_r is None else cand_r.overflow)
             ovf = jnp.stack([
-                cand_r.overflow + jnp.sum(m[:, 2]).astype(jnp.int32),
+                win_ovf + jnp.sum(m[:, 2]).astype(jnp.int32),
                 jnp.sum(m[:, 0]).astype(jnp.int32),
             ])
-            return table_r, order, geom_r, warm_r, ovf
+            return table_r, st.contact_order if env_mode else order, \
+                geom_r, warm_r, ovf
 
         def _refresh(st):
-            order = st.contact_order
+            order = None if env_mode else st.contact_order
             geom_r = unified_geom(st, cfg, order, hulls=False)
             # slot-aligned warm start: last step's impulses, same slots
             warm_r = jnp.concatenate(
                 [st.contact_lam, jnp.zeros((5, cp), jnp.float32)])
-            return st.contact_table, order, geom_r, warm_r, \
+            return st.contact_table, st.contact_order, geom_r, warm_r, \
                 st.contact_meta
 
         pred = state.step_count % cfg.contact_rebuild == 0
@@ -1040,8 +1055,8 @@ def _resolve_contacts_table(
                 def br(st):
                     table_r, order, geom_r, warm_r, ovf_r = mk(st)
                     out = solve_impulses_table(
-                        st, table_r, c2, order, warm_rows=warm_r,
-                        geom=geom_r, fuse=fuse)
+                        st, table_r, c2, None if env_mode else order,
+                        warm_rows=warm_r, geom=geom_r, fuse=fuse)
                     return out, (table_r, order, ovf_r)
                 return br
 
@@ -1061,8 +1076,9 @@ def _resolve_contacts_table(
                 pred, _rebuild, _refresh, state)
             vel, omega, pvel, pomega, lam3, solve_metrics, keys, \
                 posquat = solve_impulses_table(
-                    state, table, cfg, body_order, warm_rows=warm_rows,
-                    geom=geom, fuse=fuse)
+                    state, table, cfg,
+                    None if env_mode else body_order,
+                    warm_rows=warm_rows, geom=geom, fuse=fuse)
         metrics = {
             "pair_overflow": ovf[0],
             "contact_overflow": ovf[1],

@@ -281,8 +281,6 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
     Requires persist_oh.
     """
     stage_off = 1
-    if prep is not None:
-        assert persist_oh, "fuse_prep requires persisted one-hots"
 
     def kernel(base_ref, *refs):
         if prep is not None:
@@ -293,7 +291,15 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
             else:
                 zout_ref, lam_ref, *scratch = refs
                 pq_ref = None
-            tab_read, tab_acc, lam_s, ohab_s, consts_s = scratch
+            if persist_oh:
+                tab_read, tab_acc, lam_s, ohab_s, consts_s = scratch
+            else:
+                # big-cp mode: the [wtot, 2·cp] one-hot scratch would
+                # blow VMEM — endpoints ride spare consts rows 46/47
+                # and each sweep rebuilds its tile's one-hots
+                # (iota-compare, the known ~60%-of-sweep VPU cost)
+                tab_read, tab_acc, lam_s, consts_s = scratch
+                ohab_s = None
         else:
             la_ref, lb_ref, consts_ref, z0_ref, *refs = refs
             tab_in_ref = warm_ref = geom_ref = consts_s = None
@@ -363,21 +369,34 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
                 # la/lb crashes Mosaic's layout assignment)
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (wtot, tile), 0)
-                ohab_s[:, pl.ds(coff2, tile)] = (
-                    row == la_k[None, :]).astype(jnp.bfloat16)
-                ohab_s[:, pl.ds(coff2b, tile)] = (
-                    row == lb_k[None, :]).astype(jnp.bfloat16)
-                oh_ab0 = ohab_s[:, pl.ds(coff2, 2 * tile)]
-
                 gwin = geom_ref[0:GEOM_ROWS, pl.ds(start, wtot)]
                 g_hi, g_lo = _split(gwin)
-                gg = jax.lax.dot_general(
-                    g_hi, oh_ab0, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                gg = gg + jax.lax.dot_general(
-                    g_lo, oh_ab0, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [24, 2T]
-                ga_p, gb_p = gg[:, :tile], gg[:, tile:]
+                if persist_oh:
+                    ohab_s[:, pl.ds(coff2, tile)] = (
+                        row == la_k[None, :]).astype(jnp.bfloat16)
+                    ohab_s[:, pl.ds(coff2b, tile)] = (
+                        row == lb_k[None, :]).astype(jnp.bfloat16)
+                    oh_ab0 = ohab_s[:, pl.ds(coff2, 2 * tile)]
+                    gg = jax.lax.dot_general(
+                        g_hi, oh_ab0, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    gg = gg + jax.lax.dot_general(
+                        g_lo, oh_ab0, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [24, 2T]
+                    ga_p, gb_p = gg[:, :tile], gg[:, tile:]
+                else:
+                    oh_a0 = (row == la_k[None, :]).astype(jnp.bfloat16)
+                    oh_b0 = (row == lb_k[None, :]).astype(jnp.bfloat16)
+
+                    def ggather(oh1):
+                        g1 = jax.lax.dot_general(
+                            g_hi, oh1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        return g1 + jax.lax.dot_general(
+                            g_lo, oh1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    ga_p, gb_p = ggather(oh_a0), ggather(oh_b0)
 
                 if prep.get("anchored"):
                     # persistent anchored contacts: re-derive
@@ -437,20 +456,32 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
                     slop=prep["slop"],
                     relaxation=prep["relaxation"],
                     use_split=prep["use_split"])
+                ii = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_CONST, tile), 0)
                 if prep.get("anchored"):
                     # refreshed depth·activity rides spare consts row 45
                     # → emitted as lam row 3 at the final sweep (the
                     # caller's penetration/count metrics stay FRESH
                     # between rebuilds; λ_b itself is never consumed)
-                    ii = jax.lax.broadcasted_iota(
-                        jnp.int32, (R_CONST, tile), 0)
                     consts0 = jnp.where(ii == 45, d_t * actf_t,
                                         consts0)
+                if not persist_oh:
+                    # endpoints persist in spare consts rows 46/47 —
+                    # later sweeps rebuild their one-hots from these
+                    consts0 = jnp.where(
+                        ii == 46, la_k.astype(jnp.float32), consts0)
+                    consts0 = jnp.where(
+                        ii == 47, lb_k.astype(jnp.float32), consts0)
                 consts_s[:, pl.ds(coff, tile)] = consts0
 
-            la = lb = None
             cs = consts_s[:, pl.ds(coff, tile)]          # [R_CONST, TILE]
-            oh = ohab_s[:, pl.ds(coff2, 2 * tile)]
+            if persist_oh:
+                la = lb = None
+                oh = ohab_s[:, pl.ds(coff2, 2 * tile)]
+            else:
+                la = cs[46].astype(jnp.int32)
+                lb = cs[47].astype(jnp.int32)
+                oh = None
         else:
             la = la_ref[0, 0, :]
             lb = lb_ref[0, 0, :]
@@ -700,8 +731,17 @@ def banded_sweeps_fused(
         use_split=use_split,
         anchored=cfg.contact_rebuild > 1,
     )
+    # persisted one-hots cost [wtot, 2·cp] bf16 of VMEM — past ~48 MB
+    # (packed 4096×8 envs, 16k+ piles) fall back to per-sweep
+    # iota-compare rebuilds from endpoints stashed in consts rows 46/47.
+    # PHYSICS_TPU_OH_BUDGET overrides the byte budget (tests set 0 to
+    # force the fallback at small shapes)
+    import os as _os
+
+    persist_oh = 2 * wtot * cp * 2 <= int(
+        _os.environ.get("PHYSICS_TPU_OH_BUDGET", 48 * 1024 * 1024))
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
-                          warm_sweep=use_split, persist_oh=True,
+                          warm_sweep=use_split, persist_oh=persist_oh,
                           integrate=integrate, prep=prep,
                           lowp=cfg.z_bf16)
 
@@ -727,12 +767,13 @@ def banded_sweeps_fused(
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((4, cp), jnp.float32),
-            pltpu.VMEM((wtot, 2 * cp), jnp.bfloat16),
+        ] + ([pltpu.VMEM((wtot, 2 * cp), jnp.bfloat16)]
+             if persist_oh else []) + [
             pltpu.VMEM((R_CONST, cp), jnp.float32),
         ],
     )
     scratch_bytes = ((2 * Z_ROWS * npad + 4 * cp + R_CONST * cp) * 4
-                     + 2 * wtot * cp * 2
+                     + (2 * wtot * cp * 2 if persist_oh else 0)
                      + (8 * npad * 4 if integrate is not None else 0))
     block_bytes = ((trows + 8 + 4) * tile) * 4 * 2
     needed = int((scratch_bytes + block_bytes + 48 * npad * 4) * 1.25)

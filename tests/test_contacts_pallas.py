@@ -182,3 +182,49 @@ def test_z_bf16_restitution_guard():
     with _w.catch_warnings():
         _w.simplefilter("error")
         prepare_contacts(scene(0.0), cfg)
+
+
+def test_fused_prep_no_persist_oh_parity(monkeypatch):
+    """fuse_prep with the one-hot scratch DISABLED (big-cp VMEM
+    fallback: endpoints stashed in consts rows 46/47, per-sweep
+    iota-compare rebuild) must match the persisted-scratch kernel
+    bitwise — same math, different op placement is not allowed here
+    because both read the same f32 windows."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os, sys
+import numpy as np
+import jax
+sys.path.insert(0, "/root/repo")
+from physics_tpu.engine import prepare_contacts, rollout
+from physics_tpu.io.meshes import box_inertia
+from physics_tpu.scene import SceneBuilder
+from tests.test_contact_table import CFG_TABLE
+
+cfg = CFG_TABLE.replace(fuse_prep=True, fuse_integrate=True,
+                        contact_iters=6, dt=1.0 / 120.0)
+b = SceneBuilder()
+rng = np.random.default_rng(3)
+for k in range(12):
+    pos = (np.array([(k % 4) * 1.2, 0.55 + (k // 4) * 1.1, 0.0])
+           + rng.uniform(-0.05, 0.05, 3))
+    i = b.add_body(pos=pos, inertia=box_inertia((0.5,) * 3, 1.0))
+    b.set_box(i, (0.5,) * 3, friction=0.5)
+state = prepare_contacts(b.build(), cfg)
+final, _ = rollout(state, cfg, num_steps=30)
+np.save(os.environ["OUT"], np.asarray(final.pos))
+"""
+    outs = {}
+    for name, budget in (("persist", None), ("fallback", "0")):
+        env = dict(__import__("os").environ)
+        env["OUT"] = f"/tmp/ohp_{name}.npy"
+        env["JAX_PLATFORMS"] = "cpu"
+        if budget is not None:
+            env["PHYSICS_TPU_OH_BUDGET"] = budget
+        subprocess.run([sys.executable, "-c", code], env=env, check=True)
+        outs[name] = np.load(f"/tmp/ohp_{name}.npy")
+    assert np.all(np.isfinite(outs["fallback"]))
+    np.testing.assert_allclose(outs["persist"], outs["fallback"],
+                               atol=1e-6)

@@ -176,3 +176,44 @@ def test_packed_pallas_solver():
         np.asarray(sj.pos), np.asarray(sp.pos), atol=2e-4)
     # all envs landed on/above the ground
     assert float(jnp.min(sp.pos[:, 1])) > 0.0
+
+
+def test_packed_anchored_rebuild():
+    """Packed envs through the persistent anchored pipeline
+    (contact_rebuild > 1 on env_blocks: identity order, in-kernel
+    candidates; the whole table kernel runs every K-th step). With the
+    motion guard active the drop phase rebuilds per step; K=4 must
+    track K=1 through drop+settle and keep fresh metrics."""
+    from physics_tpu.engine import step_with_metrics
+    from physics_tpu.solver.contacts import anchored_path
+
+    e, k = 16, 8
+    batched = _batched(e, k)
+    cfg1 = SimConfig(
+        ground_plane=True, pair_collisions=True, boxes_only=True,
+        contact_iters=8, broadphase="env_blocks", env_block_size=k,
+        contact_solver="pallas_banded", pallas_tile=128,
+        pallas_window=256, max_contacts=48 * e,
+        contact_table=True, bp_inkernel=True, bucket_block=128,
+        fuse_prep=True, fuse_integrate=True,
+    )
+    cfg4 = cfg1.replace(contact_rebuild=4, contact_refresh_iters=4)
+    packed = pack_envs(batched)
+    assert anchored_path(packed, cfg4)
+    s1 = prepare_contacts(packed, cfg1)
+    s4 = prepare_contacts(packed, cfg4)
+    assert s4.contact_table.shape[0] == 32
+    stepm = jax.jit(step_with_metrics, static_argnums=1)
+    for _ in range(30):
+        s1, m1 = stepm(s1, cfg1)
+        s4, m4 = stepm(s4, cfg4)
+    assert np.all(np.isfinite(np.asarray(s4.pos)))
+    err = float(np.max(np.abs(np.asarray(s1.pos) - np.asarray(s4.pos))))
+    # the guard disengages once global max|v| < 2·slop/(dt·K) ≈ 0.15;
+    # contacts formed inside a refresh window are discovered ≤ 3 steps
+    # late → bounded sub-cm drift (0.15·3·dt ≈ 8 mm), not equality
+    assert err < 2e-2, err
+    c1, c4 = int(m1["contact_count"]), int(m4["contact_count"])
+    assert abs(c4 - c1) <= max(2, c1 // 20), (c1, c4)
+    assert int(m4["pair_overflow"]) == 0
+    assert int(m4["contact_overflow"]) == 0
