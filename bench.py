@@ -119,11 +119,20 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1,
         state = run(state)
     _fence(state.pos)
 
+    sc0 = int(jax.device_get(state.step_count))
     t0 = time.perf_counter()
     for _ in range(timed_chunks):
         state = run(state)
     _fence(state.pos)
     dt = time.perf_counter() - t0
+    # state-progress assertion: the tunnel backend has been observed to
+    # return from cached executions early (see _fence); step_count is
+    # carried in-state, so if the timed window's compute didn't actually
+    # run, the counter won't have advanced and the wall number is a lie.
+    sc1 = int(jax.device_get(state.step_count))
+    assert sc1 - sc0 == timed_chunks * CHUNK, (
+        f"timed window did not advance the state: step_count {sc0}->{sc1}, "
+        f"expected +{timed_chunks * CHUNK} (tunnel memoization hazard)")
     sps = timed_chunks * CHUNK / dt
     wall_ms = 1e3 / sps
 
