@@ -97,17 +97,11 @@ def bench_pile(n_bodies: int, settle_chunks: int = 1,
     cfg = pile_config(n_bodies).replace(
         contact_iters=8, contact_solver="pallas_banded"
     )
-    if n_bodies > 24576:
-        # beyond ~24k bodies the everything-resident fused kernel's VMEM
-        # scratch (one-hots [wtot, 2·6N] bf16 + consts [48, 6N] f32)
-        # exceeds the chip's 128 MB — ride the HBM-streaming pipeline
-        # (standalone prep kernel, per-sweep consts streaming, one-hots
-        # auto-gated by banded_sweeps' 48 MB budget). The anchored
-        # rebuild requires the fused prep, so it drops too. Scaling past
-        # this is the row-sharded multi-chip path's job (8 × 8k keeps
-        # every shard fused).
-        cfg = cfg.replace(fuse_prep=False, fuse_integrate=False,
-                          contact_rebuild=1)
+    # beyond ~24k bodies the everything-resident fused kernel would
+    # overflow VMEM; solve_chunks=0 (auto) streams the solve in
+    # sequential bucket-range passes instead, keeping fuse_prep + the
+    # anchored rebuild at every scale (round-5 streaming grid,
+    # contacts_pallas.pick_solve_chunks)
     state = prepare_contacts(state, cfg)
     run = make_chunk_runner(cfg)
 

@@ -205,6 +205,16 @@ class SimConfig:
     # engine.prepare_contacts: restitution > 0.25 anywhere in the scene
     # refuses outright, any restitution > 0 warns — never silent.
     z_bf16: bool = False
+    # streaming fused solve: split the solve kernel's bucket-tile range
+    # into this many sequential passes, each keeping only ITS
+    # consts/one-hot/λ scratch in VMEM (the z table stays resident
+    # across passes). Breaks the everything-resident VMEM ceiling
+    # (~24k bodies) so large scenes keep fuse_prep + the anchored
+    # rebuild. Chunks run block-Gauss-Seidel (later passes see earlier
+    # passes' converged velocities); 1 = single pass (pure Jacobi,
+    # today's kernel), 0 = auto (smallest pass count whose per-pass
+    # scratch fits the VMEM budget — 1 at ≤ 24k bodies).
+    solve_chunks: int = 0
 
     # --- integrator extras (non-compat mode) ---
     renormalize_quat: bool = True

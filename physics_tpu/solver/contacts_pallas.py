@@ -244,10 +244,22 @@ def _bscatter(cmat, oh, lowp=False):
 
 def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
                  persist_oh=False, integrate=None, prep=None,
-                 lowp=False):
+                 lowp=False, nchunks=1, ntpc_static=None):
     """Kernel body closure over the static solve shape.
 
-    Grid is (n_sweeps, ntiles). Sweep s=0 is a combined pre-pass: it
+    Grid is (n_sweeps, ntiles), or (nchunks, n_sweeps, ntiles_per_chunk)
+    when `nchunks > 1` — the STREAMING mode that breaks the
+    everything-resident VMEM ceiling (~24k bodies, VERDICT round 4):
+    bucket ranges run the full sweep schedule sequentially, so only one
+    range's consts/one-hots/λ live in VMEM at a time while the z table
+    (16·npad f32 — small even at 65k) stays resident across all chunks.
+    Later chunks read earlier chunks' converged velocities (windows
+    extend forward only), i.e. the schedule is block-Gauss-Seidel over
+    chunks with pure Jacobi sweeps inside each chunk — at least as
+    contractive as plain Jacobi, and sweep-for-sweep identical to it
+    when nchunks == 1.
+
+    Sweep s=0 is a combined pre-pass: it
     scatters each active contact's endpoint count into z-table row 14 (so
     the Jacobi relaxation 1/deg is computed in-kernel — the per-sweep
     endpoint gathers read the deg row for free, it rides the same matmul)
@@ -281,6 +293,11 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
     Requires persist_oh.
     """
     stage_off = 1
+    # chunked snapshot span: ntpc·128 ranks + the forward window. wtot
+    # is a multiple of 128, so chunk_base + span ≤ npad exactly at the
+    # last chunk (npad = round_up(n, 128) + wtot, ops/contact_table.
+    # geom_pad)
+    chunk_span = (ntpc_static * 128 + wtot) if ntpc_static else None
 
     def kernel(base_ref, *refs):
         if prep is not None:
@@ -313,10 +330,21 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
             else:
                 tab_read, tab_acc, lam_s = scratch
                 ohab_s = None
-        s, t = pl.program_id(0), pl.program_id(1)
-        ntiles = pl.num_programs(1)
+        if nchunks > 1:
+            c, s, t = (pl.program_id(0), pl.program_id(1),
+                       pl.program_id(2))
+            ntpc = pl.num_programs(2)
+            gt = c * ntpc + t          # global tile id (bases, lam out)
+            is_first = (c == 0) & (s == 0) & (t == 0)
+            is_last = ((c == nchunks - 1) & (s == n_sweeps - 1)
+                       & (t == ntpc - 1))
+        else:
+            s, t = pl.program_id(0), pl.program_id(1)
+            gt = t
+            is_first = (s == 0) & (t == 0)
+            is_last = (s == n_sweeps - 1) & (t == pl.num_programs(1) - 1)
 
-        @pl.when((s == 0) & (t == 0))
+        @pl.when(is_first)
         def _():
             if prep is not None:
                 # z0 built in-kernel: rows 0:6 = vel/omega straight off
@@ -329,7 +357,18 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
 
         @pl.when(t == 0)
         def _():
-            tab_read[:] = tab_acc[:]
+            if nchunks > 1:
+                # per-sweep Jacobi snapshot, restricted to THIS chunk's
+                # rank span (its tiles' windows never read outside
+                # [chunk_base, chunk_base + ntpc·128 + wtot)) — the
+                # full-npad copy made snapshot cost scale with
+                # chunks × sweeps × npad (measured 9.06 vs 9.48M at 65k
+                # for 16 vs 2 chunks before this restriction)
+                cb = pl.multiple_of(c * (ntpc_static * 128), 128)
+                tab_read[:, pl.ds(cb, chunk_span)] = (
+                    tab_acc[:, pl.ds(cb, chunk_span)])
+            else:
+                tab_read[:] = tab_acc[:]
 
         coff = pl.multiple_of(t * tile, 128)
 
@@ -337,7 +376,7 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
         def _():
             lam_s[:, pl.ds(coff, tile)] = jnp.zeros((4, tile), jnp.float32)
 
-        start = pl.multiple_of(base_ref[t], 128)
+        start = pl.multiple_of(base_ref[gt], 128)
         win = tab_read[:, pl.ds(start, wtot)]                # [16, WTOT]
 
         i = s - stage_off
@@ -579,7 +618,7 @@ def _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters, warm_sweep,
                     [px, py, pz, q2[0], q2[1], q2[2], q2[3],
                      jnp.zeros_like(px)])
 
-        @pl.when((s == n_sweeps - 1) & (t == ntiles - 1))
+        @pl.when(is_last)
         def _():
             zout_ref[:] = tab_acc[:]
 
@@ -708,6 +747,7 @@ def banded_sweeps_fused(
     use_split: bool,
     integrate: Tuple[float, bool] | None = None,
     interpret: bool | None = None,
+    chunks: int = 1,
 ) -> Tuple[Array, Array, Array | None]:
     """cfg.fuse_prep solve: ONE kernel from contact table to solved
     (and optionally integrated) state. Sweep 0 builds endpoints/one-hots/
@@ -715,7 +755,14 @@ def banded_sweeps_fused(
     la/lb/consts/z0/posq arrays exist in HBM, and nothing but the z
     output streams back per sweep. The table/warm blocks use collapsing
     index maps (block t at sweep 0, block 0 after) so they stream from
-    HBM exactly once. Table path only (bases = t·128)."""
+    HBM exactly once. Table path only (bases = t·128).
+
+    `chunks > 1` engages the STREAMING grid (see _make_kernel): the
+    tile range is split into `chunks` sequential bucket-range passes,
+    each running the full sweep schedule with only ITS consts/one-hot/λ
+    scratch resident — per-chunk VMEM is 1/chunks of the
+    everything-resident footprint, which is what lets 65k-body scenes
+    keep the fused prep (and with it the anchored rebuild)."""
     cp = table.shape[1]
     ntiles = cp // tile
     npad = geom.shape[1]
@@ -723,6 +770,9 @@ def banded_sweeps_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     trows = table.shape[0]
+    assert ntiles % chunks == 0, (ntiles, chunks)
+    ntpc = ntiles // chunks
+    cpc = cp // chunks
 
     prep = dict(
         baum_over_dt=cfg.baumgarte / cfg.dt,
@@ -731,28 +781,49 @@ def banded_sweeps_fused(
         use_split=use_split,
         anchored=cfg.contact_rebuild > 1,
     )
-    # persisted one-hots cost [wtot, 2·cp] bf16 of VMEM — past ~48 MB
-    # (packed 4096×8 envs, 16k+ piles) fall back to per-sweep
-    # iota-compare rebuilds from endpoints stashed in consts rows 46/47.
-    # PHYSICS_TPU_OH_BUDGET overrides the byte budget (tests set 0 to
-    # force the fallback at small shapes)
+    # persisted one-hots ([wtot, 2·cp/chunks] bf16 VMEM, rebuilt-once at
+    # sweep 0) were a round-3 win but are now a measured LOSS: with the
+    # bf16 z movement the per-sweep iota-compare rebuild no longer
+    # dominates, and the scratch crowds VMEM — v5e round 5: 4k pile
+    # 8.71M without vs 8.38M with; 16k 9.45M (c=1, no oh) vs 9.04M
+    # (c=4, oh). Default budget 0 = always rebuild per sweep (endpoints
+    # ride consts rows 46/47); PHYSICS_TPU_OH_BUDGET=<bytes> re-enables
+    # persistence for shapes under the budget.
     import os as _os
 
-    persist_oh = 2 * wtot * cp * 2 <= int(
-        _os.environ.get("PHYSICS_TPU_OH_BUDGET", 48 * 1024 * 1024))
+    persist_oh = 2 * wtot * cpc * 2 <= int(
+        _os.environ.get("PHYSICS_TPU_OH_BUDGET", 0))
     kernel = _make_kernel(tile, wtot, n_sweeps, vel_iters, pos_iters,
                           warm_sweep=use_split, persist_oh=persist_oh,
                           integrate=integrate, prep=prep,
-                          lowp=cfg.z_bf16)
+                          lowp=cfg.z_bf16, nchunks=chunks,
+                          ntpc_static=ntpc)
 
-    def once(s, t, b):
-        # stream each table/warm block exactly once (sweep 0); later
-        # sweeps revisit block 0, which Mosaic's pipeline skips re-fetching
-        return (0, jnp.where(s == 0, t, 0))
+    if chunks > 1:
+        def once(c, s, t, b):
+            # stream each table/warm block exactly once (its chunk's
+            # sweep 0); later sweeps revisit the chunk's first block,
+            # which Mosaic's pipeline skips re-fetching
+            return (0, jnp.where(s == 0, c * ntpc + t, c * ntpc))
+
+        def lam_idx(c, s, t, b):
+            return (0, c * ntpc + t)
+
+        grid = (chunks, n_sweeps, ntpc)
+    else:
+        def once(s, t, b):
+            # stream each table/warm block exactly once (sweep 0); later
+            # sweeps revisit block 0, which Mosaic skips re-fetching
+            return (0, jnp.where(s == 0, t, 0))
+
+        def lam_idx(s, t, b):
+            return (0, t)
+
+        grid = (n_sweeps, ntiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_sweeps, ntiles),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((trows, tile), once),
             pl.BlockSpec((8, tile), once),
@@ -760,20 +831,20 @@ def banded_sweeps_fused(
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile), lambda s, t, b: (0, t)),
+            pl.BlockSpec((4, tile), lam_idx),
         ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
              if integrate is not None else []),
         scratch_shapes=[
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
             pltpu.VMEM((Z_ROWS, npad), jnp.float32),
-            pltpu.VMEM((4, cp), jnp.float32),
-        ] + ([pltpu.VMEM((wtot, 2 * cp), jnp.bfloat16)]
+            pltpu.VMEM((4, cpc), jnp.float32),
+        ] + ([pltpu.VMEM((wtot, 2 * cpc), jnp.bfloat16)]
              if persist_oh else []) + [
-            pltpu.VMEM((R_CONST, cp), jnp.float32),
+            pltpu.VMEM((R_CONST, cpc), jnp.float32),
         ],
     )
-    scratch_bytes = ((2 * Z_ROWS * npad + 4 * cp + R_CONST * cp) * 4
-                     + (2 * wtot * cp * 2 if persist_oh else 0)
+    scratch_bytes = ((2 * Z_ROWS * npad + 4 * cpc + R_CONST * cpc) * 4
+                     + (2 * wtot * cpc * 2 if persist_oh else 0)
                      + (8 * npad * 4 if integrate is not None else 0))
     block_bytes = ((trows + 8 + 4) * tile) * 4 * 2
     needed = int((scratch_bytes + block_bytes + 48 * npad * 4) * 1.25)
@@ -798,6 +869,46 @@ def banded_sweeps_fused(
         return res
     z, lam4 = res
     return z, lam4, None
+
+
+def pick_solve_chunks(nb: int, cp: int, wtot: int, npad: int,
+                      cfg: SimConfig) -> int:
+    """Streaming-pass count for the fused solve (cfg.solve_chunks;
+    0 = auto). Auto picks the smallest divisor of `nb` whose per-pass
+    scratch (consts + λ + one-hots when they fit the persist budget)
+    plus the fixed residents (z tables, geometry, posq) fits the VMEM
+    budget, PREFERRING a pass count that lets the one-hots persist
+    (the per-sweep iota-compare rebuild is ~60% of a sweep's VPU work).
+    ≤ 24k-body scenes resolve to 1 — the everything-resident kernel,
+    bit-identical to rounds ≤ 4."""
+    import os as _os
+
+    if cfg.solve_chunks > 0:
+        c = min(cfg.solve_chunks, nb)
+        while nb % c:
+            c -= 1
+        return c
+    budget = int(_os.environ.get("PHYSICS_TPU_VMEM_BUDGET",
+                                 88 * 1024 * 1024))
+    oh_budget = int(_os.environ.get("PHYSICS_TPU_OH_BUDGET", 0))
+    # fixed residents: tab_read + tab_acc + zout ([16, npad] f32 each),
+    # geom [48, npad], posq out [8, npad] (+25% Mosaic slack, matching
+    # banded_sweeps_fused's `needed`)
+    fixed = (3 * Z_ROWS * npad + 48 * npad + 8 * npad) * 4
+
+    def fits(c):
+        cpc = cp // c
+        oh = 2 * wtot * cpc * 2
+        per = (R_CONST + 4) * cpc * 4 + (oh if oh <= oh_budget else 0)
+        return (fixed + per) * 1.25 <= budget
+    # FEWEST chunks wins (v5e-measured, round 5): 16k ran 9.45M at c=1
+    # (per-sweep iota one-hot rebuild) vs 9.04M at c=4 (persisted
+    # one-hots) — chunk-transition overhead outweighs the persisted
+    # one-hots' VPU savings, so chunking is purely a fit-in-VMEM tool
+    for c in (c for c in range(1, nb + 1) if nb % c == 0):
+        if fits(c):
+            return c
+    return nb
 
 
 def _make_sweep1_kernel(tile, wtot, vel_on, pos_on, warm, deg_pass):
@@ -1472,6 +1583,7 @@ def solve_impulses_table(
             tile=tile, wtot=wtot,
             vel_iters=cfg.contact_iters, pos_iters=n_pos_iters,
             use_split=use_split, integrate=integrate,
+            chunks=pick_solve_chunks(nb, cp, wtot, npad, cfg),
         )
         if cfg.contact_rebuild > 1:
             # anchored refresh: depth/activity were re-derived in-kernel

@@ -228,3 +228,39 @@ np.save(os.environ["OUT"], np.asarray(final.pos))
     assert np.all(np.isfinite(outs["fallback"]))
     np.testing.assert_allclose(outs["persist"], outs["fallback"],
                                atol=1e-6)
+
+
+def test_streaming_chunked_solve_matches_single_pass():
+    """cfg.solve_chunks > 1 (the round-5 streaming fused grid that breaks
+    the ~24k-body everything-resident VMEM ceiling) runs the same sweep
+    schedule as block-Gauss-Seidel over sequential bucket-range passes.
+    On a multi-bucket pile one cold step must agree with the single-pass
+    kernel to coupling tolerance (chunks only interact through the
+    forward window overlap), the contact table itself must be identical
+    (chunking never touches the table kernel), and a short chunked
+    rollout must stay finite."""
+    import numpy as np
+
+    from physics_tpu.engine import prepare_contacts, step_with_metrics
+    from physics_tpu.scenes import box_pile, pile_config
+
+    n = 384                      # 3 buckets -> 3 single-bucket chunks
+    state = box_pile(n, x_aspect=16.0)
+    base = pile_config(n).replace(contact_iters=8, contact_rebuild=1,
+                                  contact_refresh_iters=0)
+    c1 = base.replace(solve_chunks=1)
+    c3 = base.replace(solve_chunks=3)
+    stepj = jax.jit(step_with_metrics, static_argnums=1)
+    o1, m1 = stepj(prepare_contacts(state, c1), c1)
+    o3, m3 = stepj(prepare_contacts(state, c3), c3)
+    assert int(m1["contact_count"]) == int(m3["contact_count"])
+    assert int(m3["contact_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(o1.pos), np.asarray(o3.pos),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(o1.vel), np.asarray(o3.vel),
+                               atol=1e-2)
+    s = o3
+    for _ in range(5):
+        s, _ = stepj(s, c3)
+    assert np.all(np.isfinite(np.asarray(s.pos)))
+    assert np.all(np.isfinite(np.asarray(s.vel)))
