@@ -33,11 +33,11 @@ def main():
         _pair_contacts_hulls_fast,
         hull_obb_prefilter,
     )
-    from physics_tpu.scenes import mesh_rain, rain_config
+    from physics_tpu.scenes import mesh_rain, rain_xla_config
     from physics_tpu.solver.contacts import concat_contacts
 
     state = mesh_rain(n)
-    cfg_x = rain_config(n)
+    cfg_x = rain_xla_config(n)
     cfg_t = cfg_x.replace(pair_buckets=True, bucket_block=128,
                           contact_table=True, hull_table=True,
                           bucket_cap2=512)

@@ -26,11 +26,11 @@ def main():
     from physics_tpu.ops.broadphase import body_aabbs, pair_candidates, sweep_order
     from physics_tpu.ops.contact_table import table_keys_scalar, unified_geom
     from physics_tpu.ops.hull_table import bucket_hull_contact_table
-    from physics_tpu.scenes import mesh_rain, rain_config
+    from physics_tpu.scenes import mesh_rain, rain_xla_config
     from physics_tpu.solver.contacts import hull_table_path
 
     state = mesh_rain(n)
-    cfg_x = rain_config(n)
+    cfg_x = rain_xla_config(n)
     cfg_t = cfg_x.replace(
         pair_buckets=True, bucket_block=128, contact_table=True,
         hull_table=True, bucket_cap2=int(os.environ.get("CAP2", "512")),

@@ -40,7 +40,14 @@ def main():
     chunks = int(os.environ.get("RAIN_CHUNKS", "5"))
     log(f"devices: {jax.devices()}")
     state = mesh_rain(n)
-    cfg = rain_config(n)
+    # rain_config is now the production hull-table + anchored pipeline
+    # (round 5); RAIN_XLA=1 selects the pre-table generic path for A/Bs
+    if os.environ.get("RAIN_XLA"):
+        from physics_tpu.scenes import rain_xla_config
+
+        cfg = rain_xla_config(n)
+    else:
+        cfg = rain_config(n)
     # capacity/precision A-B knobs (multipliers of N, see BASELINE.md)
     import dataclasses
 
@@ -63,6 +70,15 @@ def main():
                     bucket_cap2=int(os.environ.get("RAIN_CAP2", "512")))
     if os.environ.get("RAIN_FUSE"):
         over.update(fuse_prep=True, fuse_integrate=True)
+    if os.environ.get("RAIN_SW"):
+        over["sweep_window"] = int(os.environ["RAIN_SW"])
+    if os.environ.get("RAIN_REBUILD"):
+        # anchored hull contacts (round 5): K-step rebuild + refresh
+        over.update(contact_rebuild=int(os.environ["RAIN_REBUILD"]),
+                    contact_refresh_iters=int(
+                        os.environ.get("RAIN_RIT", "4")),
+                    contact_rebuild_vel_factor=float(
+                        os.environ.get("RAIN_VF", "0.0")))
     if over:
         cfg = dataclasses.replace(cfg, **over)
         log(f"rain[{n}]: overrides {over}")

@@ -313,9 +313,9 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
             import warnings
 
             warnings.warn(
-                "cfg.contact_rebuild > 1 has no effect here (needs the "
-                "unsharded box contact-table path with fuse_prep on the "
-                "bucketed sweep broad phase; see "
+                "cfg.contact_rebuild > 1 has no effect here (needs an "
+                "unsharded contact-table path — box or hull — with "
+                "fuse_prep on the bucketed sweep broad phase; see "
                 "solver.contacts.anchored_path) — rebuilding contacts "
                 "every step", stacklevel=2)
     return state.replace(

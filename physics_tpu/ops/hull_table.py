@@ -70,6 +70,7 @@ from physics_tpu.ops.contact_table import (
     CT_KS,
     CT_KSGN,
     CT_ROWS,
+    CT2_ROWS,
     GEOM_ROWS,
     _KS_LIMIT,
     _exclusive_prefix,
@@ -286,14 +287,20 @@ def _argmax2d(x):
 
 
 def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
-                      mosaic=True, warm=False, cap2=0):
+                      mosaic=True, warm=False, cap2=0, anchors=False):
     """One grid step = one rank bucket: OBB prefilter → hull SAT →
     top-k emit → vertex ground contacts → compaction (+ warm match).
 
     Mirrors ops/contact_table._make_ct_kernel's bucket contract exactly
     (output rows, meta columns, warm rows) so the banded solve and the
     table-path plumbing are shared; only the narrow-phase body differs.
-    """
+
+    `anchors` (cfg.contact_rebuild > 1) emits the CT2_ROWS table with
+    per-contact BODY-FRAME anchors (rows CT_AAX..CT_NLOC, same layout
+    and conventions as the box kernel) so the fused solve's anchored
+    refresh re-derives point/normal/depth between rebuilds — anchors
+    are shape-agnostic (a contact point and normal), which is what lets
+    hulls share the solve kernel's refresh math unchanged."""
     f, fp, vcap = dm.f, dm.fp, dm.vcap
     d2p, e, e2p = dm.d2p, dm.e, dm.e2p
     cap_sl = 2 * e                        # clip slots
@@ -314,17 +321,22 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
     FBIAS, EBIAS, VBIAS = 0, fp, fp + e2p
 
     def kernel(*args):
-        (la_ref, lb_ref, geom_ref, c16_ref, c32_ref, c88_ref, c48_ref,
-         c80_ref, cb_ref, v3_ref, *refs) = args
+        (base_ref, la_ref, lb_ref, geom_ref, c16_ref, c32_ref, c88_ref,
+         c48_ref, c80_ref, cb_ref, v3_ref, *refs) = args
         if warm:
             prev_ref, out_ref, meta_ref, warm_ref = refs
         else:
             (out_ref, meta_ref), prev_ref, warm_ref = refs, None, None
         b = pl.program_id(0)
-        start = pl.multiple_of(b * BLOCK, 128)
+        # scalar-prefetched global window base: b·128 single-device, or
+        # (bucket0 + b)·128 for this shard's bucket range (row sharding
+        # — same contract as the box kernel's)
+        start = pl.multiple_of(base_ref[b], 128)
+
+        rows_n = CT2_ROWS if anchors else CT_ROWS
 
         def _dbg(val):
-            out_ref[:] = jnp.zeros((CT_ROWS, ccap), jnp.float32) + val
+            out_ref[:] = jnp.zeros((rows_n, ccap), jnp.float32) + val
             meta_ref[:] = jnp.zeros((8, 128), jnp.float32)
             if warm:
                 warm_ref[:] = jnp.zeros((8, ccap), jnp.float32)
@@ -701,22 +713,34 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         pv_rows = [pv[s2] for s2 in range(cap_sl)] + [zero_p]
         ps_rows = [ps[s2] for s2 in range(cap_sl)] + [zero_p]
 
-        rows = [[] for _ in range(CT_ROWS)]
+        rows = [[] for _ in range(rows_n)]
 
         def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
-                 kl, kh, ksgn, ra_r, rb1_r, ks):
+                 kl, kh, ksgn, ra_r, rb1_r, ks, anc=None):
             af = act.astype(jnp.float32)
-            for r, vq in enumerate([
+            vals = [
                 ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
                 kl * af, kh * af, ksgn * af, ra_r * af, rb1_r * af,
                 ks * af,
-            ]):
+            ]
+            if anchors:
+                # anc = 9 anchor rows (a_loc, b_loc-or-world, n_loc) —
+                # identical layout to the box kernel's CT_AAX..CT_NLOC
+                vals += [v * af for v in anc]
+                vals += [jnp.zeros_like(af)] * (CT2_ROWS - 25)
+            for r, vq in enumerate(vals):
                 if not mosaic:
                     rows[r].append(vq)
                     continue
                 for j in range(vq.shape[0] // 128):
                     rows[r].append(
                         jax.lax.slice_in_dim(vq, j * 128, (j + 1) * 128))
+
+        def t_apply(r9t, w):
+            # Rᵀ·w for a row-major 9-tuple R
+            return (r9t[0] * w[0] + r9t[3] * w[1] + r9t[6] * w[2],
+                    r9t[1] * w[0] + r9t[4] * w[1] + r9t[7] * w[2],
+                    r9t[2] * w[0] + r9t[5] * w[1] + r9t[8] * w[2])
 
         def argmax_list(vals):
             best = vals[0]
@@ -753,9 +777,18 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
             ny = jnp.where(is_edge, n_edge[1], n_face[1])
             nz = jnp.where(is_edge, n_edge[2], n_face[2])
             ks = bidx.astype(jnp.float32)                  # slot < ns
+            anc = None
+            if anchors:
+                a_loc = t_apply(ra, (ptx - ga[0], pty - ga[1],
+                                     ptz - ga[2]))
+                b_loc = t_apply(rb, (ptx - gb[0], pty - gb[1],
+                                     ptz - gb[2]))
+                n_loc = t_apply(ra, (nx, ny, nz))
+                anc = list(a_loc) + list(b_loc) + list(n_loc)
             emit(ptx, pty, ptz, nx, ny, nz,
                  jnp.where(act, best, 0.0), act, mu_p, rest_p,
-                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks)
+                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks,
+                 anc=anc)
             score = [jnp.where(bidx == jnp.int32(s2), big_neg, score[s2])
                      for s2 in range(ns)]
 
@@ -793,11 +826,18 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
                 cy = gl[1] + gl[6] * lx + gl[7] * ly + gl[8] * lz
                 cz = gl[2] + gl[9] * lx + gl[10] * ly + gl[11] * lz
                 vidx = _dot(virow, ohg)[0]                 # vertex < vcap
+                anc = None
+                if anchors:
+                    # ground: a's anchor IS the local hull vertex; no
+                    # body B, so the B slot carries the WORLD point;
+                    # n_loc = Rᵀ·ŷ = R's middle row (box convention)
+                    anc = [lx, ly, lz, cx, cy, cz,
+                           gl[6], gl[7], gl[8]]
                 emit(cx, cy, cz,
                      jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
                      jnp.where(act, bestg, 0.0), act, gl[15], gl[16],
                      body_id.astype(jnp.float32), jnp.zeros_like(one_g),
-                     one_g, ra_g, jnp.zeros_like(one_g), vidx)
+                     one_g, ra_g, jnp.zeros_like(one_g), vidx, anc=anc)
                 gsc = jnp.where(ohg > 0.5, jnp.float32(-BIG), gsc)
 
         if mosaic:
@@ -809,7 +849,7 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         mask = pay2[CT_ACT]
         slot = _exclusive_prefix(mask)
         slot = slot * mask + (1.0 - mask) * jnp.float32(ccap)
-        acc = jnp.zeros((CT_ROWS, ccap), jnp.float32)
+        acc = jnp.zeros((rows_n, ccap), jnp.float32)
         oh_row = jax.lax.broadcasted_iota(
             jnp.int32, (ccap, chunk_rows * 128), 0)
         for r0 in range(0, sub, chunk_rows):
@@ -819,7 +859,7 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
             oht = (oh_row[:, :cwr] == sl).astype(jnp.bfloat16)
             pay = jnp.stack(
                 [pay2[r][r0:r0 + cr].reshape(1, cwr)[0]
-                 for r in range(CT_ROWS)])
+                 for r in range(rows_n)])
             p_hi, p_lo = _split(pay)
             acc += jax.lax.dot_general(
                 p_hi, oht, (((1,), (1,)), ((), ())),
@@ -878,6 +918,7 @@ def bucket_hull_contact_table(
     order: Array | None,
     prev: Tuple[Array, Array] | None = None,
     geom: Array | None = None,
+    buckets: Tuple[Array, int] | None = None,
 ) -> Tuple[Array, Array, Array | None]:
     """Run the fused hull kernel. Same contract as
     ops/contact_table.bucket_contact_table: returns (table
@@ -886,7 +927,12 @@ def bucket_hull_contact_table(
     [8, NB·ccap] | None). Requires the unified hull geometry table
     (ops/contact_table.unified_geom hulls mode, rows 24:48: pos | world R |
     OBB half | friction | restitution | movable·is_hull | id | is_hull |
-    OBB center)."""
+    OBB center).
+
+    `buckets = (bucket0, nb_local)` restricts the kernel to the
+    `nb_local` buckets starting at traced scalar `bucket0` (row-sharded
+    steps) — the caller passes bucket-local candidate/prev slices and
+    all-gathers the local tables, exactly the box-table contract."""
     n = state.num_bodies
     assert n <= (1 << 16), "hull_table: body ids exceed exact-f32 range"
     block, cap, nb_cand = bucket_shape(n, cfg)
@@ -908,14 +954,24 @@ def bucket_hull_contact_table(
 
     coef, _ = build_hull_coef(state)
 
+    # local bucket range (row sharding): nb_l buckets starting at the
+    # traced bucket0; single-device = the full static range
+    if buckets is not None:
+        bucket0, nb_l = buckets
+        bucket_idx = bucket0 + jnp.arange(nb_l, dtype=jnp.int32)
+    else:
+        nb_l = nb
+        bucket_idx = jnp.arange(nb, dtype=jnp.int32)
+    cp_l = nb_l * ccap
+    bases = bucket_idx * BLOCK                             # [nb_l] int32
+
     p = cand.rank_a.shape[0]
-    assert p == nb * cap, (p, nb, cap)
-    bucket_of = jnp.arange(p, dtype=jnp.int32) // cap
-    base_per = bucket_of * BLOCK
+    assert p == nb_l * cap, (p, nb_l, cap)
+    base_per = jnp.repeat(bases, cap)
     la = jnp.where(cand.mask, cand.rank_a - base_per, -1)
     lb = jnp.where(cand.mask, cand.rank_b - base_per, -1)
-    la3 = jnp.broadcast_to(la.reshape(nb, 1, cap), (nb, 8, cap))
-    lb3 = jnp.broadcast_to(lb.reshape(nb, 1, cap), (nb, 8, cap))
+    la3 = jnp.broadcast_to(la.reshape(nb_l, 1, cap), (nb_l, 8, cap))
+    lb3 = jnp.broadcast_to(lb.reshape(nb_l, 1, cap), (nb_l, 8, cap))
 
     cap2 = cfg.bucket_cap2
     if cap2:
@@ -927,42 +983,50 @@ def bucket_hull_contact_table(
             cap2 = 0
 
     interpret = jax.default_backend() != "tpu"
+    anchors = cfg.contact_rebuild > 1
+    rows_n = CT2_ROWS if anchors else CT_ROWS
     kernel = _make_hull_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height, dm,
-        mosaic=not interpret, warm=prev is not None, cap2=cap2)
+        mosaic=not interpret, warm=prev is not None, cap2=cap2,
+        anchors=anchors)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
-        pl.BlockSpec((1, 8, cap), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, 8, cap), lambda b, bs: (b, 0, 0)),
+        pl.BlockSpec((1, 8, cap), lambda b, bs: (b, 0, 0)),
         const_spec,                                   # geom
         const_spec, const_spec, const_spec, const_spec,  # c16/c32/c88/c48
         const_spec, const_spec, const_spec,           # c80/cb/v3c
     ]
     out_specs = [
-        pl.BlockSpec((CT_ROWS, ccap), lambda b: (0, b)),
-        pl.BlockSpec((8, 128), lambda b: (0, b)),
+        pl.BlockSpec((rows_n, ccap), lambda b, bs: (0, b)),
+        pl.BlockSpec((8, 128), lambda b, bs: (0, b)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((CT_ROWS, cp), jnp.float32),
-        jax.ShapeDtypeStruct((8, nb * 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_n, cp_l), jnp.float32),
+        jax.ShapeDtypeStruct((8, nb_l * 128), jnp.float32),
     ]
     operands = [la3, lb3, geom, coef.c16, coef.c32, coef.c88, coef.c48,
                 coef.c80, coef.cb, coef.v3c]
     if prev is not None:
         pkey, plam = prev
-        pcols = prev_key_cols(pkey, plam)             # [cp, 8]
-        in_specs.append(pl.BlockSpec((ccap, 8), lambda b: (b, 0)))
-        out_specs.append(pl.BlockSpec((8, ccap), lambda b: (0, b)))
-        out_shape.append(jax.ShapeDtypeStruct((8, cp), jnp.float32))
+        pcols = prev_key_cols(pkey, plam)             # [cp_l, 8]
+        assert pcols.shape[0] == cp_l, (pcols.shape, cp_l)
+        in_specs.append(pl.BlockSpec((ccap, 8), lambda b, bs: (b, 0)))
+        out_specs.append(pl.BlockSpec((8, ccap), lambda b, bs: (0, b)))
+        out_shape.append(jax.ShapeDtypeStruct((8, cp_l), jnp.float32))
         operands.append(pcols)
-    res = pl.pallas_call(
-        kernel,
-        grid=(nb,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_l,),
         in_specs=in_specs,
         out_specs=out_specs,
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(*operands)
+    )(bases, *operands)
     if prev is not None:
         out, meta, warm_rows = res
         return out, meta, warm_rows

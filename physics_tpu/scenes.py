@@ -347,9 +347,13 @@ def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         hulls_only=True,
         broadphase="sweep",
         sweep_window=32,
-        # 12N caps: measured on TPU (rain_ab A/B) — the settled 1024-rain
-        # pile holds ~9.5k contacts, so 8N overflowed (contact_overflow
-        # 807); 12N runs overflow-free at the same wall time
+        # 12N candidate caps: measured on TPU (rain_ab A/B). The square
+        # rain column is denser per x-slice than the trench pile, so the
+        # bucketed sweep drops ~1k AABB candidates per step at the
+        # settled 1024 scene (pair_overflow ~990, counted never silent);
+        # window 64 finds ~2.4k more contacts but pushes the per-bucket
+        # candidate cap harder (overflow 1412) at the same wall time —
+        # kept at 32 (round 5 A/B, experiments/rain_bench.py RAIN_SW)
         max_pair_candidates=12 * n_bodies,
         # two-phase narrow phase: OBB face-SAT prefilter compacts the 8N
         # AABB candidates to the ~true-overlap set (≈3/body settled)
@@ -361,15 +365,54 @@ def rain_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # and 4-point face manifolds are the standard stable-stacking
         # budget; measured stable on the hull stack/drop tests
         max_contacts_per_pair=4,
-        max_contacts=12 * n_bodies,
-        # fused banded Pallas sweep solver (generic-contact path): the
-        # hull manifolds ride the same rank-banded machinery as the box
-        # pile — the XLA jacobi solve's one-hot body gathers were 2.0 ms
-        # of the 9.2 ms 1k-rain step
+        # 16N contact caps: the K=4 anchored rebuild discovers contact
+        # bursts in batches, which transiently overflowed the 12N table
+        # during the drop (77 dropped); 16N runs the full 360-step
+        # drop+settle overflow-free at ~9% throughput cost (round 5,
+        # /tmp/rainenv A/B on v5e)
+        max_contacts=16 * n_bodies,
+        # fused HULL contact table (ops/hull_table.py): SAT + ground +
+        # compaction + warm match in ONE kernel, feeding the fused
+        # banded solve with merged prep + in-kernel integration.
+        # Round-5 adoption A/B (experiments/rain_bench.py, v5e):
+        # 1024-rain 0.955 -> 2.04M body-steps/s, 128-rain 0.39 -> 0.80M
         contact_solver="pallas_banded",
+        pair_buckets=True,
+        bucket_block=128,
+        contact_table=True,
+        hull_table=True,
+        bucket_cap2=512,
+        fuse_prep=True,
+        fuse_integrate=True,
+        # persistent anchored hull contacts: the hull table kernel (80%
+        # of the step at 1024, 803 of 1015 us) runs every 4th step;
+        # between rebuilds the solve kernel re-derives geometry from
+        # body-frame anchors. Guard OFF on measurement, mirroring the
+        # pile: rain keeps tumbling bodies at 2-4 m/s long after the
+        # floor settles, so the global max|v| guard refuses the refresh
+        # path forever (guard-on measured 0.815M vs 2.04M); the
+        # 360-step drop+settle envelope is K=4: 1.114 vs K=1: 1.089 max
+        # penetration with zero contact overflow at the 16N caps.
+        contact_rebuild=4,
+        contact_rebuild_vel_factor=0.0,
+        contact_refresh_iters=4,
         contact_iters=8,
         # bf16 z-movement in the banded sweeps (f32 accumulation):
         # measured +8% on 1024-rain, parity within solver tolerance
         z_bf16=True,
         dt=dt,
+    )
+
+
+def rain_xla_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
+    """The pre-adoption generic-path rain config: XLA shared-hull fast
+    paths (slot-major SAT contractions + OBB prefilter) feeding the
+    banded solve, no fused table/anchoring. Kept as the parity/A-B
+    partner for the production hull-table pipeline (rain_config) — the
+    table tests assert the two produce the same contact sets."""
+    return rain_config(n_bodies, dt).replace(
+        pair_buckets=False, bucket_block=64, bucket_cap2=0,
+        contact_table=False, hull_table=False,
+        fuse_prep=False, fuse_integrate=False,
+        contact_rebuild=1, contact_refresh_iters=0,
     )

@@ -623,17 +623,21 @@ def table_path(state: SimState, cfg: SimConfig) -> bool:
 
 def anchored_path(state: SimState, cfg: SimConfig) -> bool:
     """True when contact_rebuild > 1 actually engages the persistent
-    anchored-contact pipeline: the BOX contact-table path with
-    fuse_prep, on either the bucketed sweep broad phase (no bp_inkernel
-    — the rebuild branch builds candidates in XLA) or the env_blocks
-    packed-env broad phase (identity order, in-kernel candidates; the
-    whole table kernel amortizes over K steps). No hull table yet.
-    Anywhere else the engine rebuilds every step — full physics, just
-    without the amortization (prepare_contacts warns). Static: cfg +
-    shapes only."""
-    if not (cfg.contact_rebuild > 1 and cfg.fuse_prep
-            and table_path(state, cfg)
-            and not hull_table_path(state, cfg)):
+    anchored-contact pipeline: a contact-table path with fuse_prep —
+    the BOX table on either the bucketed sweep broad phase (no
+    bp_inkernel — the rebuild branch builds candidates in XLA) or the
+    env_blocks packed-env broad phase (identity order, in-kernel
+    candidates), or the HULL table (round 5: the hull kernel emits the
+    same body-frame anchor rows, and anchors are shape-agnostic so the
+    solve kernel's refresh math is shared). Anywhere else the engine
+    rebuilds every step — full physics, just without the amortization
+    (prepare_contacts warns). Static: cfg + shapes only."""
+    if not (cfg.contact_rebuild > 1 and cfg.fuse_prep):
+        return False
+    if hull_table_path(state, cfg):
+        return True          # hull table already requires the bucketed
+        #                      sweep without bp_inkernel
+    if not table_path(state, cfg):
         return False
     if cfg.broadphase == "env_blocks":
         return True          # table_path already requires bp_inkernel
@@ -704,14 +708,6 @@ def resolve_contacts(
     # ground + per-bucket compaction) → banded solve with static bases —
     # no XLA narrow phase, no contact sort/gather/pad (ops/contact_table.py)
     if table_path(state, cfg) or hull_table_path(state, cfg):
-        if shard is not None and hull_table_path(state, cfg):
-            # the hull kernel has no bucket-range mode yet — a silent
-            # fallback to the sharded generic path would shape-mismatch
-            # the warm buffers downstream; be loud.
-            raise ValueError(
-                "cfg.hull_table does not support shard= (row-sharded "
-                "steps): set hull_table=False for sharded hull configs"
-            )
         return _resolve_contacts_table(state, cfg, shard=shard)
 
     from physics_tpu.ops.narrowphase import hulls_fast_path
@@ -989,7 +985,7 @@ def _resolve_contacts_table(
         # delayed ≤ K−1 steps, everything else is exact per step.
         from physics_tpu.ops.contact_table import CT2_ROWS
 
-        assert not hulls and shard is None and cfg.fuse_prep, \
+        assert shard is None and cfg.fuse_prep, \
             "resolve_contacts normalization should make this unreachable"
         if (state.contact_table.shape != (CT2_ROWS, cp)
                 or state.contact_order.shape[0] != n or not use_warm):
@@ -1008,10 +1004,19 @@ def _resolve_contacts_table(
             else:
                 order = sweep_order(st, body_aabbs(st))
                 cand_r = pair_candidates(st, cfg)
-            geom_r = unified_geom(st, cfg, order, hulls=False)
-            table_r, meta_r, warm_r = bucket_contact_table(
-                st, cand_r, cfg, order,
-                prev=(st.contact_key, st.contact_lam), geom=geom_r)
+            geom_r = unified_geom(st, cfg, order, hulls=hulls)
+            if hulls:
+                from physics_tpu.ops.hull_table import (
+                    bucket_hull_contact_table,
+                )
+
+                table_r, meta_r, warm_r = bucket_hull_contact_table(
+                    st, cand_r, cfg, order,
+                    prev=(st.contact_key, st.contact_lam), geom=geom_r)
+            else:
+                table_r, meta_r, warm_r = bucket_contact_table(
+                    st, cand_r, cfg, order,
+                    prev=(st.contact_key, st.contact_lam), geom=geom_r)
             m = meta_r[0].reshape(nb, 128)
             win_ovf = (jnp.sum(m[:, 3]).astype(jnp.int32)
                        if cand_r is None else cand_r.overflow)
@@ -1024,7 +1029,7 @@ def _resolve_contacts_table(
 
         def _refresh(st):
             order = None if env_mode else st.contact_order
-            geom_r = unified_geom(st, cfg, order, hulls=False)
+            geom_r = unified_geom(st, cfg, order, hulls=hulls)
             # slot-aligned warm start: last step's impulses, same slots
             warm_r = jnp.concatenate(
                 [st.contact_lam, jnp.zeros((5, cp), jnp.float32)])
@@ -1105,10 +1110,7 @@ def _resolve_contacts_table(
     prev = (state.contact_key, state.contact_lam) if use_warm else None
     if hulls:
         from physics_tpu.ops.hull_table import bucket_hull_contact_table
-
-        table, meta, warm_rows = bucket_hull_contact_table(
-            state, cand, cfg, body_order, prev=prev, geom=geom)
-    elif shard is not None:
+    if shard is not None:
         axis_name, n_shards = shard
         assert nb % n_shards == 0, (
             f"sharded contact_table needs nb ({nb}) divisible by the "
@@ -1135,7 +1137,10 @@ def _resolve_contacts_table(
         if prev is not None:
             prev_l = (_loc(prev[0], ccap, axis=1),
                       _loc(prev[1], ccap, axis=1))
-        table_l, meta_l, warm_l = bucket_contact_table(
+        # both table kernels share the bucket-range contract
+        # (buckets=(bucket0, nb_l), scalar-prefetched bases)
+        mk = bucket_hull_contact_table if hulls else bucket_contact_table
+        table_l, meta_l, warm_l = mk(
             state, cand_l, cfg, body_order, prev=prev_l, geom=geom,
             buckets=(bucket0, nb_l))
 
@@ -1145,6 +1150,9 @@ def _resolve_contacts_table(
 
         table, meta = _ag(table_l), _ag(meta_l)
         warm_rows = _ag(warm_l) if warm_l is not None else None
+    elif hulls:
+        table, meta, warm_rows = bucket_hull_contact_table(
+            state, cand, cfg, body_order, prev=prev, geom=geom)
     else:
         table, meta, warm_rows = bucket_contact_table(
             state, cand, cfg, body_order, prev=prev, geom=geom)

@@ -11,14 +11,16 @@ import pytest
 import jax
 
 from physics_tpu.engine import prepare_contacts, rollout, step_with_metrics
-from physics_tpu.scenes import mesh_rain, rain_config
+from physics_tpu.scenes import mesh_rain, rain_config, rain_xla_config
 
 
 def _cfgs(n):
-    cfg_x = rain_config(n)
-    cfg_t = cfg_x.replace(
-        pair_buckets=True, bucket_block=128, contact_table=True,
-        hull_table=True, bucket_cap2=256,
+    cfg_x = rain_xla_config(n)
+    # table config WITHOUT the anchored rebuild (K=1): these tests pin
+    # per-step table parity; the anchored pipeline has its own tests
+    cfg_t = rain_config(n).replace(
+        bucket_cap2=256, contact_rebuild=1, contact_refresh_iters=0,
+        fuse_prep=False, fuse_integrate=False,
     )
     return cfg_x, cfg_t
 
@@ -153,3 +155,73 @@ def test_hull_table_rollout_stable():
     # is still settling at 240 steps — transient penetration of a few
     # tenths matches the XLA path's behavior on the same scene)
     assert float(pos[:, 1].min()) > 0.05
+
+
+def test_hull_table_anchored_rebuild_tracks_k1():
+    """Round 5: the hull table kernel emits body-frame anchor rows
+    (CT2_ROWS, same layout as the box kernel) and the production
+    rain_config rides contact_rebuild=4 — between rebuilds the fused
+    solve re-derives each hull contact's point/normal/depth from the
+    anchors. K=4 must track K=1 through a short drop (discovery delay
+    <= 3 steps is the only divergence) and keep the buffers finite."""
+    from physics_tpu.solver.contacts import anchored_path
+
+    n = 32
+    cfg_k1 = rain_config(n).replace(
+        bucket_cap2=256, contact_rebuild=1, contact_refresh_iters=0)
+    cfg_k4 = rain_config(n).replace(
+        bucket_cap2=256, contact_rebuild=4, contact_refresh_iters=4,
+        contact_rebuild_vel_factor=0.0)
+    state = mesh_rain(n)
+    assert anchored_path(state, cfg_k4)
+    s1 = prepare_contacts(state, cfg_k1)
+    s4 = prepare_contacts(state, cfg_k4)
+    assert s4.contact_table.shape[0] == 32        # CT2_ROWS anchors
+    stepj = jax.jit(step_with_metrics, static_argnums=1)
+    for _ in range(10):
+        s1, m1 = stepj(s1, cfg_k1)
+        s4, m4 = stepj(s4, cfg_k4)
+    p1, p4 = np.asarray(s1.pos), np.asarray(s4.pos)
+    assert np.all(np.isfinite(p4))
+    assert int(m4["contact_overflow"]) == 0
+    # falling-phase discovery delay bounds the divergence (measured
+    # 0.025 at step 10; the 360-step envelope parity is pinned on TPU,
+    # scenes.rain_config comment)
+    assert float(np.abs(p1 - p4).max()) < 0.1
+
+
+def test_row_sharded_hull_table_matches_single_device():
+    """Round 5: the hull table kernel gained the box kernel's
+    bucket-range contract (buckets=(bucket0, nb_l), scalar-prefetched
+    window bases) — the row-sharded step builds each shard's buckets
+    locally, all-gathers the tables, and splits the banded sweeps with
+    per-sweep z-delta psums. 2-device mesh over a 256-hull rain (2 rank
+    buckets) must match the single-device path."""
+    from physics_tpu.parallel.sharding import make_mesh, row_sharded_step
+    from physics_tpu.engine import step
+    from physics_tpu.solver.contacts import hull_table_path
+
+    n = 256
+    cfg = rain_config(n).replace(
+        bucket_cap2=256, contact_rebuild=1, contact_refresh_iters=0,
+        fuse_prep=False, fuse_integrate=False,
+    )
+    state = mesh_rain(n)
+    assert hull_table_path(state, cfg)
+    state = prepare_contacts(state, cfg)
+    mesh = make_mesh([2], ["row"])
+    rstep = row_sharded_step(cfg, mesh, "row")
+    sstep = jax.jit(step, static_argnums=1)
+
+    s_ref, s_sh = state, state
+    for _ in range(3):
+        s_ref = sstep(s_ref, cfg)
+        s_sh = rstep(s_sh)
+    err_p = float(np.max(np.abs(np.asarray(s_ref.pos)
+                                - np.asarray(s_sh.pos))))
+    err_v = float(np.max(np.abs(np.asarray(s_ref.vel)
+                                - np.asarray(s_sh.vel))))
+    assert np.all(np.isfinite(np.asarray(s_sh.pos)))
+    assert float(np.sum(np.abs(np.asarray(s_sh.contact_lam)))) != 0.0
+    assert err_p < 1e-3, (err_p, err_v)
+    assert err_v < 5e-3, (err_p, err_v)

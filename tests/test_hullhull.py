@@ -269,7 +269,7 @@ import jax
 from physics_tpu import engine
 from physics_tpu.ops import narrowphase as nph
 from physics_tpu.ops.broadphase import pair_candidates
-from physics_tpu.scenes import mesh_rain, rain_config
+from physics_tpu.scenes import mesh_rain, rain_xla_config
 
 # contact-rich WITHOUT stepping (a jitted settle would cost minutes of
 # XLA:CPU compile): compress the rain state into a tight grid of
@@ -288,7 +288,7 @@ s = state.replace(
 # contact capacities so nothing overflows — under contact overflow the
 # drop-by-lowest-rank policy keeps a different (order-dependent) subset
 # per emission layout, which is documented behavior, not a parity bug
-cfg = dataclasses.replace(rain_config(24), max_contacts=768,
+cfg = dataclasses.replace(rain_xla_config(24), max_contacts=768,
                           max_pair_candidates=768, hull_prefilter_cap=768)
 cfg_slow = dataclasses.replace(cfg, hull_fast=False)
 assert cfg.hull_fast  # default ON for single-hull-type scenes
@@ -385,7 +385,7 @@ def test_hull_obb_prefilter():
     from physics_tpu.ops import narrowphase as nph
     from physics_tpu.ops.broadphase import pair_candidates
     from physics_tpu.ops.narrowphase import hull_obb_prefilter
-    from physics_tpu.scenes import mesh_rain, rain_config
+    from physics_tpu.scenes import mesh_rain, rain_xla_config
 
     state = mesh_rain(24, seed=0)
     rng = np.random.default_rng(3)
@@ -399,7 +399,7 @@ def test_hull_obb_prefilter():
         pos=jnp.asarray((g + rng.uniform(-0.05, 0.05, (24, 3))
                          ).astype(np.float32)),
         quat=jnp.asarray(q))
-    cfg = dataclasses.replace(rain_config(24), max_pair_candidates=768,
+    cfg = dataclasses.replace(rain_xla_config(24), max_pair_candidates=768,
                               hull_prefilter_cap=0)
 
     cand = pair_candidates(tight, cfg)

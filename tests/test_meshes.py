@@ -131,5 +131,9 @@ def test_mesh_rain_scene_builds_and_steps():
     state = mesh_rain(12, size=0.4)
     assert int(np.sum(np.asarray(state.shapes.stype) == 3)) == 12  # hulls
     cfg = rain_config(12).replace(contact_iters=8)
+    from physics_tpu.engine import prepare_contacts
+
+    state = prepare_contacts(state, cfg)  # production config persists the
+    #                                       anchored hull table buffers
     out = jax.jit(lambda s: step(s, cfg))(state)
     assert bool(np.all(np.isfinite(np.asarray(out.pos))))

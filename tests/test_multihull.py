@@ -13,11 +13,11 @@ import pytest
 import jax
 
 from physics_tpu.engine import prepare_contacts, rollout, step_with_metrics
-from physics_tpu.scenes import mesh_rain_mixed, rain_config
+from physics_tpu.scenes import mesh_rain_mixed, rain_xla_config
 
 
 def _cfgs(n):
-    cfg_fast = rain_config(n)
+    cfg_fast = rain_xla_config(n)
     # generic path: same physics, vmapped per-pair hull manifolds
     cfg_gen = cfg_fast.replace(hull_fast=False)
     return cfg_fast, cfg_gen
