@@ -305,6 +305,11 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
                 contact_order=jnp.arange(state.num_bodies,
                                          dtype=jnp.int32),
                 contact_meta=jnp.zeros((2,), jnp.int32),
+                # displacement-gate reference poses (step 0 always
+                # rebuilds, so the zeros are never consulted)
+                contact_ref=jnp.concatenate(
+                    [jnp.asarray(state.pos), jnp.asarray(state.quat)],
+                    axis=1),
             )
         else:
             # degrade loudly, never silently: the engine rebuilds every

@@ -210,6 +210,7 @@ def pack_envs(batched: SimState) -> SimState:
         contact_table=jnp.zeros((0, 0), jnp.float32),
         contact_order=jnp.zeros((0,), jnp.int32),
         contact_meta=jnp.zeros((2,), jnp.int32),
+        contact_ref=jnp.zeros((0, 0), jnp.float32),
         step_count=batched.step_count[0],
     )
 
@@ -243,6 +244,7 @@ def unpack_envs(state: SimState, n_envs: int) -> SimState:
         contact_table=jnp.zeros((e, 0, 0), jnp.float32),
         contact_order=jnp.zeros((e, 0), jnp.int32),
         contact_meta=jnp.zeros((e, 2), jnp.int32),
+        contact_ref=jnp.zeros((e, 0, 0), jnp.float32),
         step_count=jnp.broadcast_to(state.step_count, (e,)),
     )
 

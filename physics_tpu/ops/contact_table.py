@@ -165,7 +165,7 @@ def _exclusive_prefix(mask):
 
 def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
                     warm=False, cap2=0, bp_k=0, row0=0, env_k=0,
-                    anchors=False):
+                    anchors=False, gate=False):
     """One grid step = one rank bucket: SAT + ground + compaction.
 
     warm=True adds in-kernel warm-start key matching: the previous step's
@@ -213,6 +213,10 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             geom_ref, *refs = args
         else:
             la_ref, lb_ref, geom_ref, *refs = args
+        if gate:
+            prev_tab_ref, *refs = refs
+        else:
+            prev_tab_ref = None
         if warm:
             prev_ref, out_ref, meta_ref, warm_ref = refs
         else:
@@ -229,448 +233,485 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             meta_ref[:] = jnp.zeros((8, 128), jnp.float32)
             if warm:
                 warm_ref[:] = jnp.zeros((8, ccap), jnp.float32)
-        # row0=24 when fed the unified table (this kernel's block sits
-        # after the solve layout; see unified_geom)
-        win = geom_ref[row0:row0 + GEOM_ROWS,
-                       pl.ds(start, wtot)]                # [24, WTOT]
-        w_hi, w_lo = _split(win)
+        def _compute():
+            # row0=24 when fed the unified table (this kernel's block sits
+            # after the solve layout; see unified_geom)
+            win = geom_ref[row0:row0 + GEOM_ROWS,
+                           pl.ds(start, wtot)]                # [24, WTOT]
+            w_hi, w_lo = _split(win)
 
-        def bgather(oh):
-            g1 = jax.lax.dot_general(
-                w_hi, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return g1 + jax.lax.dot_general(
-                w_lo, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [24, CAP]
+            def bgather(oh):
+                g1 = jax.lax.dot_general(
+                    w_hi, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return g1 + jax.lax.dot_general(
+                    w_lo, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [24, CAP]
 
-        def onehots(lav, lbv):
-            c = lav.shape[0]
-            row = jax.lax.broadcasted_iota(jnp.int32, (wtot, c), 0)
-            return ((row == lav[None, :]).astype(jnp.bfloat16),
-                    (row == lbv[None, :]).astype(jnp.bfloat16))
+            def onehots(lav, lbv):
+                c = lav.shape[0]
+                row = jax.lax.broadcasted_iota(jnp.int32, (wtot, c), 0)
+                return ((row == lav[None, :]).astype(jnp.bfloat16),
+                        (row == lbv[None, :]).astype(jnp.bfloat16))
 
-        def face_sat_sep(t, ra, rb, ha, hb):
-            """Best separation over the 6 FACE axes (any broadcastable
-            shapes; ra/rb row-major 9-tuples). > 0 ⇒ no contact possible
-            on a face axis (edge axes can't beat both faces for boxes'
-            contact EXISTENCE — a separating edge axis implies a
-            separating face axis does not hold in general, but a pair
-            separated on a face axis definitely has no contact)."""
-            # C[i][j] = u_i · w_j (columns of Ra vs columns of Rb)
-            cabs = [[jnp.abs(ra[i] * rb[j] + ra[3 + i] * rb[3 + j]
-                             + ra[6 + i] * rb[6 + j]) for j in range(3)]
-                    for i in range(3)]
-            sep_best = None
-            for i in range(3):
-                ut = ra[i] * t[0] + ra[3 + i] * t[1] + ra[6 + i] * t[2]
-                rad = (ha[i] + hb[0] * cabs[i][0] + hb[1] * cabs[i][1]
-                       + hb[2] * cabs[i][2])
-                s = jnp.abs(ut) - rad
-                sep_best = s if sep_best is None else jnp.maximum(
-                    sep_best, s)
-            for j in range(3):
-                wt = rb[j] * t[0] + rb[3 + j] * t[1] + rb[6 + j] * t[2]
-                rad = (hb[j] + ha[0] * cabs[0][j] + ha[1] * cabs[1][j]
-                       + ha[2] * cabs[2][j])
-                sep_best = jnp.maximum(sep_best, jnp.abs(wt) - rad)
-            return sep_best
+            def face_sat_sep(t, ra, rb, ha, hb):
+                """Best separation over the 6 FACE axes (any broadcastable
+                shapes; ra/rb row-major 9-tuples). > 0 ⇒ no contact possible
+                on a face axis (edge axes can't beat both faces for boxes'
+                contact EXISTENCE — a separating edge axis implies a
+                separating face axis does not hold in general, but a pair
+                separated on a face axis definitely has no contact)."""
+                # C[i][j] = u_i · w_j (columns of Ra vs columns of Rb)
+                cabs = [[jnp.abs(ra[i] * rb[j] + ra[3 + i] * rb[3 + j]
+                                 + ra[6 + i] * rb[6 + j]) for j in range(3)]
+                        for i in range(3)]
+                sep_best = None
+                for i in range(3):
+                    ut = ra[i] * t[0] + ra[3 + i] * t[1] + ra[6 + i] * t[2]
+                    rad = (ha[i] + hb[0] * cabs[i][0] + hb[1] * cabs[i][1]
+                           + hb[2] * cabs[i][2])
+                    s = jnp.abs(ut) - rad
+                    sep_best = s if sep_best is None else jnp.maximum(
+                        sep_best, s)
+                for j in range(3):
+                    wt = rb[j] * t[0] + rb[3 + j] * t[1] + rb[6 + j] * t[2]
+                    rad = (hb[j] + ha[0] * cabs[0][j] + ha[1] * cabs[1][j]
+                           + ha[2] * cabs[2][j])
+                    sep_best = jnp.maximum(sep_best, jnp.abs(wt) - rad)
+                return sep_best
 
-        def compact_pair_lanes(keepf, la2, lb2, out_cap):
-            """Order-preserving compaction of candidate lanes: keepf
-            [SUB, L] 0/1 f32 (L a 128-multiple), la2/lb2 [SUB, L] f32
-            local ranks. Returns (la [out_cap] i32, lb [out_cap] i32,
-            dropped f32) — empty slots −1. Local ranks < 2¹⁶ ⇒ exact in
-            bf16 hi/lo. Scatter chunks are [chunk_rows, 128] tiles taken
-            with 128-aligned lane slices and flattened [CR,128]→[1,CW]
-            (the one Mosaic-proven flatten); wider flattens and the
-            [SUB·(L/128), 128] re-tiling both crash layout assignment at
-            bp_inkernel shapes."""
-            nsub, lanes = keepf.shape
-            slot1 = _exclusive_prefix(keepf)
-            slot1 = slot1 * keepf + (1.0 - keepf) * jnp.float32(out_cap)
-            pay_a = (la2 + 1.0) * keepf
-            pay_b = (lb2 + 1.0) * keepf
-            acc2 = jnp.zeros((2, out_cap), jnp.float32)
-            ohr = jax.lax.broadcasted_iota(
-                jnp.int32, (out_cap, chunk_rows * 128), 0)
-            for r0 in range(0, nsub, chunk_rows):
-                cr = min(chunk_rows, nsub - r0)
-                cwr = cr * 128
-                for h in range(lanes // 128):
-                    hs = slice(h * 128, (h + 1) * 128)
-                    sl = slot1[r0:r0 + cr, hs].reshape(
-                        1, cwr).astype(jnp.int32)
-                    oht = (ohr[:, :cwr] == sl).astype(jnp.bfloat16)
-                    pay = jnp.stack(
-                        [pay_a[r0:r0 + cr, hs].reshape(1, cwr)[0],
-                         pay_b[r0:r0 + cr, hs].reshape(1, cwr)[0]])
-                    p_hi, p_lo = _split(pay)
-                    acc2 += jax.lax.dot_general(
-                        p_hi, oht, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    acc2 += jax.lax.dot_general(
-                        p_lo, oht, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            dropped = jnp.maximum(
-                jnp.sum(keepf) - jnp.float32(out_cap), 0.0)
-            return (acc2[0].astype(jnp.int32) - 1,
-                    acc2[1].astype(jnp.int32) - 1, dropped)
+            def compact_pair_lanes(keepf, la2, lb2, out_cap):
+                """Order-preserving compaction of candidate lanes: keepf
+                [SUB, L] 0/1 f32 (L a 128-multiple), la2/lb2 [SUB, L] f32
+                local ranks. Returns (la [out_cap] i32, lb [out_cap] i32,
+                dropped f32) — empty slots −1. Local ranks < 2¹⁶ ⇒ exact in
+                bf16 hi/lo. Scatter chunks are [chunk_rows, 128] tiles taken
+                with 128-aligned lane slices and flattened [CR,128]→[1,CW]
+                (the one Mosaic-proven flatten); wider flattens and the
+                [SUB·(L/128), 128] re-tiling both crash layout assignment at
+                bp_inkernel shapes."""
+                nsub, lanes = keepf.shape
+                slot1 = _exclusive_prefix(keepf)
+                slot1 = slot1 * keepf + (1.0 - keepf) * jnp.float32(out_cap)
+                pay_a = (la2 + 1.0) * keepf
+                pay_b = (lb2 + 1.0) * keepf
+                acc2 = jnp.zeros((2, out_cap), jnp.float32)
+                ohr = jax.lax.broadcasted_iota(
+                    jnp.int32, (out_cap, chunk_rows * 128), 0)
+                for r0 in range(0, nsub, chunk_rows):
+                    cr = min(chunk_rows, nsub - r0)
+                    cwr = cr * 128
+                    for h in range(lanes // 128):
+                        hs = slice(h * 128, (h + 1) * 128)
+                        sl = slot1[r0:r0 + cr, hs].reshape(
+                            1, cwr).astype(jnp.int32)
+                        oht = (ohr[:, :cwr] == sl).astype(jnp.bfloat16)
+                        pay = jnp.stack(
+                            [pay_a[r0:r0 + cr, hs].reshape(1, cwr)[0],
+                             pay_b[r0:r0 + cr, hs].reshape(1, cwr)[0]])
+                        p_hi, p_lo = _split(pay)
+                        acc2 += jax.lax.dot_general(
+                            p_hi, oht, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc2 += jax.lax.dot_general(
+                            p_lo, oht, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                dropped = jnp.maximum(
+                    jnp.sum(keepf) - jnp.float32(out_cap), 0.0)
+                return (acc2[0].astype(jnp.int32) - 1,
+                        acc2[1].astype(jnp.int32) - 1, dropped)
 
-        dropped2 = jnp.float32(0.0)
-        winovf = jnp.float32(0.0)
-        if bp_k:
-            # ---- phase 0: whole broad phase in-kernel ----
-            # Raw candidate (d, i2) = sorted ranks (start + i2 − d,
-            # start + i2), d ∈ [1, bp_k], valid lanes d ≤ i2 < 128 + d.
-            # Endpoint B's fields are the window rows broadcast over d
-            # (lane i2 IS b's window lane); endpoint A's fields come
-            # from ONE strided lane-roll per field (row d−1 right-rolled
-            # by d, small positive shifts — tpu.dynamic_rotate). The
-            # natural orientation (A = lane i broadcast, B = left-
-            # shifted slices) is NOT Mosaic-lowerable: stacking
-            # unaligned lane slices trips the concatenate layout check
-            # (offset mismatch on the non-concat dim), and left rolls
-            # (≡ right rolls by wtot − d > 128) exceed the rotate
-            # unit's max in-vreg shift. Wrapped lanes (i2 < d) carry
-            # garbage from the window tail — masked by `valid`.
-            # d-axis padded to whole 8-row sublane groups: a [:bp_k]
-            # sublane slice of the rolled groups crashes Mosaic's layout
-            # assignment when bp_k is not a multiple of 8 (array.h
-            # limits check, seen at env bp_k = 7) — mask rows d > bp_k
-            # via `valid` instead of slicing them off.
-            bpp = -(-bp_k // 8) * 8
+            dropped2 = jnp.float32(0.0)
+            winovf = jnp.float32(0.0)
+            if bp_k:
+                # ---- phase 0: whole broad phase in-kernel ----
+                # Raw candidate (d, i2) = sorted ranks (start + i2 − d,
+                # start + i2), d ∈ [1, bp_k], valid lanes d ≤ i2 < 128 + d.
+                # Endpoint B's fields are the window rows broadcast over d
+                # (lane i2 IS b's window lane); endpoint A's fields come
+                # from ONE strided lane-roll per field (row d−1 right-rolled
+                # by d, small positive shifts — tpu.dynamic_rotate). The
+                # natural orientation (A = lane i broadcast, B = left-
+                # shifted slices) is NOT Mosaic-lowerable: stacking
+                # unaligned lane slices trips the concatenate layout check
+                # (offset mismatch on the non-concat dim), and left rolls
+                # (≡ right rolls by wtot − d > 128) exceed the rotate
+                # unit's max in-vreg shift. Wrapped lanes (i2 < d) carry
+                # garbage from the window tail — masked by `valid`.
+                # d-axis padded to whole 8-row sublane groups: a [:bp_k]
+                # sublane slice of the rolled groups crashes Mosaic's layout
+                # assignment when bp_k is not a multiple of 8 (array.h
+                # limits check, seen at env bp_k = 7) — mask rows d > bp_k
+                # via `valid` instead of slicing them off.
+                bpp = -(-bp_k // 8) * 8
 
-            def aroll(v):
-                # strided roll in 8-row groups: the rotate unit handles a
-                # sublane-replicated single-vreg input (row j of group g
-                # shifts by 8g+1+j), but a multi-vreg broadcast input
-                # crashes the compiler's strided-rotate lowering
-                # (array.h limits check, 48 rows = 6 vregs vs 1).
-                b2 = jnp.broadcast_to(v[None, :], (8, wtot))
-                groups = [
-                    pltpu.roll(b2, 8 * g + 1, 1, stride=1, stride_axis=0)
-                    for g in range(bpp // 8)
-                ]
-                return jnp.concatenate(groups, axis=0)     # [bpp, wtot]
+                def aroll(v):
+                    # strided roll in 8-row groups: the rotate unit handles a
+                    # sublane-replicated single-vreg input (row j of group g
+                    # shifts by 8g+1+j), but a multi-vreg broadcast input
+                    # crashes the compiler's strided-rotate lowering
+                    # (array.h limits check, 48 rows = 6 vregs vs 1).
+                    b2 = jnp.broadcast_to(v[None, :], (8, wtot))
+                    groups = [
+                        pltpu.roll(b2, 8 * g + 1, 1, stride=1, stride_axis=0)
+                        for g in range(bpp // 8)
+                    ]
+                    return jnp.concatenate(groups, axis=0)     # [bpp, wtot]
 
-            def bcast(v):
-                return jnp.broadcast_to(v[None, :], (bpp, wtot))
+                def bcast(v):
+                    return jnp.broadcast_to(v[None, :], (bpp, wtot))
 
-            ii2 = jax.lax.broadcasted_iota(jnp.int32, (bpp, wtot), 1)
-            dd = jax.lax.broadcasted_iota(
-                jnp.int32, (bpp, wtot), 0) + 1
-            valid = ((ii2 >= dd) & (ii2 < dd + BLOCK)
-                     & (dd <= jnp.int32(bp_k)))
+                ii2 = jax.lax.broadcasted_iota(jnp.int32, (bpp, wtot), 1)
+                dd = jax.lax.broadcasted_iota(
+                    jnp.int32, (bpp, wtot), 0) + 1
+                valid = ((ii2 >= dd) & (ii2 < dd + BLOCK)
+                         & (dd <= jnp.int32(bp_k)))
 
-            ext = []
-            for c in range(3):
-                ext.append(jnp.abs(win[3 + 3 * c]) * win[12]
-                           + jnp.abs(win[4 + 3 * c]) * win[13]
-                           + jnp.abs(win[5 + 3 * c]) * win[14])
-            pos3 = (win[0], win[1], win[2])
-            mins = tuple(pos3[c] - ext[c] for c in range(3))
-            maxs = tuple(pos3[c] + ext[c] for c in range(3))
+                ext = []
+                for c in range(3):
+                    ext.append(jnp.abs(win[3 + 3 * c]) * win[12]
+                               + jnp.abs(win[4 + 3 * c]) * win[13]
+                               + jnp.abs(win[5 + 3 * c]) * win[14])
+                pos3 = (win[0], win[1], win[2])
+                mins = tuple(pos3[c] - ext[c] for c in range(3))
+                maxs = tuple(pos3[c] + ext[c] for c in range(3))
 
-            # sorted by min-x: pair (a, a+d) overlaps iff b's min-x ≤
-            # a's max-x
-            x_ov = bcast(mins[0]) <= aroll(maxs[0])
-            keep = valid & x_ov
-            for c in range(3):
-                keep = keep & (
-                    jnp.maximum(aroll(mins[c]), bcast(mins[c]))
-                    <= jnp.minimum(aroll(maxs[c]), bcast(maxs[c])))
-            live = (aroll(win[19]) > 0.0) & (bcast(win[19]) > 0.0)
-            keep = keep & live
-            keep = keep & ((aroll(win[17]) > 0.0)
-                           | (bcast(win[17]) > 0.0))
-            if _BP_DBG == 1:
-                _dbg(jnp.sum(keep.astype(jnp.float32)))
-                return
-            # NOTE: no face-axis SAT here — it runs AFTER compaction on
-            # the `cap` gathered lanes (the cap2 phase below), so the
-            # expensive ~100-op test never touches the 128·bp_k raw set
-            if _BP_DBG == 2:
-                _dbg(jnp.sum(keep.astype(jnp.float32)))
-                return
-            if env_k:
-                # packed-env mode: only within-env pairs are real —
-                # rank r belongs to env r // env_k, so (a, a+d) is
-                # same-env iff (a mod env_k) + d < env_k, a = i2 − d.
-                # Independent envs may overlap spatially (each is its
-                # own world).
-                keep = keep & (((ii2 - dd) % env_k) + dd < env_k)
-            keepf = keep.astype(jnp.float32)
+                # sorted by min-x: pair (a, a+d) overlaps iff b's min-x ≤
+                # a's max-x
+                x_ov = bcast(mins[0]) <= aroll(maxs[0])
+                keep = valid & x_ov
+                for c in range(3):
+                    keep = keep & (
+                        jnp.maximum(aroll(mins[c]), bcast(mins[c]))
+                        <= jnp.minimum(aroll(maxs[c]), bcast(maxs[c])))
+                live = (aroll(win[19]) > 0.0) & (bcast(win[19]) > 0.0)
+                keep = keep & live
+                keep = keep & ((aroll(win[17]) > 0.0)
+                               | (bcast(win[17]) > 0.0))
+                if _BP_DBG == 1:
+                    _dbg(jnp.sum(keep.astype(jnp.float32)))
+                    return
+                # NOTE: no face-axis SAT here — it runs AFTER compaction on
+                # the `cap` gathered lanes (the cap2 phase below), so the
+                # expensive ~100-op test never touches the 128·bp_k raw set
+                if _BP_DBG == 2:
+                    _dbg(jnp.sum(keep.astype(jnp.float32)))
+                    return
+                if env_k:
+                    # packed-env mode: only within-env pairs are real —
+                    # rank r belongs to env r // env_k, so (a, a+d) is
+                    # same-env iff (a mod env_k) + d < env_k, a = i2 − d.
+                    # Independent envs may overlap spatially (each is its
+                    # own world).
+                    keep = keep & (((ii2 - dd) % env_k) + dd < env_k)
+                keepf = keep.astype(jnp.float32)
 
-            la2 = (ii2 - dd).astype(jnp.float32)
-            lb2 = ii2.astype(jnp.float32)
+                la2 = (ii2 - dd).astype(jnp.float32)
+                lb2 = ii2.astype(jnp.float32)
 
-            la, lb, dropped2 = compact_pair_lanes(keepf, la2, lb2, cap)
-            if _BP_DBG == 3:
-                _dbg(jnp.sum(la.astype(jnp.float32)) + dropped2)
-                return
-            if env_k:
-                # the band is exact in env mode (d = env_k - 1 covers the
-                # whole within-env triangle): no window-edge overflow
-                winovf = jnp.float32(0.0)
+                la, lb, dropped2 = compact_pair_lanes(keepf, la2, lb2, cap)
+                if _BP_DBG == 3:
+                    _dbg(jnp.sum(la.astype(jnp.float32)) + dropped2)
+                    return
+                if env_k:
+                    # the band is exact in env mode (d = env_k - 1 covers the
+                    # whole within-env triangle): no window-edge overflow
+                    winovf = jnp.float32(0.0)
+                else:
+                    # ranks whose x-interval still overlaps the furthest
+                    # window neighbor: pairs may exist beyond d = bp_k —
+                    # counted, never silent (matches
+                    # ops/broadphase.sweep_candidates overflow)
+                    lov = ((x_ov & live & valid)[bp_k - 1]).astype(
+                        jnp.float32)
+                    winovf = jnp.sum(lov)
             else:
-                # ranks whose x-interval still overlaps the furthest
-                # window neighbor: pairs may exist beyond d = bp_k —
-                # counted, never silent (matches
-                # ops/broadphase.sweep_candidates overflow)
-                lov = ((x_ov & live & valid)[bp_k - 1]).astype(
-                    jnp.float32)
-                winovf = jnp.sum(lov)
-        else:
-            la = la_ref[0, 0, :]
-            lb = lb_ref[0, 0, :]
+                la = la_ref[0, 0, :]
+                lb = lb_ref[0, 0, :]
 
-        oh_a, oh_b = onehots(la, lb)
-        ga = bgather(oh_a)
-        gb = bgather(oh_b)        # inactive (la = −1): all-zero columns
-        if _BP_DBG == 4:
-            _dbg(jnp.sum(ga) + jnp.sum(gb))
-            return
-
-        if cap2:
-            # ---- phase 1: face-axis SAT prefilter on all candidates ----
-            t = (gb[0] - ga[0], gb[1] - ga[1], gb[2] - ga[2])
-            ra = tuple(ga[3 + k] for k in range(9))        # world R row-major
-            rb = tuple(gb[3 + k] for k in range(9))
-            ha = (ga[12], ga[13], ga[14])
-            hb = (gb[12], gb[13], gb[14])
-            sep_best = face_sat_sep(t, ra, rb, ha, hb)
-            mv1 = (ga[17] > 0.0) | (gb[17] > 0.0)
-            keep = (sep_best < 0.0) & mv1 & (la >= 0)
-            keepf = keep.astype(jnp.float32)
-            dropped_bp = dropped2         # raw→cap compaction drops
-
-            # ---- compact surviving (la, lb) into cap2 lanes ----
-            km = jnp.stack([
-                jax.lax.slice_in_dim(keepf, r * 128, (r + 1) * 128)
-                for r in range(cap // 128)
-            ]) if mosaic else keepf.reshape(cap // 128, 128)
-            laf = la.astype(jnp.float32)
-            lbf = lb.astype(jnp.float32)
-            if mosaic:
-                la2 = jnp.stack([
-                    jax.lax.slice_in_dim(laf, r * 128, (r + 1) * 128)
-                    for r in range(cap // 128)])
-                lb2 = jnp.stack([
-                    jax.lax.slice_in_dim(lbf, r * 128, (r + 1) * 128)
-                    for r in range(cap // 128)])
-            else:
-                la2 = laf.reshape(cap // 128, 128)
-                lb2 = lbf.reshape(cap // 128, 128)
-            la, lb, dropped2 = compact_pair_lanes(km, la2, lb2, cap2)
-            dropped2 = dropped2 + dropped_bp
-
-            # ---- phase 2: re-gather survivor geometry ----
             oh_a, oh_b = onehots(la, lb)
             ga = bgather(oh_a)
-            gb = bgather(oh_b)
+            gb = bgather(oh_b)        # inactive (la = −1): all-zero columns
+            if _BP_DBG == 4:
+                _dbg(jnp.sum(ga) + jnp.sum(gb))
+                return
 
-        man = box_box_manifold_batched(
-            (ga[0], ga[1], ga[2]), tuple(ga[3 + k] for k in range(9)),
-            (ga[12], ga[13], ga[14]),
-            (gb[0], gb[1], gb[2]), tuple(gb[3 + k] for k in range(9)),
-            (gb[12], gb[13], gb[14]),
-            mosaic=mosaic,
-        )
-        if _BP_DBG == 5:
-            _dbg(jnp.sum(man.depth[0]) + jnp.sum(man.normal[0]))
-            return
+            if cap2:
+                # ---- phase 1: face-axis SAT prefilter on all candidates ----
+                t = (gb[0] - ga[0], gb[1] - ga[1], gb[2] - ga[2])
+                ra = tuple(ga[3 + k] for k in range(9))        # world R row-major
+                rb = tuple(gb[3 + k] for k in range(9))
+                ha = (ga[12], ga[13], ga[14])
+                hb = (gb[12], gb[13], gb[14])
+                sep_best = face_sat_sep(t, ra, rb, ha, hb)
+                mv1 = (ga[17] > 0.0) | (gb[17] > 0.0)
+                keep = (sep_best < 0.0) & mv1 & (la >= 0)
+                keepf = keep.astype(jnp.float32)
+                dropped_bp = dropped2         # raw→cap compaction drops
 
-        movable = (ga[17] > 0.0) | (gb[17] > 0.0)
-        mu_p = jnp.sqrt(ga[15] * gb[15])
-        rest_p = jnp.maximum(ga[16], gb[16])
-        ia = ga[18].astype(jnp.int32)
-        ib = gb[18].astype(jnp.int32)
-        # component-form key rows: (min id, max id, slot) — exact in f32
-        # at any n ≤ 2^16 (a packed (mn·n+mx)·slots int32 overflows ≥ 16k)
-        kl_p = jnp.maximum(ia, ib).astype(jnp.float32)
-        kh_p = jnp.minimum(ia, ib).astype(jnp.float32)
+                # ---- compact surviving (la, lb) into cap2 lanes ----
+                km = jnp.stack([
+                    jax.lax.slice_in_dim(keepf, r * 128, (r + 1) * 128)
+                    for r in range(cap // 128)
+                ]) if mosaic else keepf.reshape(cap // 128, 128)
+                laf = la.astype(jnp.float32)
+                lbf = lb.astype(jnp.float32)
+                if mosaic:
+                    la2 = jnp.stack([
+                        jax.lax.slice_in_dim(laf, r * 128, (r + 1) * 128)
+                        for r in range(cap // 128)])
+                    lb2 = jnp.stack([
+                        jax.lax.slice_in_dim(lbf, r * 128, (r + 1) * 128)
+                        for r in range(cap // 128)])
+                else:
+                    la2 = laf.reshape(cap // 128, 128)
+                    lb2 = lbf.reshape(cap // 128, 128)
+                la, lb, dropped2 = compact_pair_lanes(km, la2, lb2, cap2)
+                dropped2 = dropped2 + dropped_bp
 
-        big_neg = jnp.float32(-1e30)
-        score = [
-            jnp.where(man.valid[s] & movable, man.depth[s], big_neg)
-            for s in range(_CAP)
-        ]
-        # rank rows for pair contacts: global ranks from la/lb + base
-        ra_p = (start + la).astype(jnp.float32)
-        rb1_p = (start + lb + 1).astype(jnp.float32)
-        live = (la >= 0).astype(jnp.float32)
-        ra_p = ra_p * live
-        rb1_p = rb1_p * live
+                # ---- phase 2: re-gather survivor geometry ----
+                oh_a, oh_b = onehots(la, lb)
+                ga = bgather(oh_a)
+                gb = bgather(oh_b)
 
-        # payload rows are built as lists of [128] lane vectors (one per
-        # output sublane) and stacked to [sub, 128] — a 1-D lane
-        # concatenate to [sub·128] crashes Mosaic's layout assignment
-        # (layout.h offsets<tiling check; bisected in
-        # experiments/ct_bisect.py stage 18), while 128-aligned static
-        # lane slices + jnp.stack are proven safe. Interpret mode keeps
-        # the single-concatenate form (fewer ops for XLA:CPU's
-        # superlinear compile on unrolled graphs).
-        rows_n = CT2_ROWS if anchors else CT_ROWS
-        rows = [[] for _ in range(rows_n)]
+            man = box_box_manifold_batched(
+                (ga[0], ga[1], ga[2]), tuple(ga[3 + k] for k in range(9)),
+                (ga[12], ga[13], ga[14]),
+                (gb[0], gb[1], gb[2]), tuple(gb[3 + k] for k in range(9)),
+                (gb[12], gb[13], gb[14]),
+                mosaic=mosaic,
+            )
+            if _BP_DBG == 5:
+                _dbg(jnp.sum(man.depth[0]) + jnp.sum(man.normal[0]))
+                return
 
-        def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
-                 kl, kh, ksgn, ra, rb1, ks, anc=None):
-            af = act.astype(jnp.float32)
-            vals = [
-                ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
-                kl * af, kh * af, ksgn * af, ra * af, rb1 * af,
-                ks * af,
+            movable = (ga[17] > 0.0) | (gb[17] > 0.0)
+            mu_p = jnp.sqrt(ga[15] * gb[15])
+            rest_p = jnp.maximum(ga[16], gb[16])
+            ia = ga[18].astype(jnp.int32)
+            ib = gb[18].astype(jnp.int32)
+            # component-form key rows: (min id, max id, slot) — exact in f32
+            # at any n ≤ 2^16 (a packed (mn·n+mx)·slots int32 overflows ≥ 16k)
+            kl_p = jnp.maximum(ia, ib).astype(jnp.float32)
+            kh_p = jnp.minimum(ia, ib).astype(jnp.float32)
+
+            big_neg = jnp.float32(-1e30)
+            score = [
+                jnp.where(man.valid[s] & movable, man.depth[s], big_neg)
+                for s in range(_CAP)
             ]
-            if anchors:
-                # anc = 9 anchor rows (a_loc, b_loc-or-world, n_loc)
-                vals += [v * af for v in anc]
-                vals += [jnp.zeros_like(af)] * (CT2_ROWS - 25)
-            for r, v in enumerate(vals):
-                if not mosaic:
-                    rows[r].append(v)
-                    continue
-                for j in range(v.shape[0] // 128):
-                    rows[r].append(
-                        jax.lax.slice_in_dim(v, j * 128, (j + 1) * 128))
+            # rank rows for pair contacts: global ranks from la/lb + base
+            ra_p = (start + la).astype(jnp.float32)
+            rb1_p = (start + lb + 1).astype(jnp.float32)
+            live = (la >= 0).astype(jnp.float32)
+            ra_p = ra_p * live
+            rb1_p = rb1_p * live
 
-        def t_apply(g, w):
-            # Rᵀ·w for the geometry rows' row-major R at g[3:12]
-            return (g[3] * w[0] + g[6] * w[1] + g[9] * w[2],
-                    g[4] * w[0] + g[7] * w[1] + g[10] * w[2],
-                    g[5] * w[0] + g[8] * w[1] + g[11] * w[2])
+            # payload rows are built as lists of [128] lane vectors (one per
+            # output sublane) and stacked to [sub, 128] — a 1-D lane
+            # concatenate to [sub·128] crashes Mosaic's layout assignment
+            # (layout.h offsets<tiling check; bisected in
+            # experiments/ct_bisect.py stage 18), while 128-aligned static
+            # lane slices + jnp.stack are proven safe. Interpret mode keeps
+            # the single-concatenate form (fewer ops for XLA:CPU's
+            # superlinear compile on unrolled graphs).
+            rows_n = CT2_ROWS if anchors else CT_ROWS
+            rows = [[] for _ in range(rows_n)]
 
-        for _ in range(kk):
-            best, bidx = _argmax_unrolled(score)
-            act = best > 0.0
-            pt = _select(bidx, man.points)
-            ks = bidx.astype(jnp.float32)                  # slot < _CAP
-            anc = None
-            if anchors:
-                a_loc = t_apply(ga, (pt[0] - ga[0], pt[1] - ga[1],
-                                     pt[2] - ga[2]))
-                b_loc = t_apply(gb, (pt[0] - gb[0], pt[1] - gb[1],
-                                     pt[2] - gb[2]))
-                n_loc = t_apply(ga, (man.normal[0], man.normal[1],
-                                     man.normal[2]))
-                anc = list(a_loc) + list(b_loc) + list(n_loc)
-            emit(pt[0], pt[1], pt[2],
-                 man.normal[0], man.normal[1], man.normal[2],
-                 jnp.where(act, best, 0.0), act, mu_p, rest_p,
-                 kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks,
-                 anc=anc)
-            if mosaic:
-                score = [
-                    jnp.where(
-                        (bidx == jnp.int32(s)), big_neg, score[s])
-                    for s in range(_CAP)
+            def emit(ptx, pty, ptz, nx, ny, nz, d, act, mu, rest,
+                     kl, kh, ksgn, ra, rb1, ks, anc=None):
+                af = act.astype(jnp.float32)
+                vals = [
+                    ptx, pty, ptz, nx, ny, nz, d, mu, rest, af,
+                    kl * af, kh * af, ksgn * af, ra * af, rb1 * af,
+                    ks * af,
                 ]
-            else:
-                score = [
-                    jnp.where(bidx == s, big_neg, score[s])
-                    for s in range(_CAP)
-                ]
+                if anchors:
+                    # anc = 9 anchor rows (a_loc, b_loc-or-world, n_loc)
+                    vals += [v * af for v in anc]
+                    vals += [jnp.zeros_like(af)] * (CT2_ROWS - 25)
+                for r, v in enumerate(vals):
+                    if not mosaic:
+                        rows[r].append(v)
+                        continue
+                    for j in range(v.shape[0] // 128):
+                        rows[r].append(
+                            jax.lax.slice_in_dim(v, j * 128, (j + 1) * 128))
 
-        if _BP_DBG == 6:
-            _dbg(sum(jnp.sum(r[0]) for r in rows if r))
-            return
+            def t_apply(g, w):
+                # Rᵀ·w for the geometry rows' row-major R at g[3:12]
+                return (g[3] * w[0] + g[6] * w[1] + g[9] * w[2],
+                        g[4] * w[0] + g[7] * w[1] + g[10] * w[2],
+                        g[5] * w[0] + g[8] * w[1] + g[11] * w[2])
 
-        # ---- ground contacts for the bucket's own 128 ranks ----
-        if kg > 0:
-            gl = win[:, 0:BLOCK]                           # [24, 128]
-            px, py, pz = gl[0], gl[1], gl[2]
-            r9 = tuple(gl[3 + k] for k in range(9))
-            hx, hy, hz = gl[12], gl[13], gl[14]
-            mv = gl[17] > 0.0
-            pts_g, dep_g = [], []
-            for (sx, sy, sz) in _BOX_SIGNS:
-                wx, wy, wz = sx * hx, sy * hy, sz * hz
-                cx = px + r9[0] * wx + r9[1] * wy + r9[2] * wz
-                cy = py + r9[3] * wx + r9[4] * wy + r9[5] * wz
-                cz = pz + r9[6] * wx + r9[7] * wy + r9[8] * wz
-                pts_g.append((cx, cy, cz))
-                dep_g.append(jnp.float32(gh) - cy)
-            gsc = [jnp.where(mv & (d > 0.0), d, big_neg) for d in dep_g]
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1, BLOCK), 1)[0]
-            body_id = gl[18].astype(jnp.int32)
-            ra_g = (start + lane).astype(jnp.float32)
-            one_g = jnp.ones((BLOCK,), jnp.float32)
-            body_f = body_id.astype(jnp.float32)
-            for _ in range(kg):
-                best, bidx = _argmax_unrolled(gsc)
+            for _ in range(kk):
+                best, bidx = _argmax_unrolled(score)
                 act = best > 0.0
-                pt = _select(bidx, pts_g)
-                ks = bidx.astype(jnp.float32)              # corner < 8
+                pt = _select(bidx, man.points)
+                ks = bidx.astype(jnp.float32)                  # slot < _CAP
                 anc = None
                 if anchors:
-                    a_loc = ((pt[0] - gl[0]) * gl[3]
-                             + (pt[1] - gl[1]) * gl[6]
-                             + (pt[2] - gl[2]) * gl[9],
-                             (pt[0] - gl[0]) * gl[4]
-                             + (pt[1] - gl[1]) * gl[7]
-                             + (pt[2] - gl[2]) * gl[10],
-                             (pt[0] - gl[0]) * gl[5]
-                             + (pt[1] - gl[1]) * gl[8]
-                             + (pt[2] - gl[2]) * gl[11])
-                    # no body B: the anchor is the WORLD point itself;
-                    # n_loc = Rᵀ·ŷ = R's middle row
-                    anc = (list(a_loc) + [pt[0], pt[1], pt[2]]
-                           + [gl[6], gl[7], gl[8]])
+                    a_loc = t_apply(ga, (pt[0] - ga[0], pt[1] - ga[1],
+                                         pt[2] - ga[2]))
+                    b_loc = t_apply(gb, (pt[0] - gb[0], pt[1] - gb[1],
+                                         pt[2] - gb[2]))
+                    n_loc = t_apply(ga, (man.normal[0], man.normal[1],
+                                         man.normal[2]))
+                    anc = list(a_loc) + list(b_loc) + list(n_loc)
                 emit(pt[0], pt[1], pt[2],
-                     jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
-                     jnp.where(act, best, 0.0), act, gl[15], gl[16],
-                     body_f, jnp.zeros_like(one_g), one_g, ra_g,
-                     jnp.zeros_like(one_g), ks, anc=anc)
+                     man.normal[0], man.normal[1], man.normal[2],
+                     jnp.where(act, best, 0.0), act, mu_p, rest_p,
+                     kl_p, kh_p, jnp.zeros_like(kl_p), ra_p, rb1_p, ks,
+                     anc=anc)
                 if mosaic:
-                    gsc = [
-                        jnp.where((bidx == jnp.int32(s)), big_neg, gsc[s])
-                        for s in range(8)
+                    score = [
+                        jnp.where(
+                            (bidx == jnp.int32(s)), big_neg, score[s])
+                        for s in range(_CAP)
                     ]
                 else:
-                    gsc = [
-                        jnp.where(bidx == s, big_neg, gsc[s])
-                        for s in range(8)
+                    score = [
+                        jnp.where(bidx == s, big_neg, score[s])
+                        for s in range(_CAP)
                     ]
 
-        if mosaic:
-            pay2 = [jnp.stack(r) for r in rows]            # 16 × [sub, 128]
+            if _BP_DBG == 6:
+                _dbg(sum(jnp.sum(r[0]) for r in rows if r))
+                return
+
+            # ---- ground contacts for the bucket's own 128 ranks ----
+            if kg > 0:
+                gl = win[:, 0:BLOCK]                           # [24, 128]
+                px, py, pz = gl[0], gl[1], gl[2]
+                r9 = tuple(gl[3 + k] for k in range(9))
+                hx, hy, hz = gl[12], gl[13], gl[14]
+                mv = gl[17] > 0.0
+                pts_g, dep_g = [], []
+                for (sx, sy, sz) in _BOX_SIGNS:
+                    wx, wy, wz = sx * hx, sy * hy, sz * hz
+                    cx = px + r9[0] * wx + r9[1] * wy + r9[2] * wz
+                    cy = py + r9[3] * wx + r9[4] * wy + r9[5] * wz
+                    cz = pz + r9[6] * wx + r9[7] * wy + r9[8] * wz
+                    pts_g.append((cx, cy, cz))
+                    dep_g.append(jnp.float32(gh) - cy)
+                gsc = [jnp.where(mv & (d > 0.0), d, big_neg) for d in dep_g]
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, BLOCK), 1)[0]
+                body_id = gl[18].astype(jnp.int32)
+                ra_g = (start + lane).astype(jnp.float32)
+                one_g = jnp.ones((BLOCK,), jnp.float32)
+                body_f = body_id.astype(jnp.float32)
+                for _ in range(kg):
+                    best, bidx = _argmax_unrolled(gsc)
+                    act = best > 0.0
+                    pt = _select(bidx, pts_g)
+                    ks = bidx.astype(jnp.float32)              # corner < 8
+                    anc = None
+                    if anchors:
+                        a_loc = ((pt[0] - gl[0]) * gl[3]
+                                 + (pt[1] - gl[1]) * gl[6]
+                                 + (pt[2] - gl[2]) * gl[9],
+                                 (pt[0] - gl[0]) * gl[4]
+                                 + (pt[1] - gl[1]) * gl[7]
+                                 + (pt[2] - gl[2]) * gl[10],
+                                 (pt[0] - gl[0]) * gl[5]
+                                 + (pt[1] - gl[1]) * gl[8]
+                                 + (pt[2] - gl[2]) * gl[11])
+                        # no body B: the anchor is the WORLD point itself;
+                        # n_loc = Rᵀ·ŷ = R's middle row
+                        anc = (list(a_loc) + [pt[0], pt[1], pt[2]]
+                               + [gl[6], gl[7], gl[8]])
+                    emit(pt[0], pt[1], pt[2],
+                         jnp.zeros_like(one_g), one_g, jnp.zeros_like(one_g),
+                         jnp.where(act, best, 0.0), act, gl[15], gl[16],
+                         body_f, jnp.zeros_like(one_g), one_g, ra_g,
+                         jnp.zeros_like(one_g), ks, anc=anc)
+                    if mosaic:
+                        gsc = [
+                            jnp.where((bidx == jnp.int32(s)), big_neg, gsc[s])
+                            for s in range(8)
+                        ]
+                    else:
+                        gsc = [
+                            jnp.where(bidx == s, big_neg, gsc[s])
+                            for s in range(8)
+                        ]
+
+            if mosaic:
+                pay2 = [jnp.stack(r) for r in rows]            # 16 × [sub, 128]
+            else:
+                pay2 = [jnp.concatenate(r).reshape(sub, 128) for r in rows]
+            if _BP_DBG == 7:
+                _dbg(jnp.sum(pay2[CT_ACT]))
+                return
+
+            # ---- per-bucket compaction (order-preserving) ----
+            mask = pay2[CT_ACT]                                # [sub, 128]
+            slot = _exclusive_prefix(mask)
+            slot = slot * mask + (1.0 - mask) * jnp.float32(ccap)
+
+            # chunked one-hot scatter. The one-hot is built TRANSPOSED
+            # ([ccap, cw]: sublane iota vs the flattened slot lane-vector
+            # broadcast along sublanes) because Mosaic accepts the
+            # sublanes→lanes flatten [CR,128]→[1,CW] but not a lane-vector →
+            # column reshape; the dot then contracts both dim-1s.
+            acc = jnp.zeros((rows_n, ccap), jnp.float32)
+            oh_row = jax.lax.broadcasted_iota(
+                jnp.int32, (ccap, chunk_rows * 128), 0)
+            for r0 in range(0, sub, chunk_rows):
+                cr = min(chunk_rows, sub - r0)
+                cwr = cr * 128
+                sl = slot[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
+                oht = (oh_row[:, :cwr] == sl).astype(jnp.bfloat16)
+                pay = jnp.stack(
+                    [pay2[r][r0:r0 + cr].reshape(1, cwr)[0]
+                     for r in range(rows_n)])                  # [rows_n, CWR]
+                p_hi, p_lo = _split(pay)
+                acc += jax.lax.dot_general(
+                    p_hi, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc += jax.lax.dot_general(
+                    p_lo, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[:] = acc
+
+
+            n_act = jnp.sum(mask)
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            c_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            at00 = ((r_i == 0) & (c_i == 0)).astype(jnp.float32)
+            at01 = ((r_i == 0) & (c_i == 1)).astype(jnp.float32)
+            at02 = ((r_i == 0) & (c_i == 2)).astype(jnp.float32)
+            at03 = ((r_i == 0) & (c_i == 3)).astype(jnp.float32)
+            dropped = jnp.maximum(n_act - jnp.float32(ccap), 0.0)
+            meta_ref[:] = (at00 * dropped + at01 * n_act + at02 * dropped2
+                           + at03 * winovf)
+
+        if gate:
+            # per-bucket motion gate (refresh steps): recompute this
+            # bucket's contacts from CURRENT geometry when its bodies
+            # (or the forward window's) are moving; otherwise pass the
+            # persisted table block through untouched. Counters for
+            # passthrough buckets are zero (the caller folds them with
+            # the persisted rebuild counters).
+            g = base_ref[pl.num_programs(0) + b]
+
+            @pl.when(g > 0)
+            def _():
+                _compute()
+
+            @pl.when(g <= 0)
+            def _():
+                out_ref[:] = prev_tab_ref[:]
+                meta_ref[:] = jnp.zeros((8, 128), jnp.float32)
         else:
-            pay2 = [jnp.concatenate(r).reshape(sub, 128) for r in rows]
-        if _BP_DBG == 7:
-            _dbg(jnp.sum(pay2[CT_ACT]))
-            return
-
-        # ---- per-bucket compaction (order-preserving) ----
-        mask = pay2[CT_ACT]                                # [sub, 128]
-        slot = _exclusive_prefix(mask)
-        slot = slot * mask + (1.0 - mask) * jnp.float32(ccap)
-
-        # chunked one-hot scatter. The one-hot is built TRANSPOSED
-        # ([ccap, cw]: sublane iota vs the flattened slot lane-vector
-        # broadcast along sublanes) because Mosaic accepts the
-        # sublanes→lanes flatten [CR,128]→[1,CW] but not a lane-vector →
-        # column reshape; the dot then contracts both dim-1s.
-        acc = jnp.zeros((rows_n, ccap), jnp.float32)
-        oh_row = jax.lax.broadcasted_iota(
-            jnp.int32, (ccap, chunk_rows * 128), 0)
-        for r0 in range(0, sub, chunk_rows):
-            cr = min(chunk_rows, sub - r0)
-            cwr = cr * 128
-            sl = slot[r0:r0 + cr].reshape(1, cwr).astype(jnp.int32)
-            oht = (oh_row[:, :cwr] == sl).astype(jnp.bfloat16)
-            pay = jnp.stack(
-                [pay2[r][r0:r0 + cr].reshape(1, cwr)[0]
-                 for r in range(rows_n)])                  # [rows_n, CWR]
-            p_hi, p_lo = _split(pay)
-            acc += jax.lax.dot_general(
-                p_hi, oht, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc += jax.lax.dot_general(
-                p_lo, oht, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        out_ref[:] = acc
+            _compute()
 
         if warm:
+            # (runs after the gate branches: `acc` is read back from the
+            # out block, so passthrough buckets warm-match against their
+            # own identical keys -> identity lambda carry)
+            acc = out_ref[:]
             # per-bucket warm-start match: eq[i, j] = 1 iff previous
             # contact i and fresh contact j carry the same feature key
             # and both are active; λ₀ = prev_λᵀ·eq. Keys are unique per
@@ -702,16 +743,6 @@ def _make_ct_kernel(cap, wtot, kk, kg, ccap, n, gh, mosaic=True,
             warm_ref[:] = jnp.stack(
                 [lam0[0], lam0[1], lam0[2], zc, zc, zc, zc, zc])
 
-        n_act = jnp.sum(mask)
-        r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        c_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        at00 = ((r_i == 0) & (c_i == 0)).astype(jnp.float32)
-        at01 = ((r_i == 0) & (c_i == 1)).astype(jnp.float32)
-        at02 = ((r_i == 0) & (c_i == 2)).astype(jnp.float32)
-        at03 = ((r_i == 0) & (c_i == 3)).astype(jnp.float32)
-        dropped = jnp.maximum(n_act - jnp.float32(ccap), 0.0)
-        meta_ref[:] = (at00 * dropped + at01 * n_act + at02 * dropped2
-                       + at03 * winovf)
 
     return kernel
 
@@ -807,6 +838,7 @@ def bucket_contact_table(
     prev: Tuple[Array, Array] | None = None,
     geom: Array | None = None,
     buckets: Tuple[Array, int] | None = None,
+    gate: Tuple[Array, Array] | None = None,
 ) -> Tuple[Array, Array, Array | None]:
     """Run the fused kernel. Returns (table [CT_ROWS, NB·ccap],
     meta [8, NB·128] — meta[0, b·128] = dropped count of bucket b,
@@ -929,7 +961,8 @@ def bucket_contact_table(
     kernel = _make_ct_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height,
         mosaic=not interpret, warm=prev is not None, cap2=cap2,
-        bp_k=bp_k, row0=row0, env_k=env_k, anchors=anchors)
+        bp_k=bp_k, row0=row0, env_k=env_k, anchors=anchors,
+        gate=gate is not None)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ] if bp_k else [
@@ -946,6 +979,16 @@ def bucket_contact_table(
         jax.ShapeDtypeStruct((8, nb_l * 128), jnp.float32),
     ]
     operands = [geom] if bp_k else [la3, lb3, geom]
+    if gate is not None:
+        # per-bucket motion gate: scalar row rides the prefetch array
+        # (bases | gate), the persisted table streams in per bucket
+        gate_arr, prev_table = gate
+        assert gate_arr.shape == (nb_l,), (gate_arr.shape, nb_l)
+        assert prev_table.shape == (rows_n, cp_l), (
+            prev_table.shape, rows_n, cp_l)
+        bases = jnp.concatenate([bases, gate_arr.astype(jnp.int32)])
+        in_specs.append(pl.BlockSpec((rows_n, ccap), lambda b, bs: (0, b)))
+        operands.append(prev_table)
     if prev is not None:
         pkey, plam = prev
         pcols = prev_key_cols(pkey, plam)                  # [cp_l, 8]

@@ -116,14 +116,21 @@ def pile_config(n_bodies: int, dt: float = 1.0 / 60.0) -> SimConfig:
         # 4th step; between rebuilds the solve kernel re-derives contact
         # geometry exactly from body-frame anchors (tests/test_rebuild.py)
         # — only DISCOVERY of new contacts waits ≤ 3 steps. The motion
-        # guard is off for THIS scene on measurement: the pile avalanches
-        # perpetually (max |v| 2–7 m/s — a max-velocity guard would
-        # refuse the refresh path forever), and the 240-step max-
-        # penetration envelope is identical with and without the delay
-        # (K=4: 0.510 vs K=1: 0.525 on v5e; K=8 rejected at 0.977 —
-        # experiments/rebuild_bench.py, round 4). 3.84 → 6.08M
-        # body-steps/s. Scenes with ballistic approaches (drops, rain)
-        # should keep the guard (default 2.0) or contact_rebuild=1.
+        # gate is off for THIS scene on measurement: the trench
+        # avalanches perpetually (max |v| 2–7 m/s), so the round-5
+        # per-bucket displacement gate fires essentially every bucket
+        # every step (measured 3.48M gated vs 8.7M ungated on v5e —
+        # all-moving scenes degenerate the gate to per-step rebuilds),
+        # and the 240-step max-penetration envelope is identical with
+        # and without the delay (K=4: 0.510 vs K=1: 0.525 on v5e; K=8
+        # rejected at 0.977 — experiments/rebuild_bench.py, round 4).
+        # 3.84 → 6.08M body-steps/s. Scenes with HETEROGENEOUS motion
+        # (settled bulk + ballistic intruders, packed envs) should set
+        # contact_rebuild_vel_factor > 0: the gate then recomputes only
+        # moving buckets' contacts per step (discovery within 1 step)
+        # while settled regions ride the cheap refresh — see
+        # bench.bench_batched_envs (11.3M at gated K=32) and
+        # tests/test_rebuild.py::test_gated_refresh_mixed_scene.
         contact_rebuild=4,
         contact_rebuild_vel_factor=0.0,
         # refresh steps re-converge the slot-exact warm start in 4

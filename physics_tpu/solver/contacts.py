@@ -1024,24 +1024,96 @@ def _resolve_contacts_table(
                 win_ovf + jnp.sum(m[:, 2]).astype(jnp.int32),
                 jnp.sum(m[:, 0]).astype(jnp.int32),
             ])
+            ref_r = jnp.concatenate([st.pos, st.quat], axis=1)
             return table_r, st.contact_order if env_mode else order, \
-                geom_r, warm_r, ovf
+                geom_r, warm_r, ovf, ref_r
+
+        # per-bucket motion gate (round 5): with vel_factor > 0 on a BOX
+        # table path, refresh steps run the GATED table kernel — buckets
+        # whose bodies (or the forward window's) move fast enough to
+        # tunnel recompute their contacts from CURRENT geometry with the
+        # frozen rank order + the in-kernel broad phase, while settled
+        # buckets pass the persisted block through (then warm-match
+        # against their own identical keys → identity λ carry). This
+        # replaces the global max|v| guard, which refused the refresh
+        # path forever on scenes with ANY residual motion (avalanche
+        # piles, raining floors, one jiggling env of 4096). Hull paths
+        # keep the global guard (the hull kernel has no in-kernel broad
+        # phase yet).
+        gated = (not hulls) and cfg.contact_rebuild_vel_factor > 0
 
         def _refresh(st):
             order = None if env_mode else st.contact_order
             geom_r = unified_geom(st, cfg, order, hulls=hulls)
+            if gated:
+                # DISPLACEMENT-since-build gate: each body's pose at its
+                # bucket's last recompute is persisted (st.contact_ref),
+                # so the predicate measures accumulated motion exactly —
+                # a bucket fires when any of its bodies (or the forward
+                # window's) moved more than vel_factor slops since its
+                # contacts were built, and its ref resets on recompute.
+                # K-independent (a velocity-based threshold coupled to K
+                # over-fired at large K: v5e packed-env A/B, round 5)
+                # and self-paced: a slow mover recomputes only every
+                # ceil(vf·slop / (v·dt)) steps. Rotation rides a
+                # small-angle surface-motion bound: |Δq|₂ ≈ θ/2, so
+                # 2·|Δq|·r bounds the contact-point drift (sign-folded —
+                # q and −q are one rotation).
+                ref = st.contact_ref
+                dp = jnp.max(jnp.abs(st.pos - ref[:, 0:3]), axis=1)
+                dq2 = jnp.minimum(
+                    jnp.sum((st.quat - ref[:, 3:7]) ** 2, axis=1),
+                    jnp.sum((st.quat + ref[:, 3:7]) ** 2, axis=1))
+                r_body = jnp.sqrt(
+                    jnp.sum(st.shapes.params ** 2, axis=1))
+                disp = dp + 2.0 * jnp.sqrt(dq2) * r_body   # [n]
+                if order is not None:
+                    disp = disp[order]
+                dpp = jnp.pad(disp, (0, nb * 128 - n))
+                dmb = jnp.max(dpp.reshape(nb, 128), axis=1)
+                # forward windows reach into the NEXT bucket's ranks: a
+                # mover there can create/destroy this bucket's contacts
+                dmb = jnp.maximum(dmb, jnp.concatenate(
+                    [dmb[1:], jnp.zeros((1,), dmb.dtype)]))
+                gate_arr = dmb > jnp.float32(
+                    cfg.contact_rebuild_vel_factor
+                    * cfg.penetration_slop)
+                table_r, meta_r, warm_r = bucket_contact_table(
+                    st, None, cfg, order,
+                    prev=(st.contact_key, st.contact_lam), geom=geom_r,
+                    gate=(gate_arr, st.contact_table))
+                m = meta_r[0].reshape(nb, 128)
+                ovf_new = jnp.stack([
+                    (jnp.sum(m[:, 3]) + jnp.sum(m[:, 2])
+                     ).astype(jnp.int32),
+                    jnp.sum(m[:, 0]).astype(jnp.int32),
+                ])
+                # worst-of: the persisted rebuild counters and this
+                # step's gated recompute (passthrough buckets report 0)
+                ovf = jnp.maximum(st.contact_meta, ovf_new)
+                # fired buckets' bodies reset their displacement ref
+                if env_mode:
+                    rank_of = jnp.arange(n, dtype=jnp.int32)
+                else:
+                    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(
+                        jnp.arange(n, dtype=jnp.int32))
+                fired = gate_arr[rank_of // 128]
+                pose = jnp.concatenate([st.pos, st.quat], axis=1)
+                ref_r = jnp.where(fired[:, None], pose, ref)
+                return (table_r,
+                        st.contact_order if env_mode else order,
+                        geom_r, warm_r, ovf, ref_r)
             # slot-aligned warm start: last step's impulses, same slots
             warm_r = jnp.concatenate(
                 [st.contact_lam, jnp.zeros((5, cp), jnp.float32)])
             return st.contact_table, st.contact_order, geom_r, warm_r, \
-                st.contact_meta
+                st.contact_meta, st.contact_ref
 
         pred = state.step_count % cfg.contact_rebuild == 0
-        if cfg.contact_rebuild_vel_factor > 0:
-            # motion guard: a body moving v covers v·dt·K before the
-            # next scheduled rebuild — rebuild NOW if that could tunnel
-            # past the slop (drops run full physics; settled piles
-            # stay on the cheap refresh path)
+        if cfg.contact_rebuild_vel_factor > 0 and not gated:
+            # global motion guard (hull table paths): a body moving v
+            # covers v·dt·K before the next scheduled rebuild — rebuild
+            # NOW if that could tunnel past the slop
             vmax = jnp.max(jnp.abs(state.vel))
             pred = pred | (
                 vmax * jnp.float32(cfg.dt * cfg.contact_rebuild)
@@ -1058,11 +1130,11 @@ def _resolve_contacts_table(
             # scenes.pile_config.
             def _with_solve(mk, c2):
                 def br(st):
-                    table_r, order, geom_r, warm_r, ovf_r = mk(st)
+                    table_r, order, geom_r, warm_r, ovf_r, ref_r = mk(st)
                     out = solve_impulses_table(
                         st, table_r, c2, None if env_mode else order,
                         warm_rows=warm_r, geom=geom_r, fuse=fuse)
-                    return out, (table_r, order, ovf_r)
+                    return out, (table_r, order, ovf_r, ref_r)
                 return br
 
             # the kernel's sweep count is max(vel, pos) + 1 — both
@@ -1071,14 +1143,14 @@ def _resolve_contacts_table(
                 contact_iters=r_it,
                 position_iters=min(cfg.position_iters, r_it))
             (vel, omega, pvel, pomega, lam3, solve_metrics, keys,
-             posquat), (table, body_order, ovf) = jax.lax.cond(
+             posquat), (table, body_order, ovf, ref_out) = jax.lax.cond(
                 pred,
                 _with_solve(_rebuild, cfg),
                 _with_solve(_refresh, refresh_cfg),
                 state)
         else:
-            table, body_order, geom, warm_rows, ovf = jax.lax.cond(
-                pred, _rebuild, _refresh, state)
+            table, body_order, geom, warm_rows, ovf, ref_out = \
+                jax.lax.cond(pred, _rebuild, _refresh, state)
             vel, omega, pvel, pomega, lam3, solve_metrics, keys, \
                 posquat = solve_impulses_table(
                     state, table, cfg,
@@ -1100,7 +1172,7 @@ def _resolve_contacts_table(
             vel=vel, omega=omega, pos=new_pos, quat=new_quat,
             contact_key=keys, contact_lam=lam3,
             contact_table=table, contact_order=body_order,
-            contact_meta=ovf,
+            contact_meta=ovf, contact_ref=ref_out,
         )
         return state, metrics
 

@@ -193,6 +193,12 @@ class SimState:
     contact_table: Array  # [32, K] f32 (or [0, 0])
     contact_order: Array  # [N] int32 (or [0])
     contact_meta: Array   # [2] int32
+    # per-body pose at its bucket's last contact recompute ([N, 7]:
+    # pos xyz | quat wxyz) — the displacement-since-build reference the
+    # per-bucket motion gate compares against (contact_rebuild > 1 with
+    # contact_rebuild_vel_factor > 0 on box table paths). Empty when
+    # unused; engine.prepare_contacts sizes it.
+    contact_ref: Array    # [N, 7] f32 (or [0, 0])
 
     # bookkeeping
     step_count: Array   # [] int32
@@ -279,6 +285,7 @@ def make_state(
         contact_table=np.zeros((0, 0), np.float32),
         contact_order=np.zeros((0,), np.int32),
         contact_meta=np.zeros((2,), np.int32),
+        contact_ref=np.zeros((0, 0), np.float32),
         step_count=np.zeros((), np.int32),
     )
     return jax.device_put(state)

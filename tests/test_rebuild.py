@@ -101,3 +101,52 @@ def test_rebuild_refresh_path_solves_settled_contacts():
     k1, mk = stepj(kicked, cfg)
     assert int(mk["contact_count"]) <= int(m["contact_count"])
     assert float(k1.pos[top, 1]) > float(final.pos[top, 1])
+
+
+def test_gated_refresh_mixed_scene():
+    """Round 5 per-bucket DISPLACEMENT gate (contact_rebuild_vel_factor
+    > 0 on a box table path): on a mixed scene — a resting grid plus one
+    ballistic box incoming at 8 m/s — the gated refresh recomputes the
+    mover's bucket every step (its accumulated displacement crosses
+    vf·slop immediately), discovering the impact within one step, while
+    the ungated K-schedule waits up to K-1 steps and embeds the
+    intruder correspondingly deeper. The resting bulk passes through
+    untouched either way."""
+    import jax.numpy as jnp
+
+    def scene():
+        b = SceneBuilder()
+        for k in range(48):
+            x, z = k % 8, k // 8
+            i = b.add_body(pos=(x * 1.25, 0.5, z * 1.25),
+                           inertia=box_inertia((0.5,) * 3, 1.0))
+            b.set_box(i, (0.5,) * 3, friction=0.5)
+        # ballistic intruder above the far corner, 8 m/s downward
+        i = b.add_body(pos=(4.0, 3.0, 2.0),
+                       inertia=box_inertia((0.5,) * 3, 1.0))
+        b.set_box(i, (0.5,) * 3, friction=0.5)
+        s = b.build()
+        return s.replace(vel=s.vel.at[48, 1].set(-8.0))
+
+    k8 = CFG_K1.replace(contact_rebuild=8, contact_refresh_iters=4,
+                        contact_rebuild_vel_factor=0.0)
+    gated = k8.replace(contact_rebuild_vel_factor=2.0)
+    stepj = jax.jit(step_with_metrics, static_argnums=1)
+
+    def run(cfg):
+        s = prepare_contacts(scene(), cfg)
+        # one step to put the schedule mid-cycle (step 0 always
+        # rebuilds), then let the intruder cross the gap and impact
+        mx = 0.0
+        for _ in range(9):
+            s, m = stepj(s, cfg)
+            mx = max(mx, float(m["max_penetration"]))
+        return s, mx
+
+    s_g, pen_g = run(gated)
+    s_u, pen_u = run(k8)
+    assert np.all(np.isfinite(np.asarray(s_g.pos)))
+    # ungated: the impact lands between scheduled rebuilds -> deep
+    # transient; gated: discovered within a step of crossing the slop
+    assert pen_g < pen_u, (pen_g, pen_u)
+    assert pen_g < 0.35, pen_g
