@@ -110,9 +110,13 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
 
     `step_fn(state) -> state` advances physics; `render_frame(state,
     view_proj) -> RGB uint8 image` renders (native rasterizer). Keyboard:
-    WASD/space/x move, arrow keys look, q/esc quits — routed to the same
-    CameraController as the reference's winit events (lib.rs:74-101).
-    Returns the final state.
+    WASD/space/x move, arrow keys look (the right-drag mouse-look
+    analogue), +/- zoom (the scroll-wheel analogue, one tap = one wheel
+    line), q/esc quits — routed to the same CameraController as the
+    reference's winit events (lib.rs:74-101, camera.rs:140-151). When
+    cols/rows are auto-detected, terminal resizes re-size the frame
+    buffer and projection mid-run (the reference's resize path,
+    rendering.rs:412-422). Returns the final state.
 
     `wall_clock=True` is the Q8 analogue: the reference steps physics by
     raw frame time (reference src/lib.rs:56-58). A traced per-frame dt
@@ -128,7 +132,8 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
 
     if out is None:
         out = sys.stdout
-    if cols <= 0 or rows <= 0:
+    auto_size = cols <= 0 or rows <= 0
+    if auto_size:
         try:
             ts = os.get_terminal_size()
             cols, rows = max(ts.columns, 20), max(ts.lines - 2, 10)
@@ -180,13 +185,39 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
                     ctl.process_mouse(0.0, 8.0)
                 elif key == "arrow_down":
                     ctl.process_mouse(0.0, -8.0)
+                elif key in ("+", "="):
+                    # scroll-zoom analogue (reference routes the wheel
+                    # to process_scroll, src/rendering.rs:84-90 →
+                    # camera.rs:146-150). Negative lines ⇒ positive
+                    # scroll ⇒ move along the pitched look direction
+                    # (zoom in); 0.05 lines ≈ a gentle tap at 30 fps
+                    ctl.process_scroll(lines=-0.05)
+                elif key == "-":
+                    ctl.process_scroll(lines=0.05)
                 elif key == "x":
                     ctl.process_keyboard("lshift", True)
                 else:
                     ctl.process_keyboard(key, True)
-            ctl.update_camera(cam, max(dt, frame_t))
+            # camera dt is clamped: the first frames include jit compile
+            # stalls (seconds), which would teleport a key tap
+            ctl.update_camera(cam, min(max(dt, frame_t), 0.25))
             for axis in ctl.amount:
                 ctl.amount[axis] = 0.0
+
+            if auto_size:
+                # resize analogue: the reference reconfigures the
+                # surface + re-creates the depth texture on window
+                # resize (src/rendering.rs:412-422); here the frame
+                # buffer and projection aspect follow the terminal
+                try:
+                    ts = os.get_terminal_size()
+                    nc, nr = max(ts.columns, 20), max(ts.lines - 2, 10)
+                    if (nc, nr) != (cols, rows):
+                        cols, rows = nc, nr
+                        proj = Projection(cols, rows * 2)
+                        out.write(f"{_CSI}2J")
+                except OSError:
+                    pass
 
             view_proj = (proj.matrix() @ cam.view_matrix()).astype(
                 np.float32)
@@ -195,7 +226,7 @@ def run_live(state, step_fn, render_frame, *, steps: int = 600,
             out.write(f"{_CSI}H" + ansi_frame(img, cols, rows)
                       + f"\n{_CSI}0Kstep {k + 1}/{steps}  "
                       f"{fps:6.1f} steps/s  [wasd/space/x move, "
-                      f"arrows look, q quits]")
+                      f"arrows look, +/- zoom, q quits]")
             out.flush()
             shown += 1
             sleep = frame_t - (time.perf_counter() - now)
