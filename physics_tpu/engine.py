@@ -274,11 +274,14 @@ def prepare_contacts(state: SimState, cfg: SimConfig) -> SimState:
                 "the segmented fast path.",
                 stacklevel=2,
             )
-        if n_hulls > 1 and cfg.hull_table:
+        from physics_tpu.ops.hull_table import MAX_TABLE_HULL_TYPES
+
+        if n_hulls > MAX_TABLE_HULL_TYPES and cfg.hull_table:
             warnings.warn(
                 "cfg.hull_table (the fused hull contact-table kernel) "
-                "supports exactly one hull shape; multi-type scenes run "
-                "the XLA fast path instead.",
+                f"supports at most {MAX_TABLE_HULL_TYPES} hull shapes "
+                "(one SAT pass per ordered type pair); this scene's "
+                f"{n_hulls} types run the XLA fast path instead.",
                 stacklevel=2,
             )
 

@@ -784,15 +784,26 @@ def unified_geom(state: SimState, cfg: SimConfig,
     zero = jnp.zeros((n,), jnp.float32)
     pos3 = [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]]
     if hulls:
+        # per-TYPE local AABBs gathered per body; the live row (43)
+        # carries is_hull·(1 + hull type) so the hull table kernel can
+        # derive each lane's ordered type pair (round 5 multi-type)
         is_shape = (state.shapes.stype == SHAPE_HULL).astype(jnp.float32)
-        verts = state.hulls.verts[0]
-        lo = jnp.min(verts, axis=0)
-        hi = jnp.max(verts, axis=0)
-        co = (lo + hi) * 0.5
-        hh = (hi - lo) * 0.5
-        half3 = [jnp.broadcast_to(hh[c], (n,)) for c in range(3)]
-        tail = [pos3[c] + r9[3 * c] * co[0] + r9[3 * c + 1] * co[1]
-                + r9[3 * c + 2] * co[2] for c in range(3)] + [zero]
+        nh = state.hulls.verts.shape[0]
+        vmask = (jnp.arange(state.hulls.verts.shape[1])[None, :]
+                 < state.hulls.vert_count[:, None])         # [H, V]
+        big = jnp.float32(1e30)
+        lo_t = jnp.min(jnp.where(vmask[..., None],
+                                 state.hulls.verts, big), axis=1)
+        hi_t = jnp.max(jnp.where(vmask[..., None],
+                                 state.hulls.verts, -big), axis=1)
+        hidx = jnp.clip(state.shapes.hull_index, 0, nh - 1)
+        co_b = ((lo_t + hi_t) * 0.5)[hidx]                  # [n, 3]
+        hh_b = ((hi_t - lo_t) * 0.5)[hidx]
+        half3 = [hh_b[:, 0], hh_b[:, 1], hh_b[:, 2]]
+        tail = [pos3[c] + r9[3 * c] * co_b[:, 0]
+                + r9[3 * c + 1] * co_b[:, 1]
+                + r9[3 * c + 2] * co_b[:, 2] for c in range(3)] + [zero]
+        is_shape = is_shape * (1.0 + hidx.astype(jnp.float32))
     else:
         is_shape = (state.shapes.stype == SHAPE_BOX).astype(jnp.float32)
         half3 = [state.shapes.params[:, 0], state.shapes.params[:, 1],
@@ -939,10 +950,14 @@ def bucket_contact_table(
 
     cap2 = cfg.bucket_cap2
     if cap2:
-        if cap2 % 128 or cap2 > cap:
+        if cap2 % 128:
             raise ValueError(
-                f"bucket_cap2 must be a 128-multiple <= bucket cap "
-                f"({cap}); got {cap2}")
+                f"bucket_cap2 must be a 128-multiple; got {cap2}")
+        # clamp, don't raise: production configs set cap2 for the big
+        # scenes they're tuned on, and a tiny scene's bucket cap can be
+        # smaller — the prefilter cap is an optimization bound, not a
+        # semantic (a clamped cap2 == cap disables the extra pass)
+        cap2 = min(cap2, cap)
         if cap2 == cap:
             cap2 = 0        # no-op prefilter: skip the extra pass
     if cand is not None:

@@ -89,6 +89,12 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 BIG = 1e30
 
+# the fused kernel runs its SAT block once per ORDERED hull-type pair
+# (H^2 passes over the candidate lanes, per-lane pair masks) — compile
+# time and VPU cost scale with H^2, so the table path caps the library;
+# larger libraries ride the type-pair-segmented XLA fast path
+MAX_TABLE_HULL_TYPES = 2
+
 # Mosaic-crash bisect hook (HT_DEBUG=k truncates the kernel after
 # stage k and writes dummy outputs) — same pattern as CT_BP_DEBUG.
 _HT_DBG = int(os.environ.get("HT_DEBUG", "0"))
@@ -142,17 +148,25 @@ class HullDims(NamedTuple):
     e2p: int      # padded (8-mult)
 
 
-# c32 row offsets (k·FP blocks sized at trace time; these are the fixed
-# tail rows after the two incident blocks)
+# c32 row offsets (k·FP blocks sized at trace time). Round 5: the
+# polygon / count / normal / plane-offset blocks are SIDED (separate A
+# and B tables) so a type PAIR's kernel pass can pick the reference /
+# incident face data from the hull that actually owns it — for the
+# shared-hull case both sides hold identical tables.
 def _c32_offsets(fp: int, e: int):
     inc_ra = 0
     inc_rb = 9 * fp
-    poly = 18 * fp
-    fcnt = poly + 3 * e
-    fn = fcnt + 1
-    off = fn + 3
-    total = _round8(off + 1)
-    return inc_ra, inc_rb, poly, fcnt, fn, off, total
+    poly_a = 18 * fp
+    poly_b = poly_a + 3 * e
+    fcnt_a = poly_b + 3 * e
+    fcnt_b = fcnt_a + 1
+    fn_a = fcnt_b + 1
+    fn_b = fn_a + 3
+    off_a = fn_b + 3
+    off_b = off_a + 1
+    total = _round8(off_b + 1)
+    return (inc_ra, inc_rb, poly_a, poly_b, fcnt_a, fcnt_b, fn_a, fn_b,
+            off_a, off_b, total)
 
 
 def hull_dims(hulls) -> HullDims:
@@ -165,10 +179,14 @@ def hull_dims(hulls) -> HullDims:
                     e=e, e2=e2, e2p=_round8(e2))
 
 
-def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
+def build_hull_coef(state: SimState, ia: int = 0, ib: int = 0
+                    ) -> Tuple[HullCoef, HullDims]:
     """Reorder ops/hullhull_batched.build_hull_tables' coefficient tables
-    into the kernel's vertex-major / component-major padded layouts."""
-    ht = build_hull_tables(state.hulls, 0)  # single-type: A == B
+    for hull type pair (ia, ib) into the kernel's vertex-major /
+    component-major padded layouts. All face/edge/vertex blocks are
+    SIDED (A = type ia, B = type ib); the shared-hull case ia == ib
+    degenerates to identical sides."""
+    ht = build_hull_tables(state.hulls, ia, ib)
     dm = hull_dims(state.hulls)
     f, fp, vcap = dm.f, dm.fp, dm.vcap
     d2, d2p, e, e2, e2p = dm.d2, dm.d2p, dm.e, dm.e2, dm.e2p
@@ -178,35 +196,39 @@ def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
         pad[axis] = (0, width - x.shape[axis])
         return jnp.pad(x, pad)
 
-    const = jnp.where(ht.face_mask_a > 0, -ht.face_off_a, -jnp.float32(BIG))
-    n32 = padf(ht.face_n_a, fp, 0)                      # [FP, 3]
-    # pad faces MUST carry -BIG in the const column (zero-padding would
-    # give them separation 0, which wins the argmax whenever all real
-    # faces overlap — selecting a garbage reference face)
-    const32 = jnp.concatenate(
-        [const, jnp.full((fp - f,), -jnp.float32(BIG))])  # [FP]
+    def face_const(mask, off):
+        # pad faces MUST carry -BIG in the const column (zero-padding
+        # would give them separation 0, which wins the argmax whenever
+        # all real faces overlap - selecting a garbage reference face)
+        c = jnp.where(mask > 0, -off, -jnp.float32(BIG))
+        return jnp.concatenate([c, jnp.full((fp - f,), -jnp.float32(BIG))])
+
+    const_a = face_const(ht.face_mask_a, ht.face_off_a)      # [FP]
+    const_b = face_const(ht.face_mask_b, ht.face_off_b)
+    n32a = padf(ht.face_n_a, fp, 0)                          # [FP, 3]
+    n32b = padf(ht.face_n_b, fp, 0)
     zeros3 = jnp.zeros((vcap, fp, 3), jnp.float32)
 
-    def face_block(coef, dpa_side: bool):
-        # coef [F·V, 9] rows (f·V + u) → [V, FP, 16]
+    def face_block(coef, nrm, const, dpa_side: bool):
+        # coef [F.V, 9] rows (f.V + u) -> [V, FP, 16]
         c9 = padf(coef.reshape(f, vcap, 9).transpose(1, 0, 2), fp, 1)
-        nb = jnp.broadcast_to(n32[None], (vcap, fp, 3))
+        nb = jnp.broadcast_to(nrm[None], (vcap, fp, 3))
         cols = ([c9, nb, zeros3] if dpa_side else [c9, zeros3, nb])
-        cols.append(jnp.broadcast_to(const32[None, :, None],
+        cols.append(jnp.broadcast_to(const[None, :, None],
                                      (vcap, fp, 1)))
         return jnp.concatenate(cols, axis=-1).reshape(vcap * fp, 16)
 
-    a_face = face_block(ht.a_fv, True)
-    b_face = face_block(ht.b_fv, False)
+    a_face = face_block(ht.a_fv, n32a, const_a, True)
+    b_face = face_block(ht.b_fv, n32b, const_b, False)
 
-    def pad16(x):                                     # [R, 9] → [R, 16]
+    def pad16(x):                                     # [R, 9] -> [R, 16]
         return jnp.pad(x, ((0, 0), (0, 7)))
 
-    # LAX [c·D2P + a]: rows (a·3 + c) → [3, D2P, 9], masked axes zeroed
+    # LAX [c.D2P + a]: rows (a.3 + c) -> [3, D2P, 9], masked axes zeroed
     lax = (ht.l_ax.reshape(d2, 3, 9).transpose(1, 0, 2)
            * ht.ax_mask[None, :, None])
     lax = pad16(padf(lax, d2p, 1).reshape(3 * d2p, 9))
-    # EAV/EBV [v·D2P + a]: rows (a·V + u)
+    # EAV/EBV [v.D2P + a]: rows (a.V + u)
     eav = pad16(padf(ht.c_av.reshape(d2, vcap, 9).transpose(1, 0, 2),
                      d2p, 1).reshape(vcap * d2p, 9))
     ebv = pad16(padf(ht.c_bv.reshape(d2, vcap, 9).transpose(1, 0, 2),
@@ -214,49 +236,108 @@ def build_hull_coef(state: SimState) -> Tuple[HullCoef, HullDims]:
     c16 = jnp.concatenate([a_face, b_face, lax, eav, ebv])
 
     ff3 = ht.ff.reshape(f, f, 9)                      # [a, b, 9]
-    # ref on A → incident over B: rows [k·FP + o], cols a_ref
+    # ref on A -> incident over B: rows [k.FP + o], cols a_ref
     inc_ra = padf(padf(ff3.transpose(2, 1, 0), fp, 1), fp, 2
                   ).reshape(9 * fp, fp)
-    # ref on B → incident over A: rows [k·FP + o], cols b_ref
+    # ref on B -> incident over A: rows [k.FP + o], cols b_ref
     inc_rb = padf(padf(ff3.transpose(2, 0, 1), fp, 1), fp, 2
                   ).reshape(9 * fp, fp)
-    poly = padf(ht.verts_a[ht.face_verts_a].transpose(2, 1, 0), fp, 2
-                ).reshape(3 * e, fp)                  # [c·E + e, FP]
-    fcnt = padf(ht.face_cnt_a.astype(jnp.float32), fp, 0)[None, :]
-    fn = n32.T                                        # [3, FP]
-    offr = padf(ht.face_off_a, fp, 0)[None, :]
-    _, _, _, _, _, _, c32_rows = _c32_offsets(fp, e)
-    c32 = jnp.concatenate([inc_ra, inc_rb, poly, fcnt, fn, offr])
+
+    def poly_block(verts, face_verts, face_cnt, nrm32, off):
+        poly = padf(verts[face_verts].transpose(2, 1, 0), fp, 2
+                    ).reshape(3 * e, fp)              # [c.E + e, FP]
+        fcnt = padf(face_cnt.astype(jnp.float32), fp, 0)[None, :]
+        offr = padf(off, fp, 0)[None, :]
+        return poly, fcnt, nrm32.T, offr
+
+    pa_, fca, fna, offa = poly_block(ht.verts_a, ht.face_verts_a,
+                                     ht.face_cnt_a, n32a, ht.face_off_a)
+    pb_, fcb, fnb, offb = poly_block(ht.verts_b, ht.face_verts_b,
+                                     ht.face_cnt_b, n32b, ht.face_off_b)
+    *_, c32_rows = _c32_offsets(fp, e)
+    c32 = jnp.concatenate([inc_ra, inc_rb, pa_, pb_, fca, fcb,
+                           fna, fnb, offa, offb])
     c32 = jnp.pad(c32, ((0, c32_rows - c32.shape[0]), (0, 0)))
 
-    # SAV/SBV [k·V + u, D2P]: from c_av rows (a·V + u, k)
+    # SAV/SBV [k.V + u, D2P]: from c_av rows (a.V + u, k)
     sav = padf(ht.c_av.reshape(d2, vcap, 9).transpose(2, 1, 0), d2p, 2
                ).reshape(9 * vcap, d2p)
     sbv = padf(ht.c_bv.reshape(d2, vcap, 9).transpose(2, 1, 0), d2p, 2
                ).reshape(9 * vcap, d2p)
     c88 = jnp.concatenate([sav, sbv])
 
-    s0 = padf(jax.nn.one_hot(ht.edge_i0_a, vcap, dtype=jnp.float32)
-              * ht.edge_mask_a[:, None], e2p, 0)        # [E2P, V]
-    s1 = padf(jax.nn.one_hot(ht.edge_i1_a, vcap, dtype=jnp.float32)
-              * ht.edge_mask_a[:, None], e2p, 0)
-    c48 = jnp.concatenate([s0, s1, ht.verts_a.T])
+    def edge_onehots(i0, i1, emask):
+        s0 = padf(jax.nn.one_hot(i0, vcap, dtype=jnp.float32)
+                  * emask[:, None], e2p, 0)           # [E2P, V]
+        s1 = padf(jax.nn.one_hot(i1, vcap, dtype=jnp.float32)
+                  * emask[:, None], e2p, 0)
+        return s0, s1
+
+    s0a, s1a = edge_onehots(ht.edge_i0_a, ht.edge_i1_a, ht.edge_mask_a)
+    s0b, s1b = edge_onehots(ht.edge_i0_b, ht.edge_i1_b, ht.edge_mask_b)
+    c48 = jnp.concatenate([s0a, s1a, s0b, s1b])
     c48 = jnp.pad(c48, ((0, _round8(c48.shape[0]) - c48.shape[0]), (0, 0)))
 
-    v0e = padf(ht.verts_a[ht.edge_i0_a].T, e2p, 1)        # [3, E2P]
-    v1e = padf(ht.verts_a[ht.edge_i1_a].T, e2p, 1)
-    c80 = jnp.pad(jnp.concatenate([v0e, v1e]), ((0, 2), (0, 0)))
+    def edge_pts(verts, i0, i1):
+        v0e = padf(verts[i0].T, e2p, 1)               # [3, E2P]
+        v1e = padf(verts[i1].T, e2p, 1)
+        return jnp.concatenate([v0e, v1e])
 
-    fbias = jnp.where(padf(ht.face_mask_a, fp, 0) > 0, 0.0, jnp.float32(BIG))
-    ebias = jnp.where(padf(ht.edge_mask_a, e2p, 0) > 0, 0.0, jnp.float32(BIG))
-    vmask = jnp.arange(vcap) < state.hulls.vert_count[0]
-    vbias = jnp.where(vmask, 0.0, -jnp.float32(BIG))
-    cb = jnp.concatenate([fbias, ebias, vbias])[:, None]
-    cb = jnp.pad(cb, ((0, 160 - cb.shape[0]), (0, 0)))
-    assert fp + e2p + vcap <= 160, "bias column layout overflow"
+    c80 = jnp.concatenate([edge_pts(ht.verts_a, ht.edge_i0_a,
+                                    ht.edge_i1_a),
+                           edge_pts(ht.verts_b, ht.edge_i0_b,
+                                    ht.edge_i1_b)])   # [12, E2P]
+    c80 = jnp.pad(c80, ((0, 16 - c80.shape[0]), (0, 0)))
+
+    def fbias(mask):
+        return jnp.where(padf(mask, fp, 0) > 0, 0.0, jnp.float32(BIG))
+
+    def ebias(mask):
+        return jnp.where(padf(mask, e2p, 0) > 0, 0.0, jnp.float32(BIG))
+
+    cb = jnp.concatenate([fbias(ht.face_mask_a), fbias(ht.face_mask_b),
+                          ebias(ht.edge_mask_a), ebias(ht.edge_mask_b)
+                          ])[:, None]
+    cb = jnp.pad(cb, ((0, _round8(cb.shape[0]) - cb.shape[0]), (0, 0)))
 
     return HullCoef(c16=c16, c32=c32, c88=c88, c48=c48, c80=c80, cb=cb,
                     v3c=ht.verts_a), dm
+
+
+def cb_offsets(fp: int, e2p: int):
+    """(FBIAS_A, FBIAS_B, EBIAS_A, EBIAS_B) row offsets of the sided
+    bias column."""
+    return 0, fp, 2 * fp, 2 * fp + e2p
+
+
+def build_hull_coef_multi(state: SimState
+                          ) -> Tuple[HullCoef, HullDims, int]:
+    """Stack per-ordered-type-pair coefficient tables for the
+    multi-type kernel: each HullCoef field gains a leading [H*H] pair
+    axis (pair p = ia*H + ib; H = 1 degenerates to today's tables), and
+    v3c becomes the per-TYPE ground vertex stack [H*round8(V), 3]
+    (+ the per-type vertex-bias/vertex-transpose tables ride separate
+    operands built in bucket_hull_contact_table)."""
+    h = state.hulls.verts.shape[0]
+    coefs = []
+    dm = None
+    for ia in range(h):
+        for ib in range(h):
+            c, dm = build_hull_coef(state, ia, ib)
+            coefs.append(c)
+    stacked = HullCoef(*[
+        jnp.stack([getattr(c, f) for c in coefs])
+        for f in ("c16", "c32", "c88", "c48", "c80", "cb")
+    ] + [None])
+    # per-type ground vertex stack (round8 stride so every per-type row
+    # slice in the kernel is sublane-aligned)
+    vs = _round8(dm.vcap)
+    gv = jnp.stack([
+        jnp.pad(state.hulls.verts[t], ((0, vs - dm.vcap), (0, 0)))
+        for t in range(h)
+    ]).reshape(h * vs, 3)
+    stacked = stacked._replace(v3c=gv)
+    return stacked, dm, h
 
 
 def _dot(a, b):
@@ -287,7 +368,8 @@ def _argmax2d(x):
 
 
 def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
-                      mosaic=True, warm=False, cap2=0, anchors=False):
+                      mosaic=True, warm=False, cap2=0, anchors=False,
+                      ntypes=1):
     """One grid step = one rank bucket: OBB prefilter → hull SAT →
     top-k emit → vertex ground contacts → compaction (+ warm match).
 
@@ -315,14 +397,17 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
     LAX = 2 * vcap * fp
     EAV = LAX + 3 * d2p
     EBV = EAV + vcap * d2p
-    INC_RA, INC_RB, POLY, FCNT, FN, OFF, _ = _c32_offsets(fp, e)
+    (INC_RA, INC_RB, POLY_A, POLY_B, FCNT_A, FCNT_B, FN_A, FN_B,
+     OFF_A, OFF_B, _) = _c32_offsets(fp, e)
     SAV, SBV = 0, 9 * vcap
-    S0, S1, VT = 0, e2p, 2 * e2p
-    FBIAS, EBIAS, VBIAS = 0, fp, fp + e2p
+    S0A, S1A, S0B, S1B = 0, e2p, 2 * e2p, 3 * e2p
+    FBIAS_A, FBIAS_B, EBIAS_A, EBIAS_B = cb_offsets(fp, e2p)
+    vs = _round8(vcap)
+    pairs = [(ia, ib) for ia in range(ntypes) for ib in range(ntypes)]
 
     def kernel(*args):
         (base_ref, la_ref, lb_ref, geom_ref, c16_ref, c32_ref, c88_ref,
-         c48_ref, c80_ref, cb_ref, v3_ref, *refs) = args
+         c48_ref, c80_ref, cb_ref, v3_ref, vt_ref, vb_ref, *refs) = args
         if warm:
             prev_ref, out_ref, meta_ref, warm_ref = refs
         else:
@@ -465,223 +550,293 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         mext = jnp.stack(list(m9) + list(dpa) + list(dpb)
                          + [jnp.ones((p2,), jnp.float32)])   # [16, P]
 
-        # ---- face separations: chunked coef matmuls + vertex-min ----
-        def face_sep(base):
-            acc = None
-            for v0 in range(0, vcap, 8):
-                sv = _dot(c16_ref[base + v0 * fp:base + (v0 + 8) * fp, :],
-                          mext)                       # [8·FP, P]
-                for j in range(8):
-                    s = sv[j * fp:(j + 1) * fp]
-                    acc = s if acc is None else jnp.minimum(acc, s)
-            return acc                                # [FP, P]
+        def sat_pass(p_i):
+            # one type pair's SAT / clip / edge narrow phase over ALL
+            # candidate lanes (lanes of other pairs produce finite
+            # garbage that the per-lane pair masks discard below);
+            # cpXX are this pair's static coefficient tables
+            cp16 = c16_ref[p_i]
+            cp32 = c32_ref[p_i]
+            cp88 = c88_ref[p_i]
+            cp48 = c48_ref[p_i]
+            cp80 = c80_ref[p_i]
+            cpb = cb_ref[p_i]
+            # ---- face separations: chunked coef matmuls + vertex-min ----
+            def face_sep(base):
+                acc = None
+                for v0 in range(0, vcap, 8):
+                    sv = _dot(cp16[base + v0 * fp:base + (v0 + 8) * fp, :],
+                              mext)                       # [8·FP, P]
+                    for j in range(8):
+                        s = sv[j * fp:(j + 1) * fp]
+                        acc = s if acc is None else jnp.minimum(acc, s)
+                return acc                                # [FP, P]
 
-        sep_a = face_sep(A_FACE)
-        sep_b = face_sep(B_FACE)
-        if _HT_DBG == 2:
-            _dbg(jnp.sum(sep_a) + jnp.sum(sep_b))
-            return
+            sep_a = face_sep(A_FACE)
+            sep_b = face_sep(B_FACE)
+            if _HT_DBG == 2:
+                _dbg(jnp.sum(sep_a) + jnp.sum(sep_b))
+                return
 
-        # ---- edge axes ----
-        axes = _dot(c16_ref[LAX:LAX + 3 * d2p, :], mext)     # [3·D2P, P]
-        ax0, ax1 = axes[0:d2p], axes[d2p:2 * d2p]
-        ax2c = axes[2 * d2p:3 * d2p]
-        ax_sq = ax0 * ax0 + ax1 * ax1 + ax2c * ax2c
-        alen = jnp.sqrt(jnp.maximum(ax_sq, 1e-18))
-        t_ax = -(ax0 * dpa[0][None, :] + ax1 * dpa[1][None, :]
-                 + ax2c * dpa[2][None, :])            # [D2P, P]
+            # ---- edge axes ----
+            axes = _dot(cp16[LAX:LAX + 3 * d2p, :], mext)     # [3·D2P, P]
+            ax0, ax1 = axes[0:d2p], axes[d2p:2 * d2p]
+            ax2c = axes[2 * d2p:3 * d2p]
+            ax_sq = ax0 * ax0 + ax1 * ax1 + ax2c * ax2c
+            alen = jnp.sqrt(jnp.maximum(ax_sq, 1e-18))
+            t_ax = -(ax0 * dpa[0][None, :] + ax1 * dpa[1][None, :]
+                     + ax2c * dpa[2][None, :])            # [D2P, P]
 
-        def edge_minmax(base):
-            mn = mx = None
-            for v0 in range(0, vcap, 8):
-                sv = _dot(
-                    c16_ref[base + v0 * d2p:base + (v0 + 8) * d2p, :],
-                    mext)                             # [8·D2P, P]
-                for j in range(8):
-                    s = sv[j * d2p:(j + 1) * d2p]
-                    mn = s if mn is None else jnp.minimum(mn, s)
-                    mx = s if mx is None else jnp.maximum(mx, s)
-            return mn, mx
+            def edge_minmax(base):
+                mn = mx = None
+                for v0 in range(0, vcap, 8):
+                    sv = _dot(
+                        cp16[base + v0 * d2p:base + (v0 + 8) * d2p, :],
+                        mext)                             # [8·D2P, P]
+                    for j in range(8):
+                        s = sv[j * d2p:(j + 1) * d2p]
+                        mn = s if mn is None else jnp.minimum(mn, s)
+                        mx = s if mx is None else jnp.maximum(mx, s)
+                return mn, mx
 
-        min_a, max_a = edge_minmax(EAV)
-        min_b, max_b = edge_minmax(EBV)
-        flip = t_ax < 0.0
-        sep_num = jnp.where(flip, min_b - max_a - t_ax,
-                            min_a - max_b + t_ax)
-        ax_ok = alen > 1e-6
-        sep_e = jnp.where(ax_ok, sep_num / alen, -jnp.float32(BIG))
-        if _HT_DBG == 3:
-            _dbg(jnp.sum(sep_e * (jnp.abs(sep_e) < BIG)))
-            return
+            min_a, max_a = edge_minmax(EAV)
+            min_b, max_b = edge_minmax(EBV)
+            flip = t_ax < 0.0
+            sep_num = jnp.where(flip, min_b - max_a - t_ax,
+                                min_a - max_b + t_ax)
+            ax_ok = alen > 1e-6
+            sep_e = jnp.where(ax_ok, sep_num / alen, -jnp.float32(BIG))
+            if _HT_DBG == 3:
+                _dbg(jnp.sum(sep_e * (jnp.abs(sep_e) < BIG)))
+                return
 
-        # ---- axis choice (policy of hullhull_batched) ----
-        sep_faces = jnp.concatenate([sep_a, sep_b], axis=0)  # [2FP, P]
-        face_sep_v, oh_bf = _argmax2d(sep_faces)
-        edge_sep, oh_e = _argmax2d(sep_e)
-        separated = jnp.maximum(face_sep_v, edge_sep) > 0.0
-        edge_wins = (~separated) & (
-            edge_sep > face_sep_v + 1e-4 + 0.05 * jnp.abs(face_sep_v))
-        ref_is_a = jnp.sum(oh_bf[:fp], axis=0) > 0.5         # [P]
-        oh_ref = oh_bf[:fp] + oh_bf[fp:]                     # [FP, P]
+            # ---- axis choice (policy of hullhull_batched) ----
+            sep_faces = jnp.concatenate([sep_a, sep_b], axis=0)  # [2FP, P]
+            face_sep_v, oh_bf = _argmax2d(sep_faces)
+            edge_sep, oh_e = _argmax2d(sep_e)
+            separated = jnp.maximum(face_sep_v, edge_sep) > 0.0
+            edge_wins = (~separated) & (
+                edge_sep > face_sep_v + 1e-4 + 0.05 * jnp.abs(face_sep_v))
+            ref_is_a = jnp.sum(oh_bf[:fp], axis=0) > 0.5         # [P]
+            oh_ref = oh_bf[:fp] + oh_bf[fp:]                     # [FP, P]
 
-        # ---- incident face: most anti-parallel on the OTHER hull ----
-        def align(base):
-            ce = _dot(c32_ref[base:base + 9 * fp, :], oh_ref)
-            al = None
-            for k2 in range(9):
-                term = ce[k2 * fp:(k2 + 1) * fp] * m9[k2][None, :]
-                al = term if al is None else al + term
-            return al                                 # [FP, P]
+            # ---- incident face: most anti-parallel on the OTHER hull ----
+            def align(base):
+                ce = _dot(cp32[base:base + 9 * fp, :], oh_ref)
+                al = None
+                for k2 in range(9):
+                    term = ce[k2 * fp:(k2 + 1) * fp] * m9[k2][None, :]
+                    al = term if al is None else al + term
+                return al                                 # [FP, P]
 
-        fb = cb_ref[FBIAS:FBIAS + fp, 0:1]            # [FP, 1]
-        raf = ref_is_a.astype(jnp.float32)[None, :]
-        al = align(INC_RA) * raf + align(INC_RB) * (1.0 - raf) + fb
-        _, oh_inc = _argmax2d(-al)
-        if _HT_DBG == 4:
-            _dbg(jnp.sum(oh_inc) + jnp.sum(oh_ref))
-            return
+            raf = ref_is_a.astype(jnp.float32)[None, :]
+            fb = (cpb[FBIAS_A:FBIAS_A + fp, 0:1] * (1.0 - raf)
+                  + cpb[FBIAS_B:FBIAS_B + fp, 0:1] * raf)
+            al = align(INC_RA) * raf + align(INC_RB) * (1.0 - raf) + fb
+            _, oh_inc = _argmax2d(-al)
+            if _HT_DBG == 4:
+                _dbg(jnp.sum(oh_inc) + jnp.sum(oh_ref))
+                return
 
-        # ---- face polygons (owner frame) + world transforms ----
-        refL = _dot(c32_ref[POLY:POLY + 3 * e, :], oh_ref)   # [3E, P]
-        incL = _dot(c32_ref[POLY:POLY + 3 * e, :], oh_inc)
-        ref_cnt = _dot(c32_ref[FCNT:FCNT + 1, :], oh_ref)[0]
-        inc_cnt = _dot(c32_ref[FCNT:FCNT + 1, :], oh_inc)[0]
-        ref_cnt_i = ref_cnt.astype(jnp.int32)
+            # ---- face polygons (owner frame) + world transforms ----
+            polyA = cp32[POLY_A:POLY_A + 3 * e, :]
+            polyB = cp32[POLY_B:POLY_B + 3 * e, :]
+            # the reference face lives on A or B per lane; the incident face
+            # on the OTHER hull — sided tables, lane-selected by raf
+            refL = (_dot(polyA, oh_ref) * raf
+                    + _dot(polyB, oh_ref) * (1.0 - raf))
+            incL = (_dot(polyB, oh_inc) * raf
+                    + _dot(polyA, oh_inc) * (1.0 - raf))
+            ref_cnt = (_dot(cp32[FCNT_A:FCNT_A + 1, :], oh_ref)[0] * raf[0]
+                       + _dot(cp32[FCNT_B:FCNT_B + 1, :], oh_ref)[0]
+                       * (1.0 - raf[0]))
+            inc_cnt = (_dot(cp32[FCNT_B:FCNT_B + 1, :], oh_inc)[0] * raf[0]
+                       + _dot(cp32[FCNT_A:FCNT_A + 1, :], oh_inc)[0]
+                       * (1.0 - raf[0]))
+            ref_cnt_i = ref_cnt.astype(jnp.int32)
 
-        r_ref = tuple(jnp.where(ref_is_a, ra[k2], rb[k2])
-                      for k2 in range(9))
-        r_inc = tuple(jnp.where(ref_is_a, rb[k2], ra[k2])
-                      for k2 in range(9))
-        pa3 = (ga[0], ga[1], ga[2])
-        pb3 = (gb[0], gb[1], gb[2])
-        p_ref = v3.where(ref_is_a, pa3, pb3)
-        p_inc = v3.where(ref_is_a, pb3, pa3)
+            r_ref = tuple(jnp.where(ref_is_a, ra[k2], rb[k2])
+                          for k2 in range(9))
+            r_inc = tuple(jnp.where(ref_is_a, rb[k2], ra[k2])
+                          for k2 in range(9))
+            pa3 = (ga[0], ga[1], ga[2])
+            pb3 = (gb[0], gb[1], gb[2])
+            p_ref = v3.where(ref_is_a, pa3, pb3)
+            p_inc = v3.where(ref_is_a, pb3, pa3)
 
-        def to_world(loc, r, tvec):
-            out = []
+            def to_world(loc, r, tvec):
+                out = []
+                for k2 in range(e):
+                    x, y, z = loc[k2], loc[e + k2], loc[2 * e + k2]
+                    out.append((
+                        r[0] * x + r[1] * y + r[2] * z + tvec[0],
+                        r[3] * x + r[4] * y + r[5] * z + tvec[1],
+                        r[6] * x + r[7] * y + r[8] * z + tvec[2]))
+                return out
+
+            ref_w = to_world(refL, r_ref, p_ref)
+            inc_w = to_world(incL, r_inc, p_inc)
+
+            nloc_a = _dot(cp32[FN_A:FN_A + 3, :], oh_ref)
+            nloc_b = _dot(cp32[FN_B:FN_B + 3, :], oh_ref)
+            nloc = nloc_a * raf + nloc_b * (1.0 - raf)    # [3, P] owner frame
+            n_ref = v3.mat_vec(r_ref, (nloc[0], nloc[1], nloc[2]))
+            off_sel = (_dot(cp32[OFF_A:OFF_A + 1, :], oh_ref)[0] * raf[0]
+                       + _dot(cp32[OFF_B:OFF_B + 1, :], oh_ref)[0]
+                       * (1.0 - raf[0]))
+            off_ref = off_sel + v3.dot(n_ref, p_ref)
+
+            # ---- 2-D clip in the reference-face frame ----
+            edge0 = v3.sub(ref_w[1], ref_w[0])
+            t1 = v3.scale(edge0, 1.0 / jnp.maximum(v3.norm(edge0), 1e-9))
+            t2 = v3.cross(n_ref, t1)
+            p0 = ref_w[0]
+            ru, rv = [], []
             for k2 in range(e):
-                x, y, z = loc[k2], loc[e + k2], loc[2 * e + k2]
-                out.append((
-                    r[0] * x + r[1] * y + r[2] * z + tvec[0],
-                    r[3] * x + r[4] * y + r[5] * z + tvec[1],
-                    r[6] * x + r[7] * y + r[8] * z + tvec[2]))
-            return out
+                rel = v3.sub(ref_w[k2], p0)
+                ru.append(v3.dot(rel, t1))
+                rv.append(v3.dot(rel, t2))
+            iu_l, iv_l, is_l = [], [], []
+            for k2 in range(e):
+                q = inc_w[k2]
+                rel = v3.sub(q, p0)
+                iu_l.append(v3.dot(rel, t1))
+                iv_l.append(v3.dot(rel, t2))
+                is_l.append(v3.dot(q, n_ref) - off_ref)
+            zero_p = jnp.zeros((p2,), jnp.float32)
+            pu = jnp.stack(iu_l + [zero_p] * e)           # [2E, P]
+            pv = jnp.stack(iv_l + [zero_p] * e)
+            ps = jnp.stack(is_l + [zero_p] * e)
+            m_cnt = inc_cnt.astype(jnp.int32)
+            for k2 in range(e):
+                if k2 + 1 < e:
+                    wrapped = (k2 + 1) == ref_cnt_i
+                    ru_n = jnp.where(wrapped, ru[0], ru[k2 + 1])
+                    rv_n = jnp.where(wrapped, rv[0], rv[k2 + 1])
+                else:
+                    ru_n, rv_n = ru[0], rv[0]
+                e_u = ru_n - ru[k2]
+                e_v = rv_n - rv[k2]
+                on = (k2 < ref_cnt_i).astype(jnp.float32)
+                cu = e_v * on
+                cv = -e_u * on
+                dclip = ((e_v * ru[k2] - e_u * rv[k2]) * on
+                         + (1.0 - on) * jnp.float32(BIG))
+                pu, pv, ps, m_cnt = _clip(pu, pv, ps, m_cnt, cu, cv, dclip,
+                                          mosaic=mosaic)
 
-        ref_w = to_world(refL, r_ref, p_ref)
-        inc_w = to_world(incL, r_inc, p_inc)
+            n_face = v3.where(ref_is_a, v3.neg(n_ref), n_ref)    # B → A
+            if _HT_DBG == 5:
+                _dbg(jnp.sum(ps) + jnp.sum(pu) + jnp.sum(pv)
+                     + jnp.sum(m_cnt.astype(jnp.float32)))
+                return
 
-        nloc = _dot(c32_ref[FN:FN + 3, :], oh_ref)    # [3, P] owner frame
-        n_ref = v3.mat_vec(r_ref, (nloc[0], nloc[1], nloc[2]))
-        off_sel = _dot(c32_ref[OFF:OFF + 1, :], oh_ref)[0]
-        off_ref = off_sel + v3.dot(n_ref, p_ref)
+            # ---- edge-edge closest-point contact ----
+            ohe_f = oh_e
+            ax_sel = (jnp.sum(ohe_f * ax0, axis=0),
+                      jnp.sum(ohe_f * ax1, axis=0),
+                      jnp.sum(ohe_f * ax2c, axis=0))
+            alen_sel = jnp.sum(ohe_f * alen, axis=0)
+            flip_sel = jnp.sum(ohe_f * flip.astype(jnp.float32), axis=0) > 0.5
+            sgn = jnp.where(flip_sel, -1.0, 1.0)
+            ax_u = v3.scale(ax_sel, sgn / jnp.maximum(alen_sel, 1e-9))
+            n_edge = v3.mat_vec(ra, ax_u)
 
-        # ---- 2-D clip in the reference-face frame ----
-        edge0 = v3.sub(ref_w[1], ref_w[0])
-        t1 = v3.scale(edge0, 1.0 / jnp.maximum(v3.norm(edge0), 1e-9))
-        t2 = v3.cross(n_ref, t1)
-        p0 = ref_w[0]
-        ru, rv = [], []
-        for k2 in range(e):
-            rel = v3.sub(ref_w[k2], p0)
-            ru.append(v3.dot(rel, t1))
-            rv.append(v3.dot(rel, t2))
-        iu_l, iv_l, is_l = [], [], []
-        for k2 in range(e):
-            q = inc_w[k2]
-            rel = v3.sub(q, p0)
-            iu_l.append(v3.dot(rel, t1))
-            iv_l.append(v3.dot(rel, t2))
-            is_l.append(v3.dot(q, n_ref) - off_ref)
+            def sel_support(base):
+                ce = _dot(cp88[base:base + 9 * vcap, :], ohe_f)
+                acc = None
+                for k2 in range(9):
+                    term = ce[k2 * vcap:(k2 + 1) * vcap] * m9[k2][None, :]
+                    acc = term if acc is None else acc + term
+                return acc                                # [V, P]
+
+            sa_sel = sel_support(SAV) * sgn[None, :]
+            sb_sel = sel_support(SBV) * sgn[None, :]
+            sa0 = _dot(cp48[S0A:S0A + e2p, :], sa_sel)
+            sa1 = _dot(cp48[S1A:S1A + e2p, :], sa_sel)    # [E2P, P]
+            sb0 = _dot(cp48[S0B:S0B + e2p, :], sb_sel)
+            sb1 = _dot(cp48[S1B:S1B + e2p, :], sb_sel)
+            score_a = (jnp.maximum(sa0, sa1)
+                       + cpb[EBIAS_A:EBIAS_A + e2p, 0:1])
+            score_b = (jnp.minimum(sb0, sb1)
+                       - cpb[EBIAS_B:EBIAS_B + e2p, 0:1])
+            _, oh_ea = _argmax2d(-score_a)
+            _, oh_eb = _argmax2d(score_b)
+            epa = _dot(cp80[0:6, :], oh_ea)            # [6, P] v0|v1 local A
+            epb = _dot(cp80[6:12, :], oh_eb)           # [6, P] v0|v1 local B
+            ea0 = v3.add(v3.mat_vec(ra, (epa[0], epa[1], epa[2])), pa3)
+            ea1 = v3.add(v3.mat_vec(ra, (epa[3], epa[4], epa[5])), pa3)
+            eb0 = v3.add(v3.mat_vec(rb, (epb[0], epb[1], epb[2])), pb3)
+            eb1 = v3.add(v3.mat_vec(rb, (epb[3], epb[4], epb[5])), pb3)
+            d1 = v3.sub(ea1, ea0)
+            d2v = v3.sub(eb1, eb0)
+            r0v = v3.sub(ea0, eb0)
+            a11 = v3.dot(d1, d1)
+            a22 = v3.dot(d2v, d2v)
+            a12 = v3.dot(d1, d2v)
+            b1 = v3.dot(d1, r0v)
+            b2 = v3.dot(d2v, r0v)
+            den = a11 * a22 - a12 * a12
+            sparm = jnp.where(jnp.abs(den) > 1e-9,
+                              (a12 * b2 - a22 * b1) / den, 0.0)
+            sparm = jnp.clip(sparm, 0.0, 1.0)
+            tparm = jnp.where(a22 > 1e-9, (b2 + a12 * sparm) / a22, 0.0)
+            tparm = jnp.clip(tparm, 0.0, 1.0)
+            sparm = jnp.where(a11 > 1e-9,
+                              jnp.clip((a12 * tparm - b1) / a11, 0.0, 1.0),
+                              sparm)
+            pa_c = v3.add(ea0, v3.scale(d1, sparm))
+            pb_c = v3.add(eb0, v3.scale(d2v, tparm))
+            edge_point = v3.scale(v3.add(pa_c, pb_c), 0.5)
+            edge_depth = -edge_sep
+            if _HT_DBG == 6:
+                _dbg(jnp.sum(edge_point[0]) + jnp.sum(edge_depth))
+                return
+
+            return (ps, pu, pv, m_cnt.astype(jnp.float32),
+                    n_face, (p0[0], p0[1], p0[2]), t1, t2, n_ref,
+                    separated.astype(jnp.float32),
+                    edge_wins.astype(jnp.float32),
+                    edge_point, edge_depth, n_edge)
+
+        if 2 <= _HT_DBG <= 6:
+            sat_pass(0)          # writes the dbg outputs and bails
+            return
+        if len(pairs) == 1:
+            (ps, pu, pv, m_cnt_f, n_face, p0, t1, t2, n_ref, sep_f,
+             ew_f, edge_point, edge_depth, n_edge) = sat_pass(0)
+        else:
+            # per-lane ordered-type-pair masks: row 19 of the geometry
+            # block carries is_hull*(1 + type)
+            ta = ga[19] - 1.0
+            tb = gb[19] - 1.0
+            outs = [sat_pass(p_i) for p_i in range(len(pairs))]
+            masks = [
+                ((jnp.abs(ta - ia_t) < 0.5)
+                 & (jnp.abs(tb - ib_t) < 0.5)).astype(jnp.float32)
+                for (ia_t, ib_t) in pairs
+            ]
+
+            def sel(j):
+                acc = None
+                for mq, o in zip(masks, outs):
+                    v = o[j]
+                    if isinstance(v, tuple):
+                        contrib = tuple(c * mq for c in v)
+                        acc = (contrib if acc is None else
+                               tuple(x + y for x, y in zip(acc, contrib)))
+                    else:
+                        mm = mq if v.ndim == 1 else mq[None, :]
+                        acc = v * mm if acc is None else acc + v * mm
+                return acc
+
+            (ps, pu, pv, m_cnt_f, n_face, p0, t1, t2, n_ref, sep_f,
+             ew_f, edge_point, edge_depth, n_edge) = (
+                sel(j) for j in range(14))
+        m_cnt = m_cnt_f.astype(jnp.int32)
+        separated = sep_f > 0.5
+        edge_wins = ew_f > 0.5
         zero_p = jnp.zeros((p2,), jnp.float32)
-        pu = jnp.stack(iu_l + [zero_p] * e)           # [2E, P]
-        pv = jnp.stack(iv_l + [zero_p] * e)
-        ps = jnp.stack(is_l + [zero_p] * e)
-        m_cnt = inc_cnt.astype(jnp.int32)
-        for k2 in range(e):
-            if k2 + 1 < e:
-                wrapped = (k2 + 1) == ref_cnt_i
-                ru_n = jnp.where(wrapped, ru[0], ru[k2 + 1])
-                rv_n = jnp.where(wrapped, rv[0], rv[k2 + 1])
-            else:
-                ru_n, rv_n = ru[0], rv[0]
-            e_u = ru_n - ru[k2]
-            e_v = rv_n - rv[k2]
-            on = (k2 < ref_cnt_i).astype(jnp.float32)
-            cu = e_v * on
-            cv = -e_u * on
-            dclip = ((e_v * ru[k2] - e_u * rv[k2]) * on
-                     + (1.0 - on) * jnp.float32(BIG))
-            pu, pv, ps, m_cnt = _clip(pu, pv, ps, m_cnt, cu, cv, dclip,
-                                      mosaic=mosaic)
-
-        n_face = v3.where(ref_is_a, v3.neg(n_ref), n_ref)    # B → A
-        if _HT_DBG == 5:
-            _dbg(jnp.sum(ps) + jnp.sum(pu) + jnp.sum(pv)
-                 + jnp.sum(m_cnt.astype(jnp.float32)))
-            return
-
-        # ---- edge-edge closest-point contact ----
-        ohe_f = oh_e
-        ax_sel = (jnp.sum(ohe_f * ax0, axis=0),
-                  jnp.sum(ohe_f * ax1, axis=0),
-                  jnp.sum(ohe_f * ax2c, axis=0))
-        alen_sel = jnp.sum(ohe_f * alen, axis=0)
-        flip_sel = jnp.sum(ohe_f * flip.astype(jnp.float32), axis=0) > 0.5
-        sgn = jnp.where(flip_sel, -1.0, 1.0)
-        ax_u = v3.scale(ax_sel, sgn / jnp.maximum(alen_sel, 1e-9))
-        n_edge = v3.mat_vec(ra, ax_u)
-
-        def sel_support(base):
-            ce = _dot(c88_ref[base:base + 9 * vcap, :], ohe_f)
-            acc = None
-            for k2 in range(9):
-                term = ce[k2 * vcap:(k2 + 1) * vcap] * m9[k2][None, :]
-                acc = term if acc is None else acc + term
-            return acc                                # [V, P]
-
-        sa_sel = sel_support(SAV) * sgn[None, :]
-        sb_sel = sel_support(SBV) * sgn[None, :]
-        s0m = c48_ref[S0:S0 + e2p, :]                 # [E2P, V]
-        s1m = c48_ref[S1:S1 + e2p, :]
-        sa0 = _dot(s0m, sa_sel)
-        sa1 = _dot(s1m, sa_sel)                       # [E2P, P]
-        sb0 = _dot(s0m, sb_sel)
-        sb1 = _dot(s1m, sb_sel)
-        eb = cb_ref[EBIAS:EBIAS + e2p, 0:1]
-        score_a = jnp.maximum(sa0, sa1) + eb
-        score_b = jnp.minimum(sb0, sb1) - eb
-        _, oh_ea = _argmax2d(-score_a)
-        _, oh_eb = _argmax2d(score_b)
-        epa = _dot(c80_ref[0:6, :], oh_ea)            # [6, P] v0|v1 local A
-        epb = _dot(c80_ref[0:6, :], oh_eb)
-        ea0 = v3.add(v3.mat_vec(ra, (epa[0], epa[1], epa[2])), pa3)
-        ea1 = v3.add(v3.mat_vec(ra, (epa[3], epa[4], epa[5])), pa3)
-        eb0 = v3.add(v3.mat_vec(rb, (epb[0], epb[1], epb[2])), pb3)
-        eb1 = v3.add(v3.mat_vec(rb, (epb[3], epb[4], epb[5])), pb3)
-        d1 = v3.sub(ea1, ea0)
-        d2v = v3.sub(eb1, eb0)
-        r0v = v3.sub(ea0, eb0)
-        a11 = v3.dot(d1, d1)
-        a22 = v3.dot(d2v, d2v)
-        a12 = v3.dot(d1, d2v)
-        b1 = v3.dot(d1, r0v)
-        b2 = v3.dot(d2v, r0v)
-        den = a11 * a22 - a12 * a12
-        sparm = jnp.where(jnp.abs(den) > 1e-9,
-                          (a12 * b2 - a22 * b1) / den, 0.0)
-        sparm = jnp.clip(sparm, 0.0, 1.0)
-        tparm = jnp.where(a22 > 1e-9, (b2 + a12 * sparm) / a22, 0.0)
-        tparm = jnp.clip(tparm, 0.0, 1.0)
-        sparm = jnp.where(a11 > 1e-9,
-                          jnp.clip((a12 * tparm - b1) / a11, 0.0, 1.0),
-                          sparm)
-        pa_c = v3.add(ea0, v3.scale(d1, sparm))
-        pb_c = v3.add(eb0, v3.scale(d2v, tparm))
-        edge_point = v3.scale(v3.add(pa_c, pb_c), 0.5)
-        edge_depth = -edge_sep
-        if _HT_DBG == 6:
-            _dbg(jnp.sum(edge_point[0]) + jnp.sum(edge_depth))
-            return
 
         # ---- slot scores + top-k emit ----
         face_ok = valid & (~separated) & (~edge_wins)
@@ -800,17 +955,33 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
         if kg > 0:
             gl = win[:, 0:BLOCK]                      # [24, 128]
             ry3 = jnp.stack([gl[6], gl[7], gl[8]])    # R row 1 (world y)
-            wy = _dot(v3_ref[:, :], ry3) + gl[1][None, :]   # [V, 128]
+            # per-TYPE vertex tables, lane-selected by the body's type
+            # (row 19 = is_hull*(1 + type)); single-type degenerates to
+            # one masked pass
+            typef = gl[19]
+            tmasks = [
+                (jnp.abs(typef - (t + 1.0)) < 0.5
+                 ).astype(jnp.float32)[None, :]       # [1, 128]
+                for t in range(ntypes)
+            ]
+            wy = None
+            vbl = None
+            for t in range(ntypes):
+                wy_t = _dot(v3_ref[t * vs:t * vs + vcap, :], ry3)
+                vb_t = vb_ref[t * vs:t * vs + vcap, 0:1]    # [V, 1]
+                cw = wy_t * tmasks[t]
+                cv = vb_t * tmasks[t]
+                wy = cw if wy is None else wy + cw
+                vbl = cv if vbl is None else vbl + cv
+            wy = wy + gl[1][None, :]                  # [V, 128]
             depth_g = jnp.float32(gh) - wy
-            vb = cb_ref[VBIAS:VBIAS + vcap, 0:1]
             mvg = (gl[17] > 0.0)[None, :]
-            gsc = jnp.where(mvg & (depth_g > 0.0), depth_g + vb,
+            gsc = jnp.where(mvg & (depth_g > 0.0), depth_g + vbl,
                             jnp.float32(-BIG))
             body_id = gl[18].astype(jnp.int32)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)[0]
             ra_g = (start + lane).astype(jnp.float32)
             one_g = jnp.ones((BLOCK,), jnp.float32)
-            vT = c48_ref[VT:VT + 3, :]                # [3, V]
             # vertex index of the selected one-hot via a [1, V] iota
             # matmul — a float ADD sublane-reduction here is rejected by
             # Mosaic because ohg inherits a nonzero sublane offset from
@@ -820,7 +991,11 @@ def _make_hull_kernel(cap, wtot, kk, kg, ccap, n, gh, dm: HullDims,
             for _ in range(kg):
                 bestg, ohg = _argmax2d(gsc)
                 act = bestg > 0.0
-                lsel = _dot(vT, ohg)                  # [3, 128] local vert
+                lsel = None
+                for t in range(ntypes):
+                    ls_t = _dot(vt_ref[t * 8:t * 8 + 3, :], ohg)
+                    cl = ls_t * tmasks[t]
+                    lsel = cl if lsel is None else lsel + cl
                 lx, ly, lz = lsel[0], lsel[1], lsel[2]
                 cx = gl[0] + gl[3] * lx + gl[4] * ly + gl[5] * lz
                 cy = gl[1] + gl[6] * lx + gl[7] * ly + gl[8] * lz
@@ -935,6 +1110,9 @@ def bucket_hull_contact_table(
     all-gathers the local tables, exactly the box-table contract."""
     n = state.num_bodies
     assert n <= (1 << 16), "hull_table: body ids exceed exact-f32 range"
+    assert state.hulls.verts.shape[0] <= MAX_TABLE_HULL_TYPES, (
+        "hull_table supports at most MAX_TABLE_HULL_TYPES hull types "
+        "(H^2 SAT passes) — larger libraries use the XLA fast path")
     block, cap, nb_cand = bucket_shape(n, cfg)
     if block != BLOCK:
         raise ValueError(
@@ -952,7 +1130,15 @@ def bucket_hull_contact_table(
     assert geom is not None and geom.shape == (48, npad), (
         "hull_table consumes the unified hull geometry table")
 
-    coef, _ = build_hull_coef(state)
+    coef, _, ntypes = build_hull_coef_multi(state)
+    vs = _round8(dm.vcap)
+    # per-type ground vertex-transpose ([H*8, V]: rows t*8..t*8+3) and
+    # vertex-validity bias ([H*vs, 1]) tables
+    vt = jnp.pad(jnp.transpose(state.hulls.verts, (0, 2, 1)),
+                 ((0, 0), (0, 5), (0, 0))).reshape(ntypes * 8, dm.vcap)
+    vb = jnp.where(
+        jnp.arange(vs)[None, :] < state.hulls.vert_count[:, None],
+        0.0, -jnp.float32(BIG)).reshape(ntypes * vs, 1)
 
     # local bucket range (row sharding): nb_l buckets starting at the
     # traced bucket0; single-device = the full static range
@@ -975,10 +1161,14 @@ def bucket_hull_contact_table(
 
     cap2 = cfg.bucket_cap2
     if cap2:
-        if cap2 % 128 or cap2 > cap:
+        if cap2 % 128:
             raise ValueError(
-                f"bucket_cap2 must be a 128-multiple <= bucket cap "
-                f"({cap}); got {cap2}")
+                f"bucket_cap2 must be a 128-multiple; got {cap2}")
+        # clamp, don't raise: production configs set cap2 for the big
+        # scenes they're tuned on, and a tiny scene's bucket cap can be
+        # smaller — the prefilter cap is an optimization bound, not a
+        # semantic (a clamped cap2 == cap disables the extra pass)
+        cap2 = min(cap2, cap)
         if cap2 == cap:
             cap2 = 0
 
@@ -988,14 +1178,15 @@ def bucket_hull_contact_table(
     kernel = _make_hull_kernel(
         cap, wtot, kk, kg, ccap, n, cfg.ground_height, dm,
         mosaic=not interpret, warm=prev is not None, cap2=cap2,
-        anchors=anchors)
+        anchors=anchors, ntypes=ntypes)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 8, cap), lambda b, bs: (b, 0, 0)),
         pl.BlockSpec((1, 8, cap), lambda b, bs: (b, 0, 0)),
         const_spec,                                   # geom
         const_spec, const_spec, const_spec, const_spec,  # c16/c32/c88/c48
-        const_spec, const_spec, const_spec,           # c80/cb/v3c
+        const_spec, const_spec, const_spec,           # c80/cb/v3c(gv)
+        const_spec, const_spec,                       # vt/vb (per type)
     ]
     out_specs = [
         pl.BlockSpec((rows_n, ccap), lambda b, bs: (0, b)),
@@ -1006,7 +1197,7 @@ def bucket_hull_contact_table(
         jax.ShapeDtypeStruct((8, nb_l * 128), jnp.float32),
     ]
     operands = [la3, lb3, geom, coef.c16, coef.c32, coef.c88, coef.c48,
-                coef.c80, coef.cb, coef.v3c]
+                coef.c80, coef.cb, coef.v3c, vt, vb]
     if prev is not None:
         pkey, plam = prev
         pcols = prev_key_cols(pkey, plam)             # [cp_l, 8]

@@ -650,15 +650,19 @@ def hull_table_path(state: SimState, cfg: SimConfig) -> bool:
     Static: cfg + array shapes only."""
     from physics_tpu.ops.narrowphase import hulls_fast_path
 
+    from physics_tpu.ops.hull_table import MAX_TABLE_HULL_TYPES
+
     return bool(
         cfg.contact_solver == "pallas_banded" and cfg.contact_table
         and cfg.hull_table and cfg.pair_collisions
         and cfg.broadphase == "sweep" and cfg.pair_buckets
         and state.num_bodies > 1 and not cfg.bp_inkernel
         and hulls_fast_path(state, cfg)
-        # the fused hull kernel's static coefficient tables are
-        # single-type; multi-type scenes ride the segmented XLA fast path
-        and state.hulls.verts.shape[0] == 1
+        # round 5: the fused hull kernel runs one SAT pass per ordered
+        # type pair with sided coefficient tables — small libraries
+        # (H <= 2) get the fused+anchored pipeline; larger ones ride
+        # the type-pair-segmented XLA fast path
+        and state.hulls.verts.shape[0] <= MAX_TABLE_HULL_TYPES
     )
 
 

@@ -222,9 +222,13 @@ def test_table_fused_prep_matches_separate_kernels():
         state, cfg_p)
     assert int(m_p["contact_count"]) == int(m_x["contact_count"])
     for f in ("pos", "quat", "vel", "omega"):
+        # 1e-6: with the round-5 default (one-hots rebuilt per sweep,
+        # endpoints via consts rows 46/47) the fused path's sweep-0
+        # geometry gather groups its matmuls differently from the
+        # separate prep kernel — last-ulp MXU accumulation differences
         np.testing.assert_allclose(
             np.asarray(getattr(out_p, f)), np.asarray(getattr(out_x, f)),
-            atol=1e-7, err_msg=f)
+            atol=1e-6, err_msg=f)
 
     # warm-started stack rollout with the whole fused stack on
     # (bp_inkernel + fuse_prep + fuse_integrate): settles like the

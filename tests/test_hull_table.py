@@ -225,3 +225,88 @@ def test_row_sharded_hull_table_matches_single_device():
     assert float(np.sum(np.abs(np.asarray(s_sh.contact_lam)))) != 0.0
     assert err_p < 1e-3, (err_p, err_v)
     assert err_v < 5e-3, (err_p, err_v)
+
+
+@pytest.mark.slow
+def test_hull_table_multitype_contact_set_matches_fast_path():
+    """Round 5: the fused hull kernel runs one SAT pass per ORDERED hull
+    type pair with SIDED coefficient tables (reference/incident face,
+    edge, and ground-vertex data selected from the hull that owns it),
+    lane-masked by each candidate's (type_a, type_b). On the two-type
+    mixed rain it must emit the SAME contact set (keys + depths) as the
+    type-pair-segmented XLA fast path."""
+    from physics_tpu.ops.broadphase import (
+        body_aabbs, pair_candidates, sweep_order,
+    )
+    from physics_tpu.ops.contact_table import (
+        table_keys_scalar, unified_geom,
+    )
+    from physics_tpu.ops.hull_table import (
+        bucket_hull_contact_table, hull_slots,
+    )
+    from physics_tpu.ops.narrowphase import (
+        _ground_contacts_hulls_fast,
+        _pair_contacts_hulls_fast,
+        hull_obb_prefilter,
+    )
+    from physics_tpu.scenes import mesh_rain_mixed
+    from physics_tpu.solver.contacts import concat_contacts, hull_table_path
+
+    n = 32
+    cfg_x = rain_xla_config(n)
+    cfg_t = rain_config(n).replace(
+        bucket_cap2=256, contact_rebuild=1, contact_refresh_iters=0,
+        fuse_prep=False, fuse_integrate=False)
+    state = mesh_rain_mixed(n)
+    assert state.hulls.verts.shape[0] == 2
+    assert hull_table_path(state, cfg_t)
+    state = prepare_contacts(state, cfg_x)
+    stepj = jax.jit(lambda s: step_with_metrics(s, cfg_x)[0])
+    for _ in range(2):
+        state = stepj(state)
+
+    cand = pair_candidates(state, cfg_x)
+    cand2, _ = hull_obb_prefilter(state, cand, cfg_x.hull_prefilter_cap)
+    pc = _pair_contacts_hulls_fast(state, cand2, cfg_x)
+    gc = _ground_contacts_hulls_fast(state, cfg_x)
+    ca = concat_contacts(gc, pc)
+    act_a = np.asarray(ca.active) & (np.asarray(ca.key) != 0)
+    sa = dict(zip(np.asarray(ca.key)[act_a].tolist(),
+                  np.asarray(ca.depth)[act_a].tolist()))
+
+    order = sweep_order(state, body_aabbs(state))
+    geom = unified_geom(state, cfg_t, order, hulls=True)
+    cand_b = pair_candidates(state, cfg_t)
+    table, _, _ = bucket_hull_contact_table(
+        state, cand_b, cfg_t, order, prev=None, geom=geom)
+    keys_b = np.asarray(table_keys_scalar(
+        table, n, hull_slots(state.hulls), state.hulls.verts.shape[1]))
+    act_b = keys_b != 0
+    sb = dict(zip(keys_b[act_b].tolist(),
+                  np.asarray(table[6])[act_b].tolist()))
+
+    assert set(sa) == set(sb), (
+        sorted(set(sa) - set(sb))[:8], sorted(set(sb) - set(sa))[:8])
+    for k in sa:
+        assert abs(sa[k] - sb[k]) < 1e-4, (k, sa[k], sb[k])
+
+
+@pytest.mark.slow
+def test_hull_table_multitype_anchored_rollout():
+    """The production rain_config (hull table + fuse + anchored K=4) now
+    engages on two-type scenes; a short mixed drop must stay finite with
+    the CT2 anchor buffers persisted."""
+    from physics_tpu.scenes import mesh_rain_mixed
+    from physics_tpu.solver.contacts import anchored_path
+
+    n = 32
+    cfg = rain_config(n).replace(bucket_cap2=256)
+    state = mesh_rain_mixed(n)
+    assert anchored_path(state, cfg)
+    s = prepare_contacts(state, cfg)
+    assert s.contact_table.shape[0] == 32
+    stepj = jax.jit(step_with_metrics, static_argnums=1)
+    for _ in range(8):
+        s, m = stepj(s, cfg)
+    assert np.all(np.isfinite(np.asarray(s.pos)))
+    assert int(m["contact_overflow"]) == 0

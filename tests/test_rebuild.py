@@ -47,10 +47,16 @@ def test_rebuild_requires_prepared_buffers():
 
 @pytest.mark.slow
 def test_rebuild_k4_tracks_k1_through_drop_and_settle():
-    """With the motion guard, K=4 must track K=1 through a full
-    drop+settle (the guard rebuilds every step while falling; the
-    refresh path engages only once velocities drop under the tunnel
-    threshold)."""
+    """With the round-5 displacement gate (vel_factor > 0, box table
+    path), K=4 must track K=1 through a full drop+settle: falling
+    buckets accumulate > vf·slop of motion every step, so their
+    contacts recompute per step. The gated recompute derives candidates
+    with the in-kernel broad phase over the FROZEN rank order (fresh
+    sort only every K-th step), so trajectories track within centimetre
+    tolerance rather than the old global-guard's bit-level identity
+    (which rebuilt + re-sorted every step while ANYTHING moved — and
+    therefore never amortized; see scenes.pile_config and
+    test_gated_refresh_mixed_scene for the gate's discovery bound)."""
     state = _drop_stack()
     s1 = prepare_contacts(state, CFG_K1)
     s4 = prepare_contacts(state, CFG_K4)
@@ -62,7 +68,7 @@ def test_rebuild_k4_tracks_k1_through_drop_and_settle():
     assert int(m4["contact_count"]) == int(m1["contact_count"])
     err_p = float(np.max(np.abs(np.asarray(s1.pos) - np.asarray(s4.pos))))
     assert np.all(np.isfinite(np.asarray(s4.pos)))
-    assert err_p < 5e-3, err_p
+    assert err_p < 5e-2, err_p
     # overflow counters carry the LAST REBUILD's values — still surfaced
     assert int(m4["pair_overflow"]) == 0
     assert int(m4["contact_overflow"]) == 0
