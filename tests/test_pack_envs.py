@@ -209,10 +209,14 @@ def test_packed_anchored_rebuild():
         s4, m4 = stepm(s4, cfg4)
     assert np.all(np.isfinite(np.asarray(s4.pos)))
     err = float(np.max(np.abs(np.asarray(s1.pos) - np.asarray(s4.pos))))
-    # the guard disengages once global max|v| < 2·slop/(dt·K) ≈ 0.15;
-    # contacts formed inside a refresh window are discovered ≤ 3 steps
-    # late → bounded sub-cm drift (0.15·3·dt ≈ 8 mm), not equality
-    assert err < 2e-2, err
+    # round-5 displacement gate (vel_factor default 2.0): a moving
+    # bucket's contacts recompute once its bodies accumulate > 2 slops
+    # of motion, so discovery lags each crossing by ≤ ~2 slops of travel
+    # (vs the old global guard's rebuild-every-step identity). Over 30
+    # chaotic drop steps that compounds to centimetre-scale trajectory
+    # divergence — both are valid physics; the drop/settle penetration
+    # envelope (bench_batched_envs comment) pins the quality bound.
+    assert err < 1e-1, err
     c1, c4 = int(m1["contact_count"]), int(m4["contact_count"])
     assert abs(c4 - c1) <= max(2, c1 // 20), (c1, c4)
     assert int(m4["pair_overflow"]) == 0
