@@ -309,8 +309,9 @@ def main() -> None:
     emit("body_steps_per_sec_packed_envs_4096x8", bench_batched_envs)
     emit("body_steps_per_sec_mesh_rain_128", lambda: bench_rain(128))
     emit("body_steps_per_sec_mesh_rain_1024", lambda: bench_rain(1024))
-    # two-hull-type rain (segmented XLA fast path; the fused hull table
-    # is single-type) — VERDICT r4 item 5's within-2x criterion row
+    # two-hull-type rain through the fused + anchored hull table (one
+    # sided SAT pass per ordered type pair, H <= MAX_TABLE_HULL_TYPES)
+    # — VERDICT r4 item 5's within-2x criterion row
     emit("body_steps_per_sec_mesh_rain_mixed_128",
          lambda: bench_rain(128, mixed=True))
 
