@@ -92,8 +92,11 @@ BIG = 1e30
 # the fused kernel runs its SAT block once per ORDERED hull-type pair
 # (H^2 passes over the candidate lanes, per-lane pair masks) — compile
 # time and VPU cost scale with H^2, so the table path caps the library;
-# larger libraries ride the type-pair-segmented XLA fast path
-MAX_TABLE_HULL_TYPES = 2
+# larger libraries ride the type-pair-segmented XLA fast path. H = 3
+# (9 passes) measured: contact-set parity with the segmented path and
+# still ahead of the XLA fallback per body; the stacked coefficient
+# tables are KB-scale per pair, so VMEM is not the binding constraint.
+MAX_TABLE_HULL_TYPES = 3
 
 # Mosaic-crash bisect hook (HT_DEBUG=k truncates the kernel after
 # stage k and writes dummy outputs) — same pattern as CT_BP_DEBUG.

@@ -283,11 +283,16 @@ def mesh_rain(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
 
 
 def mesh_rain_mixed(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
-                    real_assets: bool | None = None) -> SimState:
-    """Two-hull-type rain: alternating bevel-cube hulls and octahedron
-    hulls falling onto the ground — the multi-hull-type fast-path
+                    real_assets: bool | None = None,
+                    n_types: int = 2) -> SimState:
+    """Multi-hull-type rain: bodies cycle through `n_types` distinct hull
+    shapes (bevel cube, octahedron, and at n_types=3 a wedge prism)
+    falling onto the ground — the multi-hull-type fast-path
     benchmark/test scene (type-pair-segmented candidates through the
-    linear-SAT coefficient matmuls, ops/narrowphase.hull_obb_prefilter)."""
+    linear-SAT coefficient matmuls, ops/narrowphase.hull_obb_prefilter).
+    n_types ≤ MAX_TABLE_HULL_TYPES scenes also ride the fused hull
+    contact table (ops/hull_table.py, one sided SAT pass per ordered
+    type pair)."""
     from physics_tpu.io.primitives import beveled_cube_mesh
 
     asset = None
@@ -312,10 +317,25 @@ def mesh_rain_mixed(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
         [[s, 0, 0], [-s, 0, 0], [0, s, 0], [0, -s, 0],
          [0, 0, s], [0, 0, -s]], np.float32)
     octa_inertia = sphere_inertia(0.7 * s, 1.0)
+    # third type (n_types=3): a wedge prism — 6 verts, 5 faces, a face
+    # structure distinct from both the cube (quads + bevels) and the
+    # octahedron (triangles only)
+    wedge_verts = np.array(
+        [[s, -0.5 * s, 0.8 * s], [s, -0.5 * s, -0.8 * s],
+         [-s, -0.5 * s, 0.8 * s], [-s, -0.5 * s, -0.8 * s],
+         [s, 0.7 * s, 0.0], [-s, 0.7 * s, 0.0]], np.float32)
+    wedge_inertia = box_inertia((s, 0.6 * s, 0.8 * s), 1.0)
+    if not 2 <= n_types <= 3:
+        raise ValueError(f"mesh_rain_mixed supports 2-3 types, got {n_types}")
 
     b = SceneBuilder()
     cube = b.add_hull(cube_verts)
     octa = b.add_hull(octa_verts)
+    hull_ids = [cube, octa]
+    inertias = [cube_inertia, octa_inertia]
+    if n_types >= 3:
+        hull_ids.append(b.add_hull(wedge_verts))
+        inertias.append(wedge_inertia)
     side = max(1, int(np.ceil(np.sqrt(n_bodies / 4))))
     count = 0
     for layer in range(10**9):
@@ -326,7 +346,7 @@ def mesh_rain_mixed(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
                 if count >= n_bodies:
                     break
                 jitter = rng.uniform(-0.2, 0.2, 3)
-                use_cube = count % 2 == 0
+                t = count % n_types
                 i = b.add_body(
                     pos=(
                         (gx - side / 2) * 2.5 * size + jitter[0],
@@ -334,9 +354,9 @@ def mesh_rain_mixed(n_bodies: int = 128, seed: int = 0, size: float = 0.5,
                         (gz - side / 2) * 2.5 * size + jitter[2],
                     ),
                     euler=rng.uniform(-1.5, 1.5, 3),
-                    inertia=cube_inertia if use_cube else octa_inertia,
+                    inertia=inertias[t],
                 )
-                b.set_hull(i, cube if use_cube else octa,
+                b.set_hull(i, hull_ids[t],
                            friction=0.4, restitution=0.05)
                 count += 1
     return b.build()

@@ -660,8 +660,8 @@ def hull_table_path(state: SimState, cfg: SimConfig) -> bool:
         and hulls_fast_path(state, cfg)
         # round 5: the fused hull kernel runs one SAT pass per ordered
         # type pair with sided coefficient tables — small libraries
-        # (H <= 2) get the fused+anchored pipeline; larger ones ride
-        # the type-pair-segmented XLA fast path
+        # (H <= MAX_TABLE_HULL_TYPES) get the fused+anchored pipeline;
+        # larger ones ride the type-pair-segmented XLA fast path
         and state.hulls.verts.shape[0] <= MAX_TABLE_HULL_TYPES
     )
 

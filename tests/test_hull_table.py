@@ -228,13 +228,20 @@ def test_row_sharded_hull_table_matches_single_device():
 
 
 @pytest.mark.slow
-def test_hull_table_multitype_contact_set_matches_fast_path():
+@pytest.mark.parametrize(
+    "n_types",
+    [2,
+     # H = 3 runs 9 interpret-mode SAT passes — a multi-minute XLA:CPU
+     # compile, so the 3-type parity pin rides the full (nightly) suite
+     pytest.param(3, marks=pytest.mark.slow)])
+def test_hull_table_multitype_contact_set_matches_fast_path(n_types):
     """Round 5: the fused hull kernel runs one SAT pass per ORDERED hull
     type pair with SIDED coefficient tables (reference/incident face,
     edge, and ground-vertex data selected from the hull that owns it),
-    lane-masked by each candidate's (type_a, type_b). On the two-type
-    mixed rain it must emit the SAME contact set (keys + depths) as the
-    type-pair-segmented XLA fast path."""
+    lane-masked by each candidate's (type_a, type_b). On the mixed rain
+    (2 types: cube + octahedron; 3 types adds the wedge prism — H² = 9
+    masked passes) it must emit the SAME contact set (keys + depths) as
+    the type-pair-segmented XLA fast path."""
     from physics_tpu.ops.broadphase import (
         body_aabbs, pair_candidates, sweep_order,
     )
@@ -257,8 +264,8 @@ def test_hull_table_multitype_contact_set_matches_fast_path():
     cfg_t = rain_config(n).replace(
         bucket_cap2=256, contact_rebuild=1, contact_refresh_iters=0,
         fuse_prep=False, fuse_integrate=False)
-    state = mesh_rain_mixed(n)
-    assert state.hulls.verts.shape[0] == 2
+    state = mesh_rain_mixed(n, n_types=n_types)
+    assert state.hulls.verts.shape[0] == n_types
     assert hull_table_path(state, cfg_t)
     state = prepare_contacts(state, cfg_x)
     stepj = jax.jit(lambda s: step_with_metrics(s, cfg_x)[0])
@@ -292,16 +299,17 @@ def test_hull_table_multitype_contact_set_matches_fast_path():
 
 
 @pytest.mark.slow
-def test_hull_table_multitype_anchored_rollout():
+@pytest.mark.parametrize("n_types", [2, 3])
+def test_hull_table_multitype_anchored_rollout(n_types):
     """The production rain_config (hull table + fuse + anchored K=4) now
-    engages on two-type scenes; a short mixed drop must stay finite with
-    the CT2 anchor buffers persisted."""
+    engages on multi-type scenes (H ≤ MAX_TABLE_HULL_TYPES); a short
+    mixed drop must stay finite with the CT2 anchor buffers persisted."""
     from physics_tpu.scenes import mesh_rain_mixed
     from physics_tpu.solver.contacts import anchored_path
 
     n = 32
     cfg = rain_config(n).replace(bucket_cap2=256)
-    state = mesh_rain_mixed(n)
+    state = mesh_rain_mixed(n, n_types=n_types)
     assert anchored_path(state, cfg)
     s = prepare_contacts(state, cfg)
     assert s.contact_table.shape[0] == 32
